@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {name: sec}, "sf": ...}
+
+Each query is fully materialized through the noop sink (no driver-side
+collect — rows stay distributed, mirroring how a cluster job would run).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from timing_explorer_spark.plans import all_queries  # noqa: E402
+from timing_explorer_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = get_spark(app_name="timing-explorer-spark-bench")
+    spark.sparkContext.setLogLevel("WARN")
+
+    specs = {n: s for n, s in all_queries().items() if s.headline}
+
+    def run_pass() -> dict[str, float]:
+        t: dict[str, float] = {}
+        for name, spec in sorted(specs.items()):
+            t0 = time.monotonic()
+            df = spec.build(spark, sf_dir)
+            df.write.mode("overwrite").format("noop").save()
+            t[name] = round(time.monotonic() - t0, 3)
+        return t
+
+    # Pass 1 pays JVM/codegen warm-up and OS page-cache fill (a cluster
+    # amortizes these across the job); pass 2 is the steady-state number.
+    cold = run_pass()
+    timings = run_pass()
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_wall_clock_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "cold_total": round(sum(cold.values()), 3),
+                "cold_queries": cold,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

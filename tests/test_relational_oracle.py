@@ -1,0 +1,56 @@
+"""Every registered query with an oracle must hash-match DuckDB — the same
+check the driver runs (CORRECTNESS_r{N}.json), executed at sf0.001 for speed;
+test_oracle_sf001 marks the full-matrix gate. Queries without an oracle get
+sanity checks elsewhere (test_dedup / test_similarity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from timing_explorer_spark.plans import all_queries
+from timing_explorer_spark.testing import assert_matches_oracle, duckdb_connection
+
+SPECS = all_queries()
+ORACLE_SPECS = sorted(name for name, s in SPECS.items() if s.oracle is not None)
+NO_ORACLE_SPECS = sorted(name for name, s in SPECS.items() if s.oracle is None)
+
+
+@pytest.fixture(scope="module")
+def con(sf_smoke):
+    c = duckdb_connection(sf_smoke)
+    yield c
+    c.close()
+
+
+@pytest.mark.parametrize("name", ORACLE_SPECS)
+def test_oracle_sf001(spark, sf_smoke, con, name):
+    spec = SPECS[name]
+    df = spec.build(spark, sf_smoke)
+    assert_matches_oracle(df, con, spec.oracle, name)
+
+
+@pytest.mark.parametrize("name", NO_ORACLE_SPECS)
+def test_no_oracle_queries_run(spark, sf_smoke, name):
+    df = SPECS[name].build(spark, sf_smoke)
+    assert df.count() >= 0  # runs, stable schema
+    assert len(df.columns) > 0
+
+
+def test_approx_distinct_accuracy(spark, sf_smoke):
+    """approx_count_distinct has no value oracle; assert <5% relative error."""
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.sources.tables import load
+
+    o = load(spark, sf_smoke, "orders")
+    rows = (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.approx_count_distinct("o_custkey").alias("approx"),
+            F.countDistinct("o_custkey").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.15

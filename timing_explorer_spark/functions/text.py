@@ -1,0 +1,75 @@
+"""Text-analysis column expressions for the documents pipeline.
+
+All JVM-side Catalyst expressions (split / transform / filter / aggregate
+higher-order functions) — no Python UDFs in the hot path, so they vectorize
+and stay inside whole-stage codegen at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny stopword lexicons for the heuristic language scorer. The synthetic
+# documents share one vocabulary, so *accuracy* against the lang column is
+# meaningless — the point is the (oracle-checkable) scoring machinery.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "to"),
+    "de": ("der", "die", "das", "und", "ein"),
+    "fr": ("le", "la", "les", "et", "un"),
+    "es": ("el", "la", "los", "y", "un"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization -> array<string>."""
+    return F.split(text, r"\s+")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (shingles) of a whitespace-tokenized text.
+
+    Built with sequence+transform over the token array; guarded so texts with
+    fewer than n tokens yield an empty set (Spark's sequence() would otherwise
+    count DOWN and fabricate shingles).
+    """
+    w = tokens(text)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(w) - (n - 1)),
+        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
+    )
+    return F.array_distinct(F.when(F.size(w) >= n, gram).otherwise(F.array().cast("array<string>")))
+
+
+def stopword_ratio(text: Column, lexicon: tuple[str, ...] = STOPWORDS["en"]) -> Column:
+    """Fraction of tokens that are stopwords (quality-scoring signal)."""
+    t = tokens(text)
+    hits = F.size(F.filter(t, lambda x: x.isin(*lexicon)))
+    return hits.cast("double") / F.size(t)
+
+
+def mean_token_length(text: Column) -> Column:
+    """Average token length, derived arithmetically for single-space text:
+    (chars - (n_tokens - 1) separators) / n_tokens."""
+    n = token_count(text)
+    return (F.length(text) - (n - 1)).cast("double") / n
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the whitespace-normalized,
+    lowercased text. Identical content -> identical fingerprint, the exact-dedup
+    key at any scale (hash-groupBy, no pairwise comparison)."""
+    return F.md5(F.lower(F.regexp_replace(F.trim(text), r"\s+", " ")))
+
+
+def lang_scores(text: Column) -> list[Column]:
+    """Per-language stopword-hit counts (heuristic language ID features)."""
+    t = tokens(text)
+    return [
+        F.size(F.filter(t, lambda x: x.isin(*lex))).alias(f"score_{lang}")
+        for lang, lex in STOPWORDS.items()
+    ]

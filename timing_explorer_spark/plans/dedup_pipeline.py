@@ -1,0 +1,139 @@
+"""Deduplication query inventory (SURVEY §7 P4) over documents/events.
+
+Exact (fingerprint hash-groupBy), exact near-dup (n-gram Jaccard via shingle
+inverted index), MinHash+LSH (verified candidates — output equals the exact
+Jaccard result wherever LSH recall is 1, which tests confirm at sf0.01), and
+SimHash (hash-sketch based, rows-only check: xxhash64 has no DuckDB analog).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.dedup import (
+    exact_dedup_groups,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+from ..sources.tables import load
+from .registry import register
+
+# Shared oracle SQL for exact word-trigram Jaccard pairs at threshold 0.8.
+_JACCARD_ORACLE = """
+    WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    sh AS (
+        SELECT doc_id,
+               UNNEST(list_distinct(list_transform(
+                   range(greatest(len(w) - 2, 0)),
+                   i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+        FROM words
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) AS jaccard
+    FROM common
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(c AS DOUBLE) / CAST(sa.sz + sb.sz - c AS DOUBLE) >= 0.8
+"""
+
+
+@register(
+    "q_exact_dedup_docs",
+    oracle="""
+        SELECT MD5(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g'))) AS fp,
+               MIN(doc_id) AS rep_id,
+               COUNT(*)    AS n_copies
+        FROM documents
+        GROUP BY MD5(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g')))
+    """,
+    doc=(
+        "Exact dedup via content-fingerprint hash-groupBy: one shuffle on the "
+        "md5 key, no pairwise compare — the only exact-dedup design that "
+        "survives 100 TB."
+    ),
+    tags=("dedup",),
+)
+def q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup_groups(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "q_dedup_events_earliest",
+    oracle="""
+        SELECT event_id, user_id, event_type, ts
+        FROM (
+            SELECT event_id, user_id, event_type, ts,
+                   ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id) AS rn
+            FROM events)
+        WHERE rn = 1
+    """,
+    doc=(
+        "Keyed dedup keeping the earliest record — the deterministic, "
+        "scalable form of dropDuplicates (explicit total order, single "
+        "shuffle on the dedup key)."
+    ),
+    tags=("dedup", "window"),
+)
+def q_dedup_events_earliest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        e.select("event_id", "user_id", "event_type", "ts", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@register(
+    "q_jaccard_neardup_pairs",
+    oracle=_JACCARD_ORACLE,
+    doc=(
+        "Exact near-dup pairs: word-trigram Jaccard ≥ 0.8 via shingle "
+        "inverted-index self-join (only docs sharing a shingle ever meet)."
+    ),
+    headline=True,
+    tags=("dedup", "neardup"),
+)
+def q_jaccard_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, n=3)
+
+
+@register(
+    "q_minhash_lsh_neardup",
+    oracle=_JACCARD_ORACLE,
+    doc=(
+        "MinHash(64 perms)+LSH(16 bands x 4 rows) candidates, verified with "
+        "exact Jaccard. Oracle = the exact-Jaccard result: valid because "
+        "verification makes precision exact and the S-curve puts recall ≈ 1 "
+        "at J ≥ 0.8 (empirically exact at sf0.01/sf0.001 — asserted in "
+        "tests/test_dedup.py; any recall miss would surface as a row-count "
+        "diff here). At 100 TB this is the design that works: signatures are "
+        "fixed-size, candidate generation is an equi-join on band buckets."
+    ),
+    tags=("dedup", "neardup", "lsh"),
+)
+def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@register(
+    "q_simhash_neardup",
+    oracle=None,  # xxhash64-based sketch — no DuckDB analog; see tests/test_dedup.py
+    doc=(
+        "SimHash near-dup pairs (64-bit sketch, hamming ≤ 3, 4x16-bit block "
+        "candidate generation). Rows-only driver check; pytest asserts the "
+        "trigram-Jaccard ≥0.9 pairs are recovered and sketches are stable."
+    ),
+    tags=("dedup", "neardup", "simhash"),
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)

@@ -1,0 +1,604 @@
+"""Relational operator inventory over the TPC-H-ish tables (SURVEY.md §2.2/§7 P3).
+
+The reference has no SQL surface (SURVEY §2.2: no joins, sorts, set ops, UDFs
+— checked absent), so this module IS the declared relational capability of the
+new engine: scans, project/filter, inner/left/semi/anti joins, hash aggregation,
+distinct agg, rollup/cube, window functions, sort/limit/top-k, set ops, scalar
+string/date/math/JSON functions. All Catalyst built-ins — no custom rules.
+
+Scale design notes (100 TB):
+ - Dimension joins (region/nation/supplier) use explicit ``broadcast()`` —
+   at any scale factor those tables are tiny and must never shuffle the fact side.
+ - Fact-fact joins (lineitem⋈orders) hash-shuffle on the join key; AQE handles
+   skew and coalesces post-shuffle partitions.
+ - Aggregations are expressed via groupBy().agg() → Catalyst plans partial
+   (map-side) aggregation automatically; no collect()-side logic anywhere.
+ - Filters sit directly on the scan so parquet pushdown + column pruning apply
+   (verified via .explain in tests/test_plans_scale.py).
+Every query carries a DuckDB oracle; computed columns are aliased identically
+on both sides (driver hash-compares by column name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import register
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+@register(
+    "q01_pricing_summary",
+    oracle="""
+        SELECT
+            l_returnflag,
+            l_linestatus,
+            SUM(l_quantity)                                       AS sum_qty,
+            SUM(l_extendedprice)                                  AS sum_base_price,
+            SUM(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
+            SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+            AVG(l_quantity)                                       AS avg_qty,
+            AVG(l_extendedprice)                                  AS avg_price,
+            AVG(l_discount)                                       AS avg_disc,
+            COUNT(*)                                              AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: filtered scan -> partial+final hash agg.",
+    headline=True,
+    tags=("agg", "scan", "filter"),
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q03_shipping_priority",
+    oracle="""
+        SELECT
+            l.l_orderkey,
+            SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+            o.o_orderdate,
+            o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l.l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3-style: 3-way join + agg + deterministic top-k (tie-broken).",
+    headline=True,
+    tags=("join", "agg", "topk"),
+)
+def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    l = load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q05_local_supplier_volume",
+    oracle="""
+        SELECT
+            n.n_name,
+            SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+        FROM customer c
+        JOIN orders o   ON c.c_custkey   = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey   = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n.n_name
+    """,
+    doc=(
+        "TPC-H Q5-style 6-way join. nation/region/supplier broadcast "
+        "(dimension tables stay small at every SF); fact joins shuffle on key."
+    ),
+    headline=True,
+    tags=("join", "broadcast", "agg"),
+)
+def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = F.broadcast(load(spark, sf_dir, "supplier"))
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q_top_customers",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, SUM(o.o_totalprice) AS total_spent,
+               COUNT(*) AS n_orders
+        FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey, c.c_name
+        ORDER BY total_spent DESC, c_custkey
+        LIMIT 25
+    """,
+    doc="Join + agg + deterministic top-k by spend.",
+    tags=("join", "agg", "topk"),
+)
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(F.sum("o_totalprice").alias("total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
+        .limit(25)
+    )
+
+
+@register(
+    "q_distinct_agg",
+    oracle="""
+        SELECT n.n_name,
+               COUNT(DISTINCT c.c_mktsegment) AS n_segments,
+               COUNT(*) AS n_customers,
+               SUM(c.c_acctbal) AS total_balance
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    doc="Distinct aggregate alongside plain aggregates (expand-based plan).",
+    tags=("agg", "distinct"),
+)
+def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("total_balance"),
+        )
+    )
+
+
+@register(
+    "q_rollup_returns",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (grouping-set expansion).",
+    tags=("agg", "rollup"),
+)
+def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n_rows")
+    )
+
+
+@register(
+    "q_cube_orders",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               COUNT(*) AS n_orders, SUM(o_totalprice) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over status x priority.",
+    tags=("agg", "cube"),
+)
+def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total_price")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join variants
+# ---------------------------------------------------------------------------
+@register(
+    "q_semi_join_big_spenders",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    doc="Left-semi join (EXISTS): customers holding at least one 400k+ order.",
+    tags=("join", "semi"),
+)
+def q_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "q_anti_join_no_orders",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+    tags=("join", "anti"),
+)
+def q_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
+
+
+@register(
+    "q_left_join_order_stats",
+    oracle="""
+        SELECT c.c_custkey,
+               COUNT(o.o_orderkey)            AS n_orders,
+               COALESCE(SUM(o.o_totalprice), 0.0) AS total_spent
+        FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_custkey
+    """,
+    doc="Left outer join preserving order-less customers (NULL-aware agg).",
+    tags=("join", "outer", "agg"),
+)
+def q_left_join_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions
+# ---------------------------------------------------------------------------
+@register(
+    "q_window_topn_orders",
+    oracle="""
+        SELECT * FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+            FROM orders)
+        WHERE rn <= 3
+    """,
+    doc="Per-group top-N via ROW_NUMBER (single shuffle on the partition key).",
+    tags=("window",),
+)
+def q_window_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn")
+        ).where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "q_window_running_total",
+    oracle="""
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                       ORDER BY o_orderdate, o_orderkey
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS running_spent
+        FROM orders
+    """,
+    doc="Running total per customer (ROWS frame).",
+    tags=("window",),
+)
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey", "o_orderkey", "o_orderdate", F.sum("o_totalprice").over(w).alias("running_spent")
+    )
+
+
+@register(
+    "q_window_lag_gap",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               DATE_DIFF('day',
+                         LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                                ORDER BY o_orderdate, o_orderkey),
+                         o_orderdate) AS days_since_prev
+        FROM orders
+    """,
+    doc="LAG: days between consecutive orders per customer (NULL for first).",
+    tags=("window",),
+)
+def q_window_lag_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+        .cast("bigint")
+        .alias("days_since_prev"),
+    )
+
+
+@register(
+    "q_window_rank_price",
+    oracle="""
+        SELECT p_partkey, p_brand, p_retailprice,
+               RANK()       OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_rank,
+               DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC) AS price_dense_rank
+        FROM part
+    """,
+    doc="RANK / DENSE_RANK within brand (ties share rank -> deterministic).",
+    tags=("window",),
+)
+def q_window_rank_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"))
+    return p.select(
+        "p_partkey",
+        "p_brand",
+        "p_retailprice",
+        F.rank().over(w).alias("price_rank"),
+        F.dense_rank().over(w).alias("price_dense_rank"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+@register(
+    "q_setop_intersect",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT (distinct semantics) of customer vs supplier nations.",
+    tags=("setop",),
+)
+def q_setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "q_setop_except",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="EXCEPT: nations with customers but no suppliers.",
+    tags=("setop",),
+)
+def q_setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = load(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return c.subtract(s)  # EXCEPT DISTINCT semantics, matching the SQL oracle
+
+
+@register(
+    "q_setop_union_tagged",
+    oracle="""
+        SELECT 'customer' AS side, c_nationkey AS nationkey, COUNT(*) AS n
+        FROM customer GROUP BY c_nationkey
+        UNION ALL
+        SELECT 'supplier' AS side, s_nationkey AS nationkey, COUNT(*) AS n
+        FROM supplier GROUP BY s_nationkey
+    """,
+    doc="UNION ALL (bag union — same semantics as the reference's DataStream.union, TimingExplorer.java:148-149).",
+    tags=("setop",),
+)
+def q_setop_union_tagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        load(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("customer").alias("side"), "nationkey", "n")
+    )
+    s = (
+        load(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("supplier").alias("side"), "nationkey", "n")
+    )
+    return c.unionByName(s)
+
+
+# ---------------------------------------------------------------------------
+# Scalar function surface
+# ---------------------------------------------------------------------------
+@register(
+    "q_string_functions",
+    oracle="""
+        SELECT p_partkey,
+               UPPER(p_name)                     AS up_name,
+               LOWER(p_brand)                    AS low_brand,
+               SUBSTR(p_name, 1, 8)              AS name_prefix,
+               LENGTH(p_name)                    AS name_len,
+               CONCAT(p_brand, ':', p_type)      AS brand_type,
+               REPLACE(p_name, ' ', '_')         AS snake_name,
+               CAST(p_name LIKE '%er%' AS INT)   AS has_er
+        FROM part
+    """,
+    doc="String scalar functions (all JVM-side Catalyst expressions).",
+    tags=("scalar", "string"),
+)
+def q_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("up_name"),
+        F.lower("p_brand").alias("low_brand"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("snake_name"),
+        F.col("p_name").like("%er%").cast("int").alias("has_er"),
+    )
+
+
+@register(
+    "q_date_functions",
+    oracle="""
+        SELECT o_orderkey,
+               YEAR(o_orderdate)                    AS order_year,
+               MONTH(o_orderdate)                   AS order_month,
+               DAY(o_orderdate)                     AS order_day,
+               QUARTER(o_orderdate)                 AS order_quarter,
+               CAST(DATE_TRUNC('month', o_orderdate) AS TIMESTAMP) AS month_start,
+               o_orderdate + INTERVAL 30 DAY        AS due_date
+        FROM orders
+    """,
+    doc="Date/time scalar functions.",
+    tags=("scalar", "date"),
+)
+def q_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")).alias("due_date"),
+    )
+
+
+@register(
+    "q_math_functions",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               ABS(l_discount - 0.05)      AS disc_dev,
+               SQRT(l_quantity)            AS qty_sqrt,
+               LN(l_extendedprice)         AS price_ln,
+               FLOOR(l_extendedprice)      AS price_floor,
+               CEIL(l_quantity * 1.5)      AS qty_ceil,
+               POWER(1.0 + l_tax, 2)       AS tax_sq
+        FROM lineitem
+    """,
+    doc="Math scalar functions (whole-stage-codegen friendly).",
+    tags=("scalar", "math"),
+)
+def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.log(F.col("l_extendedprice")).alias("price_ln"),
+        F.floor("l_extendedprice").cast("double").alias("price_floor"),
+        F.ceil(F.col("l_quantity") * 1.5).cast("double").alias("qty_ceil"),
+        F.pow(F.lit(1.0) + F.col("l_tax"), 2).alias("tax_sq"),
+    )
+
+
+@register(
+    "q_json_extract",
+    oracle="""
+        SELECT event_type,
+               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="JSON scalar extraction from events.props + aggregate.",
+    tags=("scalar", "json"),
+)
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (no exact oracle — HLL implementations differ)
+# ---------------------------------------------------------------------------
+@register(
+    "q_approx_distinct_orders",
+    oracle=None,  # approx_count_distinct values are implementation-specific
+    doc=(
+        "approx_count_distinct (HyperLogLog++) per order priority. No DuckDB "
+        "oracle: HLL estimates are implementation-defined; accuracy vs exact "
+        "COUNT(DISTINCT) is asserted in tests/test_relational_oracle.py "
+        "(relative error < 5%)."
+    ),
+    tags=("agg", "approx"),
+)
+def q_approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )

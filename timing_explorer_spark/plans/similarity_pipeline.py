@@ -1,0 +1,111 @@
+"""Similarity-search query inventory over ``embeddings`` (SURVEY §7 P4).
+
+Brute-force cosine (exact, oracle-checked against DuckDB list arithmetic in
+DOUBLE precision) and LSH-bucketed ANN (approximate — rows-only check, recall
+asserted in pytest).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.similarity import (
+    brute_force_topk,
+    embedding_neardup_pairs,
+    lsh_topk,
+    nearest_neighbor_all,
+)
+from ..sources.tables import load
+from .registry import register
+
+# DuckDB cosine in DOUBLE precision with explicit sequential arithmetic,
+# mirroring Spark's zip_with/aggregate left fold.
+_COS = (
+    "list_dot_product(a.v, b.v) / "
+    "(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "q_embedding_nn",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   {_COS} AS cos
+            FROM e a JOIN e b ON a.vec_id <> b.vec_id
+        ), ranked AS (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rn
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, cos FROM ranked WHERE rn = 1
+    """,
+    doc="Exact nearest neighbor for every vector (all-pairs cosine, double precision).",
+    headline=True,
+    tags=("similarity", "knn"),
+)
+def q_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return nearest_neighbor_all(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_embedding_topk",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 5),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, {_COS} AS cos
+            FROM q a JOIN e b ON a.vec_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cos, rank FROM (
+            SELECT query_id, neighbor_id, cos,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 10
+    """,
+    doc=(
+        "Top-10 cosine neighbors for a small query set (vec_id < 5): the "
+        "broadcast-queries-vs-scan-corpus pattern — the exact-search shape "
+        "that stays linear in corpus size at 100 TB."
+    ),
+    tags=("similarity", "topk"),
+)
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "q_embedding_neardup",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_COS} AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE {_COS} >= 0.45
+    """,
+    doc="Embedding near-duplicate pairs: cosine ≥ 0.45 over all pairs.",
+    tags=("similarity", "neardup"),
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+@register(
+    "q_ann_lsh_topk",
+    oracle=None,  # approximate by construction; recall vs brute force in pytest
+    doc=(
+        "Approximate top-10 via OR-amplified random-hyperplane LSH (4 tables "
+        "x 4 bits): candidate generation is an equi-join on (table, bucket) — "
+        "the linear-shuffle ANN design for corpora where all-pairs is "
+        "impossible. Driver does a rows-only check; tests assert recall ≥ 0.8 "
+        "against brute_force_topk."
+    ),
+    tags=("similarity", "ann", "lsh"),
+)
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10)

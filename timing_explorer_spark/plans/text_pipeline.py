@@ -1,0 +1,191 @@
+"""Text-analysis query inventory over the ``documents`` table (SURVEY §7 P4).
+
+Language-ID heuristic, quality scoring, token counting, fingerprinting, word
+frequencies — each a JVM-side column-expression pipeline with a DuckDB oracle
+implementing the identical formula. Note DuckDB regexp_replace needs the 'g'
+flag to match Spark's replace-all default.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_scores,
+    mean_token_length,
+    stopword_ratio,
+    token_count,
+    tokens,
+)
+from ..sources.tables import load
+from .registry import register
+
+
+@register(
+    "q_token_stats",
+    oracle="""
+        SELECT doc_id,
+               LEN(string_split(text, ' '))  AS n_tokens,
+               LENGTH(text)                  AS n_chars_measured,
+               CAST(LENGTH(text) - (LEN(string_split(text, ' ')) - 1) AS DOUBLE)
+                   / LEN(string_split(text, ' ')) AS mean_token_len
+        FROM documents
+    """,
+    doc="Token counting (whitespace tokenizer) + derived mean token length.",
+    tags=("text",),
+)
+def q_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("n_tokens"),
+        F.length("text").alias("n_chars_measured"),
+        mean_token_length(F.col("text")).alias("mean_token_len"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   LENGTH(text) AS n_chars
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(LEN(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                   / LEN(toks)                                   AS stopword_ratio,
+               LEN(toks)                                         AS n_tokens,
+               CAST(LEN(toks) BETWEEN 20 AND 400 AS INT)         AS length_ok,
+               CAST(n_chars AS DOUBLE) / LEN(toks)               AS chars_per_token
+        FROM t
+    """,
+    doc=(
+        "Quality-scoring signals: stopword ratio (en lexicon), length gate, "
+        "chars/token. Heuristics from LLM-corpus filtering practice (C4-style)."
+    ),
+    tags=("text", "quality"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_toks = token_count(F.col("text"))
+    return d.select(
+        "doc_id",
+        stopword_ratio(F.col("text"), STOPWORDS["en"]).alias("stopword_ratio"),
+        n_toks.alias("n_tokens"),
+        n_toks.between(20, 400).cast("int").alias("length_ok"),
+        (F.length("text").cast("double") / n_toks).alias("chars_per_token"),
+    )
+
+
+@register(
+    "q_lang_profile",
+    oracle="""
+        SELECT lang,
+               COUNT(*)                 AS n_docs,
+               AVG(CAST(n_chars AS DOUBLE)) AS avg_chars,
+               AVG(CAST(LEN(string_split(text, ' ')) AS DOUBLE)) AS avg_tokens,
+               MIN(n_chars)             AS min_chars,
+               MAX(n_chars)             AS max_chars
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Corpus profile per declared language.",
+    tags=("text", "agg"),
+)
+def q_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("n_chars").cast("double")).alias("avg_chars"),
+        F.avg(token_count(F.col("text")).cast("double")).alias("avg_tokens"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+@register(
+    "q_doc_fingerprint",
+    oracle="""
+        SELECT doc_id,
+               MD5(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+        FROM documents
+    """,
+    doc="Content fingerprint: md5 over whitespace-normalized lowercased text.",
+    tags=("text", "dedup"),
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "q_word_frequencies",
+    oracle="""
+        SELECT word, COUNT(*) AS freq
+        FROM (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+        ORDER BY freq DESC, word
+        LIMIT 50
+    """,
+    doc="Corpus word frequencies: explode + count + deterministic top-k.",
+    tags=("text", "agg", "topk"),
+)
+def q_word_frequencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@register(
+    "q_lang_id_heuristic",
+    oracle="""
+        WITH s AS (
+            SELECT doc_id, lang,
+                   string_split(text, ' ') AS toks
+            FROM documents
+        ), scored AS (
+            SELECT doc_id, lang,
+                   LEN(list_filter(toks, x -> x IN ('the','a','of','and','to'))) AS score_en,
+                   LEN(list_filter(toks, x -> x IN ('der','die','das','und','ein'))) AS score_de,
+                   LEN(list_filter(toks, x -> x IN ('le','la','les','et','un'))) AS score_fr,
+                   LEN(list_filter(toks, x -> x IN ('el','la','los','y','un'))) AS score_es
+            FROM s
+        )
+        SELECT doc_id, lang AS declared_lang, score_en, score_de, score_fr, score_es,
+               CASE
+                   WHEN score_en >= score_de AND score_en >= score_fr AND score_en >= score_es THEN 'en'
+                   WHEN score_de >= score_fr AND score_de >= score_es THEN 'de'
+                   WHEN score_fr >= score_es THEN 'fr'
+                   ELSE 'es'
+               END AS predicted_lang
+        FROM scored
+    """,
+    doc=(
+        "Heuristic language ID: stopword-lexicon hit counts, argmax with a "
+        "fixed tie-break order. (The synthetic corpus shares one vocabulary, "
+        "so prediction accuracy vs the lang column is not meaningful — the "
+        "scoring machinery is what's exercised.)"
+    ),
+    tags=("text", "langid"),
+)
+def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    scored = d.select("doc_id", F.col("lang").alias("declared_lang"), *lang_scores(F.col("text")))
+    s = {lang: F.col(f"score_{lang}") for lang in ("en", "de", "fr", "es")}
+    predicted = (
+        F.when((s["en"] >= s["de"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["es"]), "en")
+        .when((s["de"] >= s["fr"]) & (s["de"] >= s["es"]), "de")
+        .when(s["fr"] >= s["es"], "fr")
+        .otherwise("es")
+    )
+    return scored.select("*", predicted.alias("predicted_lang"))

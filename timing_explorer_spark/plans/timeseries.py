@@ -1,0 +1,286 @@
+"""Time-semantics query inventory — the reference's actual domain.
+
+Covers the reference's end-user query surface (SURVEY.md §2.1: scan, project,
+tag-equality filter, time-range filter, time-bucketed GROUP BY + mean, order
+by time, gap filling) and its windowing centerpiece (PseudoWindow —
+/root/reference/src/main/java/com/ververica/functions/PseudoWindow.java:33-100:
+keyed tumbling count windows with end-inclusive labels), re-expressed as
+declarative Spark over the ``events`` table plus the closed-form generator.
+
+Extensions beyond the reference (it is tumbling-only, PseudoWindow.java:82):
+sliding windows and session windows, both oracle-checkable.
+
+Scale notes: all of these are single-shuffle groupBy-on-(bucket, key) plans
+with map-side partial aggregation; the time-spine gap-fill uses a broadcast
+range join (spine is tiny relative to facts at any scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.generator import sensor_stream_batch
+from ..sources.tables import load
+from .registry import register
+
+
+@register(
+    "q_sensor_scan_filter",
+    oracle="""
+        SELECT event_id, ts, value
+        FROM events
+        WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+    doc=(
+        "The Grafana panel query shape (dashboard.json:86-111): projection + "
+        "tag equality + time range. Both predicates push down to the parquet scan."
+    ),
+    tags=("scan", "filter", "timeseries"),
+)
+def q_sensor_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.where(
+        (F.col("event_type") == "click")
+        & (F.col("ts") >= F.lit("2024-01-05 00:00:00").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-12 00:00:00").cast("timestamp"))
+    ).select("event_id", "ts", "value")
+
+
+@register(
+    "q_events_per_window",
+    oracle="""
+        SELECT event_type,
+               DATE_TRUNC('hour', ts)                                            AS window_start,
+               DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND AS window_end_label,
+               COUNT(*)   AS n_events,
+               SUM(value) AS sum_value
+        FROM events
+        GROUP BY event_type, DATE_TRUNC('hour', ts)
+    """,
+    doc=(
+        "FLAGSHIP: keyed tumbling count window = the reference's PseudoWindow "
+        "in event-time mode (PseudoWindow.java:74-99), as a declarative "
+        "window() aggregation. window_end_label reproduces the reference's "
+        "end-inclusive label (window start + duration - 1ms, PseudoWindow.java:82)."
+    ),
+    headline=True,
+    tags=("window-agg", "timeseries", "flagship"),
+)
+def q_events_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .select(
+            "event_type",
+            F.col("w.start").alias("window_start"),
+            (F.col("w.end") - F.expr("INTERVAL 1 MILLISECOND")).alias("window_end_label"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_time_bucket_avg",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket, event_type,
+               AVG(value) AS mean_value, COUNT(*) AS n
+        FROM events
+        GROUP BY CAST(DATE_TRUNC('day', ts) AS TIMESTAMP), event_type
+    """,
+    doc=(
+        "Grafana re-aggregation shape: GROUP BY time($__interval) + mean(value) "
+        "(dashboard.json:295-331)."
+    ),
+    tags=("window-agg", "timeseries"),
+)
+def q_time_bucket_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
+        .agg(F.avg("value").alias("mean_value"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register(
+    "q_gap_fill",
+    oracle="""
+        WITH spine AS (
+            SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-30 23:00:00',
+                                          INTERVAL 1 HOUR)) AS bucket
+        ),
+        agg AS (
+            SELECT DATE_TRUNC('hour', ts) AS bucket, AVG(value) AS mean_value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY DATE_TRUNC('hour', ts)
+        )
+        SELECT s.bucket, a.mean_value
+        FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
+    """,
+    doc=(
+        "Gap filling = InfluxQL fill(null) (dashboard.json:295-331): generated "
+        "time spine LEFT JOIN the bucketed agg. The spine is broadcast — it is "
+        "O(time range), independent of fact cardinality."
+    ),
+    tags=("timeseries", "gapfill"),
+)
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    agg = (
+        e.where(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(F.avg("value").alias("mean_value"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket")
+    )
+    return F.broadcast(spine).join(agg, "bucket", "left").select("bucket", "mean_value")
+
+
+@register(
+    "q_sliding_window_counts",
+    oracle="""
+        SELECT event_type,
+               DATE_TRUNC('hour', ts) - k * INTERVAL 1 HOUR AS window_start,
+               COUNT(*) AS n_events
+        FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k)
+        GROUP BY event_type, DATE_TRUNC('hour', ts) - k * INTERVAL 1 HOUR
+    """,
+    doc=(
+        "Sliding (hopping) window: 2h length, 1h slide — an extension; the "
+        "reference is tumbling-only (PseudoWindow.java:82). Each event lands "
+        "in exactly 2 windows; the oracle replicates via the unnest trick."
+    ),
+    tags=("window-agg", "timeseries"),
+)
+def q_sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type", F.window("ts", "2 hours", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("event_type", F.col("w.start").alias("window_start"), "n_events")
+    )
+
+
+@register(
+    "q_session_windows",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                             <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts)                       AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE  AS session_end,
+               COUNT(*)                      AS n_events
+        FROM sessions
+        GROUP BY user_id, session_id
+    """,
+    doc=(
+        "Session windows (30 min inactivity gap) per user — an extension over "
+        "the reference. Spark session_window(); oracle = gaps-and-islands SQL. "
+        "Session end = last event + gap, matching Spark's semantics."
+    ),
+    tags=("window-agg", "timeseries", "session"),
+)
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "q_generator_closed_form",
+    oracle="""
+        WITH idx AS (SELECT range AS i FROM range(600)),
+        base AS (
+            SELECT i,
+                   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '100 milliseconds' * i AS ts,
+                   (i % 10) / 10.0 AS phase
+            FROM idx
+        )
+        SELECT 'temp' AS key, ts, phase AS value FROM base
+        UNION ALL
+        SELECT 'pressure' AS key, ts, SIN(2 * PI() * phase) AS value FROM base
+    """,
+    doc=(
+        "The reference's entire synthetic input as a closed form "
+        "(TimestampSource + SawtoothFunction + SineWaveFunction + AssignKey + "
+        "union, SURVEY.md §2 rows 1-6): 600 events/key at 100 ms period. "
+        "Oracle-checked golden dataset for the generator."
+    ),
+    tags=("generator", "reference-parity"),
+)
+def q_generator_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sensor_stream_batch(spark, n_events=600)
+
+
+@register(
+    "q_sensor_window_invariant",
+    oracle="""
+        WITH idx AS (SELECT range AS i FROM range(600)),
+        base AS (
+            SELECT i,
+                   TIMESTAMP '2024-01-01 00:00:00' + INTERVAL '100 milliseconds' * i AS ts,
+                   (i % 10) / 10.0 AS phase
+            FROM idx
+        ),
+        sensors AS (
+            SELECT 'temp' AS key, ts, phase AS value FROM base
+            UNION ALL
+            SELECT 'pressure' AS key, ts, SIN(2 * PI() * phase) AS value FROM base
+        )
+        SELECT key,
+               DATE_TRUNC('second', ts) + INTERVAL 999 MILLISECOND AS window_end_label,
+               COUNT(*) AS n_events
+        FROM sensors
+        GROUP BY key, DATE_TRUNC('second', ts)
+    """,
+    doc=(
+        "The reference's one hard correctness invariant (README.md:46-48): "
+        "event-time 1 s tumbling windows over the 100 ms generator contain "
+        "exactly 10 events per key. Label = end-inclusive window end "
+        "(PseudoWindow.java:82,95-96). Streaming variant asserted in "
+        "tests/test_streaming_pipeline.py."
+    ),
+    tags=("window-agg", "reference-parity", "flagship"),
+)
+def q_sensor_window_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sensors = sensor_stream_batch(spark, n_events=600)
+    return (
+        sensors.groupBy("key", F.window("ts", "1 second").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            (F.col("w.end") - F.expr("INTERVAL 1 MILLISECOND")).alias("window_end_label"),
+            "n_events",
+        )
+    )

@@ -1,0 +1,74 @@
+"""SparkSession construction with defaults tuned for this engine.
+
+The reference app hand-configures its Flink environment
+(/root/reference/src/main/java/com/ververica/jobs/TimingExplorer.java:46-77:
+state backend, checkpointing, restart strategy). The Spark analog is a
+SparkSession with AQE, UTC session time, Arrow transfer, and a shuffle
+partition count sized to the deployment. At 100 TB on a 1000-executor
+cluster you would raise ``spark.sql.shuffle.partitions`` (or rely on AQE
+coalescing from a high initial number); locally we default to the core count.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-level (mutable at runtime) confs every query in this engine assumes.
+# Applied defensively in ensure_confs() so the engine behaves identically when
+# handed a foreign SparkSession (e.g. the verification driver's).
+RUNTIME_CONFS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The driver-generated events.parquet stores TIMESTAMP(NANOS), which the
+    # vectorized parquet reader rejects; read as epoch-nanos long and convert
+    # exactly in load() (sources/tables.py).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+
+def get_spark(
+    app_name: str = "timing-explorer-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults."""
+    cores = default_parallelism()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cores}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cores))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    ensure_confs(spark)
+    return spark
+
+
+def ensure_confs(spark: SparkSession) -> SparkSession:
+    """Apply the runtime-settable confs this engine's semantics depend on.
+
+    Safe on any session (these are session-scoped, not cluster-scoped).
+    UTC matters most: the DuckDB oracle comparison formats timestamps in UTC.
+    """
+    for k, v in RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable at runtime on this build — defaults apply
+    return spark

@@ -1,0 +1,62 @@
+"""Parquet table loaders for the driver-generated test data.
+
+Tables (TESTDATA.md): region nation customer supplier part orders lineitem
+events documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+Scale notes: parquet scans get predicate pushdown and column pruning from
+Catalyst automatically as long as queries stay declarative. At 100 TB these
+tables would be directories partitioned by a natural key (orders/lineitem by
+date, events by day); the loader reads whatever layout the path holds, so the
+engine code does not change — only the data layout does.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..session import ensure_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Idempotently pins the session confs the engine
+    assumes (UTC, AQE, nanos-as-long) so results are stable on any provided
+    session. events.ts arrives as TIMESTAMP(NANOS) parquet — surfaced as
+    epoch-nanos long under the legacy conf and converted here with exact
+    integer arithmetic (ns DIV 1000 -> µs; double math would lose precision
+    above 2^53)."""
+    ensure_confs(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLES}
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so ``spark.sql`` can serve the
+    same query shapes end-users run (SURVEY.md §2.1)."""
+    for t in TABLES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
