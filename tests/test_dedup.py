@@ -1,0 +1,57 @@
+"""Quality checks for the hash-sketch dedup operators (the ones the driver
+only rows-only-checks): LSH recall vs exact Jaccard, simhash properties."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timing_explorer_spark.operators.dedup import (
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_sketches,
+)
+from timing_explorer_spark.sources.tables import load
+
+
+def test_minhash_lsh_recall_is_total_at_sf001(spark, sf_oracle):
+    """The q_minhash_lsh_neardup oracle attachment rests on this: at J≥0.8
+    the 16x4 LSH S-curve must recover EVERY exact pair (driver compares
+    against the exact-Jaccard SQL)."""
+    docs = load(spark, sf_oracle, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, 0.8).collect()}
+    assert exact, "test data should contain near-duplicate pairs"
+    assert lsh == exact  # 100% recall AND exact precision (verified pairs)
+
+
+def test_simhash_recovers_strong_neardups(spark, sf_oracle):
+    """Strong near-dups (trigram Jaccard ≥ 0.9) should mostly fall within the
+    simhash hamming threshold. Unigram simhash on short docs votes weakly per
+    bit (measured d≈0-10, with rare word-set outliers), so assert ≥80% recall
+    rather than perfection."""
+    docs = load(spark, sf_oracle, "documents")
+    strong = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.9).collect()}
+    sh = {(r.doc_a, r.doc_b) for r in simhash_pairs(docs, max_hamming=10).collect()}
+    assert strong
+    recall = len(strong & sh) / len(strong)
+    assert recall >= 0.8, f"simhash recall {recall:.2f}; missed {sorted(strong - sh)[:5]}"
+
+
+def test_simhash_deterministic(spark, sf_smoke):
+    docs = load(spark, sf_smoke, "documents").limit(50)
+    a = {(r.doc, r.simhash) for r in simhash_sketches(docs).collect()}
+    b = {(r.doc, r.simhash) for r in simhash_sketches(docs).collect()}
+    assert a == b
+
+
+def test_jaccard_shingle_df_cap_keeps_high_pairs(spark, sf_smoke):
+    """The scale knob (max_shingle_df) must not lose truly-near pairs whose
+    shingles are rare; with a generous cap the J≥0.8 output is unchanged."""
+    docs = load(spark, sf_smoke, "documents")
+    full = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, 0.8).collect()}
+    capped = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(docs, 0.8, max_shingle_df=1000).collect()
+    }
+    assert capped == full

@@ -1,0 +1,148 @@
+"""Streaming-parity tests — the reference's correctness story (SURVEY §5).
+
+Golden invariant (README.md:46-48): event-time 1 s windows over the 100 ms
+generator contain EXACTLY 10 events per key. Plus: processing-time
+distributional check, recovery-without-duplicates on the same checkpoint,
+metrics listener, and state/offset inspection.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timing_explorer_spark.streaming.metrics import StreamingMetricsListener, observed
+from timing_explorer_spark.streaming.pipeline import (
+    event_time_windows,
+    read_processing_time_counts,
+    run_pipeline_available_now,
+    sensor_stream_from_files,
+    write_generator_files,
+)
+from timing_explorer_spark.streaming.state import read_offsets, read_window_state
+from timing_explorer_spark.sources.generator import sensor_stream_batch
+
+N_EVENTS = 600  # 60 s of data per key at 100 ms period
+
+
+@pytest.fixture(scope="module")
+def pipeline_run(spark, tmp_path_factory):
+    """Run the full 3-sink pipeline once; several tests assert on its output."""
+    root = tmp_path_factory.mktemp("stream")
+    data = str(root / "input")
+    ckpt = str(root / "ckpt")
+    sinks = str(root / "sinks")
+    write_generator_files(spark, data, n_events=N_EVENTS, files=10)
+    out = run_pipeline_available_now(spark, data, ckpt, sinks)
+    return {"data": data, "ckpt": ckpt, "out": out, "root": root}
+
+
+def test_exactly_ten_per_window(spark, pipeline_run):
+    """The one hard invariant: every emitted (complete) event-time window has
+    exactly 10 events, for both keys."""
+    win = spark.read.parquet(pipeline_run["out"]["eventsPerSecond"])
+    rows = win.collect()
+    assert rows, "no windows emitted"
+    per_key = {}
+    for r in rows:
+        assert r["value"] == 10, f"window {r['window_end_label']} ({r['key']}) = {r['value']}"
+        per_key[r["key"]] = per_key.get(r["key"], 0) + 1
+    assert set(per_key) == {"temp", "pressure"}
+    # 60 complete windows exist; the watermark runs one micro-batch behind
+    # Flink's per-event timers (SURVEY §4.3), so the last batch's windows
+    # (~6 s of data at 10 files) are withheld until more data arrives.
+    assert all(n >= 50 for n in per_key.values()), per_key
+
+
+def test_raw_sensor_stream_matches_closed_form(spark, pipeline_run):
+    """Streamed `sensors` table == the closed-form batch generator."""
+    streamed = spark.read.parquet(pipeline_run["out"]["sensors"])
+    expected = sensor_stream_batch(spark, n_events=N_EVENTS)
+    assert streamed.count() == 2 * N_EVENTS
+    diff = streamed.exceptAll(expected).count() + expected.exceptAll(streamed).count()
+    assert diff == 0
+
+
+def test_processing_time_distributional(spark, pipeline_run):
+    """Proc-time windows: arrival-bucketed counts must PRESERVE TOTALS but
+    carry no per-window guarantee (the reference's whole point,
+    README.md:41-44)."""
+    proc = read_processing_time_counts(spark, pipeline_run["out"]["eventsProcessedPerSecond"])
+    rows = proc.collect()
+    total = sum(r["value"] for r in rows)
+    assert total == 2 * N_EVENTS
+    assert set(r["key"] for r in rows) == {"temp", "pressure"}
+
+
+def test_recovery_no_duplicates(spark, pipeline_run):
+    """Restart on the same checkpoint after new data arrives: counts continue,
+    nothing is reprocessed (offsets replace Flink's ListState clock)."""
+    data, ckpt = pipeline_run["data"], pipeline_run["ckpt"]
+    out = pipeline_run["out"]
+    # 60 more seconds of data, appended as new in-order files (same closed form).
+    write_generator_files(spark, data, n_events=2 * N_EVENTS, files=10, first_event=N_EVENTS)
+    run_pipeline_available_now(spark, data, ckpt, str(pipeline_run["root"] / "sinks"))
+
+    win = spark.read.parquet(out["eventsPerSecond"])
+    # exactly-once: no (key, window) appears twice, every window still == 10
+    dups = (
+        win.groupBy("key", "window_end_label")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("v"))
+        .where((F.col("n") > 1) | (F.col("v") != 10))
+        .count()
+    )
+    assert dups == 0
+    # windows from both halves present now
+    assert win.count() >= 2 * 100
+
+    raw = spark.read.parquet(out["sensors"])
+    assert raw.count() == 2 * 2 * N_EVENTS  # no source re-read either
+
+
+def test_metrics_listener_and_observe(spark, tmp_path):
+    """observe() counter + listener progress — the reference's datapoints
+    counter and eventTimeLag signal (SURVEY §4.2)."""
+    data = str(tmp_path / "input")
+    write_generator_files(spark, data, n_events=200, files=4)
+    listener = StreamingMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            observed(sensor_stream_from_files(spark, data))
+            .writeStream.format("noop")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # progress events are delivered asynchronously — wait for them
+        import time
+
+        deadline = time.monotonic() + 20
+        while listener.total_input_rows() < 400 and time.monotonic() < deadline:
+            time.sleep(0.25)
+    finally:
+        spark.streams.removeListener(listener)
+    assert listener.total_input_rows() == 400
+    assert listener.observed_total("datapoints") == 400
+    assert any(r["batchDurationMs"] is not None for r in listener.progress)
+
+
+def test_offsets_readable(pipeline_run):
+    """Source-progress parity with ChangeBackend's readListState: offsets are
+    inspectable JSON, one entry per micro-batch."""
+    offsets = read_offsets(f"{pipeline_run['ckpt']}/eventsPerSecond")
+    assert len(offsets) >= 10  # one per file at maxFilesPerTrigger=1
+    assert all("batchId" in o for o in offsets)
+
+
+def test_state_reader_window_state(spark, pipeline_run):
+    """PseudoWindowReaderFunction parity: batch-read the streaming agg's keyed
+    state store (Spark 4 'statestore' source)."""
+    try:
+        state = read_window_state(spark, f"{pipeline_run['ckpt']}/eventsPerSecond")
+        rows = state.collect()
+    except Exception as e:  # pragma: no cover - depends on build support
+        pytest.skip(f"statestore reader unavailable: {e}")
+    # The store holds not-yet-emitted windows (the watermark-withheld tail).
+    assert isinstance(rows, list)

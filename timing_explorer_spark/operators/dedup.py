@@ -235,13 +235,24 @@ def simhash_sketches(
 
 def simhash_pairs(
     docs: DataFrame,
-    max_hamming: int = 3,
+    max_hamming: int = 10,
+    n_blocks: int = 16,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance ≤ max_hamming (< 64/16=4
-    guarantees the 4-block pigeonhole finds every pair): candidates share at
-    least one exact 16-bit block, verified with bit_count on the XOR."""
+    """Near-dup pairs by simhash hamming distance ≤ max_hamming.
+
+    Pigeonhole candidate generation: 64 bits split into ``n_blocks`` equal
+    blocks; any pair within distance n_blocks-1 shares at least one exact
+    block, so candidates = equi-join on (block idx, block value), verified
+    with bit_count(XOR). Default 16 x 4-bit blocks covers d ≤ 15 — small
+    documents vote weakly per bit, so true near-dups land around d≈5-10
+    (measured on the test corpus). Narrower blocks mean more candidate
+    collisions; at scale, trade block width against max_hamming (8 x 8-bit
+    blocks for d ≤ 7 halves the join fan-out)."""
+    assert 64 % n_blocks == 0
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
     sk = simhash_sketches(docs, text_col, id_col)
     # persist: the block index feeds both sides of the candidate self-join,
     # and sketch construction (64-wide vote folds) is the expensive part.
@@ -253,11 +264,11 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(i).alias("blk"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), i * width)
+                        .bitwiseAND(F.lit(mask))
                         .alias("bval"),
                     )
-                    for i in range(4)
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("b"),

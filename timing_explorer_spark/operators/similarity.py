@@ -138,8 +138,8 @@ def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     k: int = 10,
-    n_planes: int = 4,
-    n_tables: int = 4,
+    n_planes: int = 3,
+    n_tables: int = 8,
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -129,11 +129,11 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_simhash_neardup",
     oracle=None,  # xxhash64-based sketch — no DuckDB analog; see tests/test_dedup.py
     doc=(
-        "SimHash near-dup pairs (64-bit sketch, hamming ≤ 3, 4x16-bit block "
+        "SimHash near-dup pairs (64-bit sketch, hamming ≤ 10, 16x4-bit block "
         "candidate generation). Rows-only driver check; pytest asserts the "
         "trigram-Jaccard ≥0.9 pairs are recovered and sketches are stable."
     ),
     tags=("dedup", "neardup", "simhash"),
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=10)

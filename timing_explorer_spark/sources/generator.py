@@ -62,6 +62,9 @@ def sensor_stream_batch(
     """Bounded, deterministic sensor stream: 2*n_events rows of
     (key string, ts timestamp, value double). Partition-parallel: range() is
     split across the cluster and every derived column is a pure projection."""
+    from ..session import ensure_confs
+
+    ensure_confs(spark)
     base = (
         spark.range(0, n_events, 1, num_partitions or spark.sparkContext.defaultParallelism)
         .withColumnRenamed("id", "i")

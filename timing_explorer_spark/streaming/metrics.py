@@ -1,0 +1,83 @@
+"""Observability — the Spark analog of the reference's metrics story.
+
+Reference (SURVEY §4.2 metrics row): a ``datapoints`` counter
+(SawtoothFunction.java:65-69), an ``eventTimeLag`` histogram = now − eventTs
+at the sink (InfluxDBSink.java:38-39,52-53,75), and Flink latency tracking.
+
+Spark-first replacements:
+ - counters  -> df.observe("name", count(...)) named observations, reported
+   per micro-batch in QueryProgressEvent.observedMetrics
+ - lag       -> watermark / max-event-time vs wall clock from each progress
+   event (same signal the histogram approximated)
+ - latency   -> batchDuration + durationMs breakdown per progress event
+
+The reference disabled operator chaining for per-operator visibility
+(TimingExplorer.java:115) — an anti-optimization we do NOT port; Spark keeps
+whole-stage codegen and exposes metrics through the listener instead.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from typing import Any
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+
+def observed(df: DataFrame, name: str = "datapoints") -> DataFrame:
+    """Attach the reference's 'datapoints' counter as a named observation."""
+    return df.observe(name, F.count(F.lit(1)).alias("n"))
+
+
+def event_time_lag(ts: Column) -> Column:
+    """Per-row lag expression (now − event time, ms) — the sink-side metric
+    InfluxDBSink keeps a histogram of."""
+    return (F.unix_millis(F.current_timestamp()) - F.unix_millis(ts)).alias("event_time_lag_ms")
+
+
+class StreamingMetricsListener(StreamingQueryListener):
+    """Collects per-batch progress: input rows/s, batch duration, watermark,
+    max event time, observed metrics. A cluster deployment would forward
+    these to its metrics system; tests assert on the recorded dicts."""
+
+    def __init__(self) -> None:
+        self.progress: list[dict[str, Any]] = []
+
+    # -- StreamingQueryListener interface -------------------------------
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        p = event.progress
+        rec: dict[str, Any] = {
+            "id": str(p.id),
+            "batchId": p.batchId,
+            "numInputRows": p.numInputRows,
+            "inputRowsPerSecond": p.inputRowsPerSecond,
+            "batchDurationMs": p.batchDuration,
+            "observedMetrics": {k: v.asDict() for k, v in (p.observedMetrics or {}).items()},
+            "recordedAt": _dt.datetime.now(_dt.timezone.utc).isoformat(),
+        }
+        et = p.eventTime or {}
+        rec["watermark"] = et.get("watermark")
+        rec["maxEventTime"] = et.get("max")
+        self.progress.append(rec)
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    # -- convenience ----------------------------------------------------
+    def total_input_rows(self) -> int:
+        return sum(r["numInputRows"] for r in self.progress)
+
+    def observed_total(self, metric: str = "datapoints", field: str = "n") -> int:
+        return sum(
+            r["observedMetrics"][metric][field]
+            for r in self.progress
+            if metric in r["observedMetrics"]
+        )
