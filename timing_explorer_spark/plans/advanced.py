@@ -1,0 +1,321 @@
+"""Advanced operator inventory: temporal joins, statistical aggregates,
+pivot, grouping sets, string aggregation, array functions, kNN classify.
+
+These extend the declared surface beyond both the reference (which has none
+of this, SURVEY §2.2) and the basic relational set — each still a Catalyst
+builtin composition with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine
+from ..operators.joins import asof_join, interval_pairs
+from ..sources.tables import load
+from .registry import register
+
+
+@register(
+    "q_asof_join_last_click",
+    oracle="""
+        SELECT e.event_id, e.user_id, e.ts,
+               c.ts AS asof_ts, c.event_id AS asof_event_id
+        FROM (SELECT * FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    doc=(
+        "As-of join (an operator Spark lacks natively): for each error event, "
+        "the user's most recent prior click. Implemented as union + one "
+        "carry-forward window pass per key (operators/joins.py) — single "
+        "shuffle, no pair blow-up; oracle = DuckDB's native ASOF JOIN."
+    ),
+    headline=True,
+    tags=("join", "asof", "temporal"),
+)
+def q_asof_join_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    errors = e.where(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    return asof_join(errors, clicks, on="user_id", right_cols=("event_id",))
+
+
+@register(
+    "q_interval_join_close_events",
+    oracle="""
+        SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+               ABS(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP)) / 1000000.0
+                   AS gap_seconds
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id AND a.event_id < b.event_id
+         AND ABS(epoch_us(a.ts::TIMESTAMP) - epoch_us(b.ts::TIMESTAMP)) <= 300 * 1000000
+    """,
+    doc=(
+        "Interval (range) join: same-user event pairs within 5 minutes, via "
+        "neighbor-bucket equi-join + exact filter — the linear-shuffle range "
+        "join pattern (no per-key cross join)."
+    ),
+    tags=("join", "range", "temporal"),
+)
+def q_interval_join_close_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return interval_pairs(e, key="user_id", max_gap_seconds=300)
+
+
+@register(
+    "q_percentiles",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.50) AS p50,
+               quantile_cont(value, 0.90) AS p90
+        FROM events
+        GROUP BY event_type
+    """,
+    doc="Exact interpolated percentiles per group (Spark percentile == DuckDB quantile_cont).",
+    tags=("agg", "stats"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("p25"),
+        F.percentile("value", 0.50).alias("p50"),
+        F.percentile("value", 0.90).alias("p90"),
+    )
+
+
+@register(
+    "q_stats_aggregates",
+    oracle="""
+        SELECT l_returnflag,
+               STDDEV_SAMP(l_quantity)                 AS qty_stddev,
+               VAR_SAMP(l_quantity)                    AS qty_var,
+               CORR(l_quantity, l_extendedprice)       AS qty_price_corr,
+               COVAR_SAMP(l_quantity, l_extendedprice) AS qty_price_covar
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Statistical aggregates: stddev/variance/correlation/covariance.",
+    tags=("agg", "stats"),
+)
+def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.stddev_samp("l_quantity").alias("qty_stddev"),
+        F.var_samp("l_quantity").alias("qty_var"),
+        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
+        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+_PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
+
+
+@register(
+    "q_pivot_order_priority",
+    oracle="""
+        SELECT o_orderstatus,
+               SUM(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 ELSE 0 END) AS urgent,
+               SUM(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 ELSE 0 END) AS high,
+               SUM(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 ELSE 0 END) AS medium,
+               SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
+               SUM(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 ELSE 0 END) AS low
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Pivot (wide aggregation): order counts by status x priority. The "
+        "explicit values list keeps the pivot single-pass (no extra distinct "
+        "scan) — required at scale anyway."
+    ),
+    tags=("agg", "pivot"),
+)
+def q_pivot_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus").pivot("o_orderpriority", _PRIORITIES).count().na.fill(0)
+    )
+    renamed = pivoted.select(
+        "o_orderstatus",
+        *[F.col(f"`{v}`").alias(a) for v, a in zip(_PRIORITIES, _PRIORITY_ALIASES)],
+    )
+    return renamed
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="GROUPING SETS via the engine's SQL surface (spark.sql over temp views).",
+    tags=("agg", "grouping-sets", "sql-api"),
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "q_string_agg_segments",
+    oracle="""
+        SELECT c_nationkey AS nationkey,
+               string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segments
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    doc="Ordered string aggregation (sort_array(collect_set) -> concat_ws).",
+    tags=("agg", "string"),
+)
+def q_string_agg_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.concat_ws(",", F.sort_array(F.collect_set("c_mktsegment"))).alias("segments")
+    )
+
+
+@register(
+    "q_minmax_by",
+    oracle="""
+        SELECT c_nationkey AS nationkey,
+               arg_max(c_name, c_custkey) AS newest_customer,
+               arg_min(c_name, c_custkey) AS oldest_customer,
+               MAX(c_acctbal)             AS max_balance
+        FROM customer
+        GROUP BY c_nationkey
+    """,
+    doc="max_by/min_by (arg_max/arg_min) keyed on the unique custkey (deterministic).",
+    tags=("agg",),
+)
+def q_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.groupBy(F.col("c_nationkey").alias("nationkey")).agg(
+        F.max_by("c_name", "c_custkey").alias("newest_customer"),
+        F.min_by("c_name", "c_custkey").alias("oldest_customer"),
+        F.max("c_acctbal").alias("max_balance"),
+    )
+
+
+@register(
+    "q_array_functions",
+    oracle="""
+        SELECT vec_id,
+               LEN(embedding)                          AS dim,
+               embedding[1]::DOUBLE                    AS first_val,
+               list_min(embedding)::DOUBLE             AS min_val,
+               list_max(embedding)::DOUBLE             AS max_val,
+               list_sum(embedding[1:8]::DOUBLE[])      AS head_sum
+        FROM embeddings
+    """,
+    doc="Array/list scalar functions over the embedding column.",
+    tags=("scalar", "array"),
+)
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding").cast("array<double>"), 1, 8)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).cast("double").alias("first_val"),
+        F.array_min("embedding").cast("double").alias("min_val"),
+        F.array_max("embedding").cast("double").alias("max_val"),
+        F.aggregate(head, F.lit(0.0), lambda acc, x: acc + x).alias("head_sum"),
+    )
+
+
+@register(
+    "q_knn_classify",
+    oracle="""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id % 10 = 0),
+        t AS (SELECT * FROM e WHERE vec_id % 10 <> 0),
+        scored AS (
+            SELECT q.vec_id AS query_id, t.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY list_dot_product(q.v, t.v) /
+                                (SQRT(list_dot_product(q.v, q.v)) * SQRT(list_dot_product(t.v, t.v)))
+                                DESC, t.vec_id) AS rn
+            FROM q JOIN t ON TRUE
+        ),
+        votes AS (
+            SELECT query_id, label, COUNT(*) AS n
+            FROM scored WHERE rn <= 5
+            GROUP BY query_id, label
+        )
+        SELECT query_id, label AS predicted_label FROM (
+            SELECT query_id, label,
+                   ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY n DESC, label) AS r
+            FROM votes)
+        WHERE r = 1
+    """,
+    doc=(
+        "kNN classification: majority label of the 5 nearest neighbors "
+        "(train = 90% of vectors, queries = vec_id % 10 == 0), ties to the "
+        "smaller label. Broadcast-queries brute-force scoring + two windowed "
+        "reductions."
+    ),
+    tags=("similarity", "knn", "classify"),
+)
+def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 10 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    t = e.where(F.col("vec_id") % 10 != 0).select(
+        F.col("vec_id").alias("tid"), F.col("label"), F.col("embedding").alias("tvec")
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("tid")
+    )
+    top5 = (
+        t.join(F.broadcast(q), F.lit(True))
+        .select("query_id", "tid", "label", cosine(F.col("qvec"), F.col("tvec")).alias("cos"))
+        .withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 5)
+    )
+    votes = top5.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    w_vote = Window.partitionBy("query_id").orderBy(F.desc("n"), F.asc("label"))
+    return (
+        votes.withColumn("r", F.row_number().over(w_vote))
+        .where(F.col("r") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"))
+    )
+
+
+@register(
+    "q_value_tiers",
+    oracle="""
+        SELECT CASE WHEN o_totalprice >= 300000 THEN 'high'
+                    WHEN o_totalprice >= 100000 THEN 'mid'
+                    ELSE 'low' END AS tier,
+               COUNT(*)          AS n_orders,
+               SUM(o_totalprice) AS total
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="CASE WHEN bucketing + aggregate.",
+    tags=("scalar", "agg"),
+)
+def q_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    tier = (
+        F.when(F.col("o_totalprice") >= 300000, "high")
+        .when(F.col("o_totalprice") >= 100000, "mid")
+        .otherwise("low")
+    )
+    return o.groupBy(tier.alias("tier")).agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total")
+    )
