@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import exact_sum
 from ..functions.vectors import cosine
 from ..operators.joins import asof_join, interval_pairs
 from ..sources.tables import load
@@ -89,24 +90,60 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_stats_aggregates",
     oracle="""
+        WITH m AS (
+            SELECT l_returnflag,
+                   COUNT(*)                          AS n,
+                   SUM(l_quantity)                   AS sx,
+                   SUM(l_quantity * l_quantity)      AS sxx,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                          * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS syy,
+                   CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))
+                          * CAST(l_extendedprice AS DECIMAL(19,4))) AS DOUBLE) AS sxy
+            FROM lineitem GROUP BY l_returnflag
+        )
         SELECT l_returnflag,
-               STDDEV_SAMP(l_quantity)                 AS qty_stddev,
-               VAR_SAMP(l_quantity)                    AS qty_var,
-               CORR(l_quantity, l_extendedprice)       AS qty_price_corr,
-               COVAR_SAMP(l_quantity, l_extendedprice) AS qty_price_covar
-        FROM lineitem
-        GROUP BY l_returnflag
+               SQRT((sxx - sx * sx / n) / (n - 1))        AS qty_stddev,
+               (sxx - sx * sx / n) / (n - 1)              AS qty_var,
+               (n * sxy - sx * sy)
+                   / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+                                                          AS qty_price_corr,
+               (sxy - sx * sy / n) / (n - 1)              AS qty_price_covar
+        FROM m
     """,
-    doc="Statistical aggregates: stddev/variance/correlation/covariance.",
+    doc=(
+        "Statistical aggregates (stddev/variance/correlation/covariance) via "
+        "exact-moment formulas: integer/decimal sums are order-independent, "
+        "so results are bit-reproducible under any partitioning — unlike the "
+        "builtin Welford-style aggregates whose merge order varies run to "
+        "run on a cluster. Same sample semantics as stddev_samp/corr/covar_samp."
+    ),
     tags=("agg", "stats"),
 )
 def q_stats_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.stddev_samp("l_quantity").alias("qty_stddev"),
-        F.var_samp("l_quantity").alias("qty_var"),
-        F.corr("l_quantity", "l_extendedprice").alias("qty_price_corr"),
-        F.covar_samp("l_quantity", "l_extendedprice").alias("qty_price_covar"),
+    x = F.col("l_quantity")
+    yd = F.col("l_extendedprice").cast("decimal(18,4)")
+    xd = F.col("l_quantity").cast("decimal(18,4)")
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),              # integer-valued -> exact in double
+        F.sum(x * x).alias("sxx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+    )
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sy, syy, sxy = F.col("sy"), F.col("syy"), F.col("sxy")
+    return m.select(
+        "l_returnflag",
+        F.sqrt((sxx - sx * sx / n) / (n - 1)).alias("qty_stddev"),
+        ((sxx - sx * sx / n) / (n - 1)).alias("qty_var"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("qty_price_corr"),
+        ((sxy - sx * sy / n) / (n - 1)).alias("qty_price_covar"),
     )
 
 
@@ -302,7 +339,7 @@ def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN o_totalprice >= 100000 THEN 'mid'
                     ELSE 'low' END AS tier,
                COUNT(*)          AS n_orders,
-               SUM(o_totalprice) AS total
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
         FROM orders
         GROUP BY 1
     """,
@@ -317,5 +354,5 @@ def q_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("low")
     )
     return o.groupBy(tier.alias("tier")).agg(
-        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total")
+        F.count(F.lit(1)).alias("n_orders"), exact_sum(F.col("o_totalprice")).alias("total")
     )

@@ -62,6 +62,7 @@ def _load_modules() -> None:
     from . import dedup_pipeline  # noqa: F401
     from . import similarity_pipeline  # noqa: F401
     from . import advanced  # noqa: F401
+    from . import tpch_suite  # noqa: F401
 
     _LOADED = True
 

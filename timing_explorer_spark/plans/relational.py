@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.numeric import exact_avg, exact_sum
 from ..sources.tables import load
 from .registry import register
 
@@ -38,12 +39,17 @@ from .registry import register
             l_returnflag,
             l_linestatus,
             SUM(l_quantity)                                       AS sum_qty,
-            SUM(l_extendedprice)                                  AS sum_base_price,
-            SUM(l_extendedprice * (1 - l_discount))               AS sum_disc_price,
-            SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                                                                  AS sum_base_price,
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE)                    AS sum_disc_price,
+            CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                 AS DECIMAL(18,4))) AS DOUBLE)                    AS sum_charge,
             AVG(l_quantity)                                       AS avg_qty,
-            AVG(l_extendedprice)                                  AS avg_price,
-            AVG(l_discount)                                       AS avg_disc,
+            CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+                 / COUNT(l_extendedprice)                         AS avg_price,
+            CAST(SUM(CAST(l_discount AS DECIMAL(18,8))) AS DOUBLE)
+                 / COUNT(l_discount)                              AS avg_disc,
             COUNT(*)                                              AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '2000-12-01 00:00:00'
@@ -61,12 +67,12 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),
-            F.sum("l_extendedprice").alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            exact_sum(F.col("l_extendedprice")).alias("sum_base_price"),
+            exact_sum(disc_price).alias("sum_disc_price"),
+            exact_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
             F.avg("l_quantity").alias("avg_qty"),
-            F.avg("l_extendedprice").alias("avg_price"),
-            F.avg("l_discount").alias("avg_disc"),
+            exact_avg(F.col("l_extendedprice")).alias("avg_price"),
+            exact_avg(F.col("l_discount"), "decimal(18,8)").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -77,7 +83,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             l.l_orderkey,
-            SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue,
+            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
             o.o_orderdate,
             o.o_orderpriority
         FROM customer c
@@ -106,7 +113,7 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -118,7 +125,8 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             n.n_name,
-            SUM(l.l_extendedprice * (1 - l.l_discount)) AS revenue
+            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue
         FROM customer c
         JOIN orders o   ON c.c_custkey   = o.o_custkey
         JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
@@ -153,14 +161,15 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(n, s.s_nationkey == n.n_nationkey)
         .join(r, n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
-        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
 
 @register(
     "q_top_customers",
     oracle="""
-        SELECT c.c_custkey, c.c_name, SUM(o.o_totalprice) AS total_spent,
+        SELECT c.c_custkey, c.c_name,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spent,
                COUNT(*) AS n_orders
         FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey, c.c_name
@@ -176,7 +185,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "c_name")
-        .agg(F.sum("o_totalprice").alias("total_spent"), F.count(F.lit(1)).alias("n_orders"))
+        .agg(exact_sum(F.col("o_totalprice")).alias("total_spent"), F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("total_spent"), F.asc("c_custkey"))
         .limit(25)
     )
@@ -188,7 +197,7 @@ def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT n.n_name,
                COUNT(DISTINCT c.c_mktsegment) AS n_segments,
                COUNT(*) AS n_customers,
-               SUM(c.c_acctbal) AS total_balance
+               CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_balance
         FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
         GROUP BY n.n_name
     """,
@@ -204,7 +213,7 @@ def q_distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.countDistinct("c_mktsegment").alias("n_segments"),
             F.count(F.lit(1)).alias("n_customers"),
-            F.sum("c_acctbal").alias("total_balance"),
+            exact_sum(F.col("c_acctbal")).alias("total_balance"),
         )
     )
 
@@ -231,7 +240,8 @@ def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_cube_orders",
     oracle="""
         SELECT o_orderstatus, o_orderpriority,
-               COUNT(*) AS n_orders, SUM(o_totalprice) AS total_price
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price
         FROM orders
         GROUP BY CUBE (o_orderstatus, o_orderpriority)
     """,
@@ -241,7 +251,7 @@ def q_rollup_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"), F.sum("o_totalprice").alias("total_price")
+        F.count(F.lit(1)).alias("n_orders"), exact_sum(F.col("o_totalprice")).alias("total_price")
     )
 
 
@@ -270,14 +280,22 @@ def q_semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_custkey, c_name
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2001-01-01 00:00:00')
     """,
-    doc="Left-anti join (NOT EXISTS): customers with no orders at all.",
+    doc=(
+        "Left-anti join (NOT EXISTS): customers with no 2001 orders. (The "
+        "unfiltered variant is degenerate — every synthetic customer has "
+        "orders — so the anti join is exercised against the filtered side.)"
+    ),
     tags=("join", "anti"),
 )
 def q_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load(spark, sf_dir, "customer")
-    o = load(spark, sf_dir, "orders")
+    o = load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp")
+    )
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey", "c_name")
 
 
@@ -286,7 +304,7 @@ def q_anti_join_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c.c_custkey,
                COUNT(o.o_orderkey)            AS n_orders,
-               COALESCE(SUM(o.o_totalprice), 0.0) AS total_spent
+               COALESCE(CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS total_spent
         FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
         GROUP BY c.c_custkey
     """,
@@ -301,7 +319,7 @@ def q_left_join_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey")
         .agg(
             F.count("o_orderkey").alias("n_orders"),
-            F.coalesce(F.sum("o_totalprice"), F.lit(0.0)).alias("total_spent"),
+            F.coalesce(exact_sum(F.col("o_totalprice")), F.lit(0.0)).alias("total_spent"),
         )
     )
 

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.generator import sensor_stream_batch
+from ..functions.numeric import exact_avg, exact_sum
 from ..sources.tables import load
 from .registry import register
 
@@ -56,7 +57,7 @@ def q_sensor_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                DATE_TRUNC('hour', ts)                                            AS window_start,
                DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND AS window_end_label,
                COUNT(*)   AS n_events,
-               SUM(value) AS sum_value
+               CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS sum_value
         FROM events
         GROUP BY event_type, DATE_TRUNC('hour', ts)
     """,
@@ -73,7 +74,7 @@ def q_events_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("sum_value"))
+        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum(F.col("value"), "decimal(27,8)").alias("sum_value"))
         .select(
             "event_type",
             F.col("w.start").alias("window_start"),
@@ -88,7 +89,8 @@ def q_events_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_time_bucket_avg",
     oracle="""
         SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket, event_type,
-               AVG(value) AS mean_value, COUNT(*) AS n
+               CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS mean_value,
+               COUNT(*) AS n
         FROM events
         GROUP BY CAST(DATE_TRUNC('day', ts) AS TIMESTAMP), event_type
     """,
@@ -102,7 +104,7 @@ def q_time_bucket_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     return (
         e.groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type")
-        .agg(F.avg("value").alias("mean_value"), F.count(F.lit(1)).alias("n"))
+        .agg(exact_avg(F.col("value"), "decimal(27,8)").alias("mean_value"), F.count(F.lit(1)).alias("n"))
     )
 
 
@@ -115,7 +117,8 @@ def q_time_bucket_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           INTERVAL 1 HOUR)) AS bucket
         ),
         agg AS (
-            SELECT DATE_TRUNC('hour', ts) AS bucket, AVG(value) AS mean_value
+            SELECT DATE_TRUNC('hour', ts) AS bucket,
+                   CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS mean_value
             FROM events WHERE event_type = 'purchase'
             GROUP BY DATE_TRUNC('hour', ts)
         )
@@ -134,7 +137,7 @@ def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = (
         e.where(F.col("event_type") == "purchase")
         .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
-        .agg(F.avg("value").alias("mean_value"))
+        .agg(exact_avg(F.col("value"), "decimal(27,8)").alias("mean_value"))
     )
     spine = spark.range(1).select(
         F.explode(
