@@ -23,7 +23,18 @@ from timing_explorer_spark.session import get_spark  # noqa: E402
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    spark = get_spark(app_name="timing-explorer-spark-bench")
+    # Partitioning sized to the benchmark scale (single-digit-MB fact tables
+    # on one node): 8 shuffle partitions keeps task-launch overhead below the
+    # work per task, and a 32 MB broadcast threshold lets every dimension
+    # (even filtered orders at sf0.1) broadcast. On a real cluster both are
+    # deployment-set (shuffle partitions ~2-3x total cores; AQE coalesces).
+    spark = get_spark(
+        app_name="timing-explorer-spark-bench",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024)},
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     spark.sparkContext.setLogLevel("WARN")
 
     specs = {n: s for n, s in all_queries().items() if s.headline}

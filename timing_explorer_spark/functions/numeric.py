@@ -45,3 +45,27 @@ def oracle_sum(expr: str, dt: str = "DECIMAL(18,4)") -> str:
 
 def oracle_avg(expr: str, dt: str = "DECIMAL(18,4)") -> str:
     return f"CAST(SUM(CAST({expr} AS {dt})) AS DOUBLE) / COUNT({expr})"
+
+
+def grouped_exact_sum(df, keys: list, alias: str, col: Column, scale: int = 10000):
+    """Two-level exact SUM for low-cardinality groupings: per-(group,
+    partition) partial sums as scaled longs (bounded rows per partition ⇒ no
+    overflow), then a decimal merge of the tiny partial set. ~2x faster than
+    row-wise decimal accumulation, same bit-reproducibility, overflow-safe at
+    any total scale. Use only when |groups| << |rows| — for high-cardinality
+    keys the partial set is no smaller than the input and plain exact_sum
+    wins.
+
+    Oracle spelling:  CAST(SUM(CAST(ROUND(expr*scale) AS BIGINT)) AS DOUBLE)
+                      / scale.0
+    (single-level is fine in DuckDB — its BIGINT sums accumulate in hugeint).
+    """
+    import pyspark.sql.functions as _F
+
+    partial = df.groupBy(*keys, _F.spark_partition_id().alias("__pid")).agg(
+        _F.sum(_F.round(col * scale).cast("long")).alias("__u")
+    )
+    return partial.groupBy(*keys).agg(
+        (_F.sum(_F.col("__u").cast("decimal(38,0)")).cast("double") / _F.lit(float(scale)))
+        .alias(alias)
+    )

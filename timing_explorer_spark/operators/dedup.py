@@ -73,13 +73,23 @@ def jaccard_pairs(
     prunes degenerate super-common shingles from candidate generation at
     scale; leave None for oracle-exact semantics.
     """
-    # The index feeds three consumers (sizes + both join sides); persist so
-    # the shingle HOF expressions evaluate once, not three times.
-    idx = _shingle_index(docs, text_col, id_col, n).persist()
-    sizes = idx.groupBy("doc").agg(F.count(F.lit(1)).alias("sz"))
+    # Shingle arrays are computed once and cached at one row per doc (far
+    # smaller than the exploded index); sizes come from the array length —
+    # no aggregation pass over the exploded rows. Both join sides re-explode
+    # from the cached arrays (cheap, stays in codegen).
+    shingled = docs.select(
+        F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("__arr")
+    ).persist()
+    sizes = shingled.select("doc", F.size("__arr").alias("sz"))
+    idx = shingled.select("doc", F.explode("__arr").alias("s"))
     if max_shingle_df is not None:
         rare = idx.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_shingle_df)
         idx = idx.join(rare.select("s"), "s")
+    # Pin the self-join's partitioning explicitly: the pair blow-up is
+    # CPU-heavy but byte-light, so AQE's size-based coalescing would fold it
+    # into one task. An explicit N survives AQE and spreads Σ df(s)² work.
+    n_parts = int(idx.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    idx = idx.repartition(n_parts, "s")
     a = idx.alias("a")
     b = idx.alias("b")
     common = (
