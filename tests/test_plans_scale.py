@@ -1,0 +1,125 @@
+"""Physical-plan shape assertions: the properties that make queries survive a
+100x scale-up, checked against the actual optimized plans (not prose).
+
+Cited from timing_explorer_spark/plans/relational.py's scale notes. Each test
+inspects `.explain("formatted")` output:
+  - filters/pruning reach the parquet scan (PushedFilters / ReadSchema)
+  - dimension joins are broadcast (no shuffle of the fact side)
+  - no query ever plans a CartesianProduct / BroadcastNestedLoopJoin except
+    the deliberate 1-row scalar broadcasts
+  - the hot path stays inside WholeStageCodegen
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from timing_explorer_spark.plans import all_queries
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    df = all_queries()[name].build(spark, sf_dir)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return je.explainString(mode)
+
+
+def test_q06_filters_pushed_to_scan(spark, sf_smoke):
+    plan = plan_of(spark, "q06_forecast_revenue", sf_smoke)
+    assert "PushedFilters:" in plan
+    # Every conjunct of the WHERE reaches the parquet reader.
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    for needle in ("l_shipdate", "l_discount", "l_quantity"):
+        assert needle in pushed, f"{needle} not pushed: {pushed}"
+
+
+def test_q06_column_pruning(spark, sf_smoke):
+    plan = plan_of(spark, "q06_forecast_revenue", sf_smoke)
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    # Only the 4 referenced columns are read, not all 11 lineitem columns.
+    assert "l_extendedprice" in read and "l_discount" in read
+    for absent in ("l_orderkey", "l_partkey", "l_comment", "l_returnflag"):
+        assert absent not in read, f"unpruned column {absent}: {read}"
+
+
+def test_q05_dimensions_broadcast(spark, sf_smoke):
+    plan = plan_of(spark, "q05_local_supplier_volume", sf_smoke)
+    # 5 broadcast joins (orders/customer may also convert under AQE at tiny
+    # SF, but supplier/nation/region MUST broadcast at any SF).
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or plan.count("SortMergeJoin") <= 2
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_pricing_summary",
+        "q03_shipping_priority",
+        "q05_local_supplier_volume",
+        "q07_nation_volume",
+        "q09_product_profit",
+        "q10_returned_items",
+        "q16_part_supplier_variety",
+        "q18_large_volume_customers",
+        "q_top_customers",
+        "q_asof_join_last_click",
+        "q_interval_join_close_events",
+        "q_jaccard_neardup_pairs",
+    ],
+)
+def test_no_cartesian_products(spark, sf_smoke, name):
+    plan = plan_of(spark, name, sf_smoke)
+    assert "CartesianProduct" not in plan, f"{name} plans a cartesian product"
+
+
+@pytest.mark.parametrize(
+    # Queries whose only nested-loop join is a deliberate 1-row scalar
+    # broadcast (threshold/max cross joins) — assert nothing bigger sneaks in.
+    "name",
+    ["q11_top_revenue_suppliers", "q15_top_supplier", "q22_idle_customers"],
+)
+def test_scalar_cross_joins_are_broadcast(spark, sf_smoke, name):
+    plan = plan_of(spark, name, sf_smoke)
+    assert "CartesianProduct" not in plan
+    # The 1-row side must arrive via BroadcastExchange / BroadcastNestedLoop.
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q01_whole_stage_codegen(spark, sf_smoke):
+    # Under AQE the formatted pre-execution plan hides codegen stages; the
+    # "codegen" explain mode compiles them and reports the subtree count.
+    df = all_queries()["q01_pricing_summary"].build(spark, sf_smoke)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    plan = je.explainString(mode)
+    assert "WholeStageCodegen" in plan
+    # The fixed-point unit conversion must not fall out of codegen (no
+    # BatchEvalPython / row-at-a-time Python UDF in the hot path).
+    assert "BatchEvalPython" not in plan
+    assert "PythonUDF" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q01_pricing_summary", "q03_shipping_priority", "q_events_per_window",
+     "q_time_bucket_avg", "q_exact_dedup_docs", "q_token_stats"],
+)
+def test_no_python_udfs_in_relational_hot_paths(spark, sf_smoke, name):
+    """Relational/text queries stay JVM-side end to end. (Pandas UDFs are
+    allowed only where declared: multimodal decode, similarity scoring.)"""
+    plan = plan_of(spark, name, sf_smoke)
+    assert "BatchEvalPython" not in plan, f"{name} uses a row-wise Python UDF"
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_smoke):
+    """q01's first-level aggregate runs map-side (HashAggregate below the
+    Exchange), so the shuffle carries |groups x partitions| rows, not rows."""
+    plan = plan_of(spark, "q01_pricing_summary", sf_smoke)
+    lines = plan.splitlines()
+    tree = [ln for ln in lines if "HashAggregate" in ln or "Exchange" in ln]
+    # Expect at least one HashAggregate before (deeper than) each Exchange in
+    # the formatted tree ordering: the pattern Agg / Exchange / Agg.
+    joined = "\n".join(tree)
+    assert joined.count("HashAggregate") >= 2
+    assert "Exchange" in joined

@@ -35,3 +35,34 @@ def test_numpy_nn_equals_expression_nn(spark, sf_smoke):
         for r in brute_force_topk(emb, emb, k=1).select("query_id", "neighbor_id").collect()
     }
     assert fast == slow
+
+
+def test_ivf_topk_recall(spark, sf_oracle):
+    from timing_explorer_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_oracle, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=10).select("query_id", "neighbor_id").collect()
+    approx = ivf_topk(emb, queries, k=10, n_centroids=16, n_probe=4).select(
+        "query_id", "neighbor_id"
+    ).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    # 4/16 lists probed: standard IVF recall band for this ratio
+    assert recall >= 0.5, f"IVF top-10 recall too low: {recall:.2f}"
+
+
+def test_ivf_probes_bound_candidates(spark, sf_oracle):
+    """Every query emits at most k rows and only same/probed-bucket pairs
+    (the inverted-list contract: candidates << corpus)."""
+    from timing_explorer_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_oracle, "embeddings")
+    out = ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10).collect()
+    per_q = {}
+    for r in out:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for qid, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 10

@@ -179,3 +179,119 @@ def lsh_topk(
         .select("*", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
     )
+
+
+def ivf_train_centroids(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    seed: int = 42,
+    max_iter: int = 10,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> list[list[float]]:
+    """Train IVF coarse centroids with distributed k-means over L2-normalized
+    vectors (pyspark.ml). The model itself is O(n_centroids x dim) — it lives
+    on the driver and broadcasts; training is one bounded ml job. At 100 TB
+    you train on a sample (``sample_fraction``): centroid quality needs only
+    ~100x n_centroids points, not the corpus."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector
+
+    train = corpus.select(array_to_vector(as_double(F.col(vec_col))).alias("raw"))
+    if sample_fraction is not None:
+        train = train.sample(fraction=sample_fraction, seed=seed)
+    train = Normalizer(p=2.0, inputCol="raw", outputCol="features").transform(train)
+    model = KMeans(k=n_centroids, seed=seed, maxIter=max_iter, featuresCol="features").fit(
+        train
+    )
+    # clusterCenters() returns numpy arrays on pyspark>=3.5 connect-free builds
+    return [list(map(float, c)) for c in model.clusterCenters()]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centers: list[list[float]],
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+    id_alias: str | None = None,
+    vec_alias: str | None = None,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids (euclidean on
+    the L2-normalized vector == cosine order against fixed centers:
+    argmin ||c - x|| == argmax c.x - ||c||^2/2).
+
+    Dense (batch x centroids) scoring is a numpy matmul via Arrow batches —
+    the same dense-algebra exception as nearest_neighbor_all; the centroid
+    matrix rides the closure (n_centroids x dim doubles, KBs). Output has one
+    row per (vector, probed bucket)."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)  # (k, d)
+    half_sq = (C * C).sum(axis=1) / 2.0
+    n_probe = min(n_probe, len(centers))
+    ida = id_alias or id_col
+    va = vec_alias or vec_col
+    schema = f"{ida} long, {va} array<float>, bucket int"
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            scores = (X / norms) @ C.T - half_sq  # (b, k)
+            # top n_probe buckets per row, best first
+            order = np.argsort(-scores, axis=1)[:, :n_probe]
+            yield pd.DataFrame(
+                {
+                    ida: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                    va: [v for v in pdf[vec_col] for _ in range(n_probe)],
+                    "bucket": order.reshape(-1).astype("int32"),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centers: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k (the FAISS IVF-flat scheme as a DataFrame plan):
+
+      1. coarse k-means centroids (train once, broadcastable model)
+      2. corpus partitioned into inverted lists: bucket = nearest centroid
+         (one bucket per vector — the corpus is stored once)
+      3. each query probes its ``n_probe`` nearest centroids; candidates are
+         a bucket equi-join (broadcast the query side), exact cosine ranks.
+
+    Scale: the corpus shuffles once on bucket; n_centroids must grow with the
+    corpus (~sqrt(N) lists) to bound list length; skewed lists are split by
+    AQE skew-join handling. Recall vs brute force asserted in tests."""
+    if centers is None:
+        centers = ivf_train_centroids(
+            corpus, n_centroids=n_centroids, seed=seed, vec_col=vec_col
+        )
+    c = ivf_assign(corpus, centers, id_col, vec_col, n_probe=1, id_alias="neighbor_id",
+                   vec_alias="cvec")
+    q = ivf_assign(queries, centers, id_col, vec_col, n_probe=n_probe,
+                   id_alias="query_id", vec_alias="qvec")
+    cands = (
+        c.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return cands.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)

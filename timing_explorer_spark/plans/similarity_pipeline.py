@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.similarity import (
+    ivf_topk,
     brute_force_topk,
     embedding_neardup_pairs,
     lsh_topk,
@@ -109,3 +110,21 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return lsh_topk(emb, emb.where(F.col("vec_id") < 5), k=10)
+
+
+@register(
+    "q_ann_ivf_topk",
+    oracle=None,  # approximate by construction; recall vs brute force in pytest
+    doc=(
+        "Approximate top-10 via IVF (coarse k-means inverted lists, FAISS "
+        "IVF-flat scheme): corpus bucketed by nearest centroid, queries probe "
+        "their 4 nearest lists, exact cosine ranks the candidates. The "
+        "centroid model broadcasts; the corpus shuffles once on bucket. "
+        "Driver does a rows-only check; tests assert recall vs "
+        "brute_force_topk."
+    ),
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=4)
