@@ -65,11 +65,11 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id AS media_id,
                UNNEST(generate_series(0, n_chars * 10, 1000)) AS frame_ts_ms
         FROM documents
-        WHERE doc_id % 3 = 1
+        WHERE doc_id % 3 = 2
     """,
     doc=(
         "Video frame-sampling plan: one row per frame timestamp computed "
-        "distributively from metadata (kind='video' == doc_id%3=1 in the "
+        "distributively from metadata (kind='video' == doc_id%3=2 in the "
         "synthetic mapping; duration_ms = n_chars*10)."
     ),
     tags=("multimodal", "video"),

@@ -63,6 +63,7 @@ def _load_modules() -> None:
     from . import similarity_pipeline  # noqa: F401
     from . import advanced  # noqa: F401
     from . import tpch_suite  # noqa: F401
+    from . import multimodal_pipeline  # noqa: F401
 
     _LOADED = True
 
