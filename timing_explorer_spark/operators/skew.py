@@ -1,0 +1,103 @@
+"""Skew and co-location tools for joins at 100 TB.
+
+Three mechanisms, in escalation order:
+
+  1. AQE skew-join splitting — on by default in this engine's sessions
+     (session.py: spark.sql.adaptive.skewJoin.enabled). Handles skew the
+     optimizer can SEE (post-shuffle partition sizes).
+  2. Salted join (here) — for the skew AQE cannot fix: a hot key on the
+     *build* side of a non-broadcastable join, or aggregations over a hot
+     key. Salting splits each hot key into ``n_salts`` synthetic sub-keys:
+     the skewed side gets a random salt per row, the other side is exploded
+     across all salts (replicated n_salts times for the hot keys only).
+  3. Bucketed tables (here) — pre-shuffle both fact tables once into the
+     same bucket layout; every future equi-join on the bucket key is then
+     shuffle-free (co-located). This is the 100 TB answer for repeated
+     lineitem⋈orders-style joins: pay the shuffle once at write time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Equi-join with hot-key salting.
+
+    ``left`` is the skewed (large, hot-keyed) side: each row gets a random
+    salt in [0, n_salts). ``right`` is replicated: hot-key rows are exploded
+    across every salt; non-hot rows keep salt 0 and left's non-hot rows are
+    forced to salt 0 too, so replication cost is paid ONLY for hot keys.
+
+    ``hot_keys``: one-column DataFrame of keys to salt (broadcast). If None,
+    every key is treated as hot (full n_salts replication of ``right`` —
+    correct, but only acceptable when ``right`` is small).
+
+    Result == left.join(right, on, how) exactly; only the physical
+    distribution differs. Salting column names are internal (__salt).
+    """
+    if hot_keys is not None:
+        hot = F.broadcast(hot_keys.select(F.col(hot_keys.columns[0]).alias("__hot_key")))
+        left = left.join(hot, left[on] == F.col("__hot_key"), "left").withColumn(
+            "__salt",
+            F.when(
+                F.col("__hot_key").isNotNull(),
+                (F.rand(seed=42) * n_salts).cast("int"),
+            ).otherwise(F.lit(0)),
+        ).drop("__hot_key")
+        right = right.join(hot, right[on] == F.col("__hot_key"), "left").withColumn(
+            "__salts",
+            F.when(
+                F.col("__hot_key").isNotNull(),
+                F.sequence(F.lit(0), F.lit(n_salts - 1)),
+            ).otherwise(F.array(F.lit(0))),
+        ).drop("__hot_key")
+    else:
+        left = left.withColumn("__salt", (F.rand(seed=42) * n_salts).cast("int"))
+        right = right.withColumn("__salts", F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    right = right.withColumn("__salt", F.explode("__salts")).drop("__salts")
+    out = left.join(right, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
+def top_keys(df: DataFrame, on: str, min_count: int) -> DataFrame:
+    """Identify hot keys (count > min_count) — the input to salted_join.
+    One aggregation over the key column only (column-pruned scan)."""
+    return (
+        df.groupBy(on)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .where(F.col("__n") > min_count)
+        .select(on)
+    )
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed managed table: hash-partitioned into
+    ``n_buckets`` files per partition by ``bucket_col`` (optionally sorted
+    within buckets). Joins/aggregations between tables bucketed identically
+    on the join key skip the shuffle entirely — verified by plan assertion in
+    tests/test_skew_bucketing.py."""
+    w = df.write.mode("overwrite").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: str, how: str = "inner") -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key — planned as
+    a shuffle-free sort-merge join (no Exchange on either side)."""
+    return spark.table(left_table).join(spark.table(right_table), on, how)

@@ -50,6 +50,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # Managed-table warehouse (bucketed tables) under tmp, not the repo.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/timing-explorer-warehouse"),
+        )
     )
     for k, v in RUNTIME_CONFS.items():
         builder = builder.config(k, v)
@@ -60,15 +65,26 @@ def get_spark(
     return spark
 
 
+_CONFS_APPLIED: "set[int]" = set()
+
+
 def ensure_confs(spark: SparkSession) -> SparkSession:
     """Apply the runtime-settable confs this engine's semantics depend on.
 
     Safe on any session (these are session-scoped, not cluster-scoped).
     UTC matters most: the DuckDB oracle comparison formats timestamps in UTC.
+
+    Applied once per session object: this runs on every table load, and each
+    conf.set is a py4j round-trip (a 6-table join would otherwise pay ~36
+    driver RPCs before planning starts).
     """
+    key = id(spark._jsparkSession)
+    if key in _CONFS_APPLIED:
+        return spark
     for k, v in RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             pass  # conf not settable at runtime on this build — defaults apply
+    _CONFS_APPLIED.add(key)
     return spark
