@@ -55,3 +55,29 @@ def test_jaccard_shingle_df_cap_keeps_high_pairs(spark, sf_smoke):
         for r in jaccard_pairs(docs, 0.8, max_shingle_df=1000).collect()
     }
     assert capped == full
+
+
+def test_resolve_components_equals_union_find(spark, sf_smoke):
+    """Spark min-label propagation == reference union-find on the same pairs."""
+    from timing_explorer_spark.operators.dedup import jaccard_pairs, resolve_components
+    from timing_explorer_spark.sources.tables import load
+
+    pairs = jaccard_pairs(load(spark, sf_smoke, "documents"), threshold=0.8, n=3)
+    collected = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    got = {(r.doc, r.rep) for r in resolve_components(pairs).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in collected:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {(n, find(n)) for n in parent}
+    assert got == expected

@@ -300,3 +300,68 @@ def simhash_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def resolve_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc_b",
+                       max_iters: int = 20, n_parts: int = 8) -> DataFrame:
+    """Connected components over near-dup pairs → (doc, rep) where rep is the
+    minimum doc id in the component — the canonical-representative step that
+    turns pairwise near-dup output into "keep one copy per cluster".
+
+    Min-label propagation: every node starts as its own rep; each round a
+    node adopts the minimum rep among itself and its neighbors. Converges in
+    O(component diameter) rounds — near-dup clusters are shallow (dups of
+    dups of one source), so this terminates in a handful of bounded-size
+    shuffles; the loop exits at fixpoint (no labels changed) and is capped by
+    ``max_iters`` as a runaway guard.
+
+    Scale: each round is one groupBy over the (symmetrized) edge list joined
+    to the label table — both keyed by doc id, so at 100 TB this is a
+    sequence of co-partitioned shuffles; labels are persisted per round and
+    unpersisted after. This is the standard Spark CC pattern (the GraphX /
+    GraphFrames algorithm without the library dependency).
+    """
+    # Iterative loops materialize per round, and cached plans bypass AQE
+    # coalescing — so the loop's shuffle width must be set explicitly
+    # (``n_parts``; size to the edge count at your scale, not the session's
+    # global shuffle.partitions, which e.g. defaults to 200 and would launch
+    # 200 tasks per round over a few thousand edges).
+    sess = pairs.sparkSession
+    saved = sess.conf.get("spark.sql.shuffle.partitions")
+    sess.conf.set("spark.sql.shuffle.partitions", str(n_parts))
+    try:
+        edges = (
+            pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+            .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+            .distinct()
+            .persist()
+        )
+        labels = (
+            edges.select(F.col("src").alias("doc")).distinct().withColumn("rep", F.col("doc"))
+        ).persist()
+
+        for _ in range(max_iters):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.doc)
+                .groupBy(F.col("dst").alias("doc"))
+                .agg(F.min("rep").alias("nbr_rep"))
+            )
+            new_labels = (
+                labels.join(neighbor_min, "doc", "left")
+                .select(
+                    "doc",
+                    F.least(
+                        F.col("rep"), F.coalesce(F.col("nbr_rep"), F.col("rep"))
+                    ).alias("rep"),
+                    (F.col("nbr_rep") < F.col("rep")).alias("__changed"),
+                )
+            ).persist()
+            changed = new_labels.where(F.col("__changed")).count()  # materializes
+            labels.unpersist()
+            labels = new_labels.drop("__changed")
+            if changed == 0:
+                break
+        edges.unpersist()
+        return labels
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", saved)

@@ -15,6 +15,7 @@ from ..operators.dedup import (
     exact_dedup_groups,
     jaccard_pairs,
     minhash_lsh_pairs,
+    resolve_components,
     simhash_pairs,
 )
 from ..sources.tables import load
@@ -137,3 +138,33 @@ def q_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load(spark, sf_dir, "documents"), max_hamming=10)
+
+
+@register(
+    "q_neardup_components",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc, rep) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.rep FROM reach r JOIN edges e ON e.src = r.doc
+        )
+        SELECT doc, MIN(rep) AS rep FROM reach GROUP BY doc
+    """,
+    doc=(
+        "Near-dup cluster resolution: connected components over the exact "
+        "Jaccard pairs, rep = min doc id per component (the keep-one-copy "
+        "step of a dedup pipeline). Spark side is min-label propagation to "
+        "fixpoint (bounded co-partitioned shuffles per round); oracle is a "
+        "recursive-CTE reachability closure."
+    ),
+    tags=("dedup", "components", "iterative"),
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, n=3)
+    return resolve_components(pairs)
