@@ -1,0 +1,114 @@
+"""Property-based checks (hypothesis) for the hand-rolled temporal joins and
+the exact-aggregation helpers — the operators with real custom logic.
+
+Each example spins Spark jobs, so example counts are deliberately small; the
+generators aim density at the interesting boundaries (equal timestamps,
+bucket edges, empty sides) rather than breadth.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from timing_explorer_spark.functions.numeric import exact_sum
+from timing_explorer_spark.operators.joins import asof_join, interval_pairs
+
+BASE = dt.datetime(2024, 1, 1)
+
+# (key, seconds-offset) pairs; tight key/offset ranges force collisions at
+# bucket boundaries and shared keys.
+events_strategy = st.lists(
+    st.tuples(st.integers(0, 2), st.integers(0, 900), st.integers(0, 999_999)),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _mk_events(spark, raw):
+    rows = [
+        (i, f"u{k}", BASE + dt.timedelta(seconds=s, microseconds=us))
+        for i, (k, s, us) in enumerate(raw)
+    ]
+    return spark.createDataFrame(rows, "event_id long, user_id string, ts timestamp")
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(raw=events_strategy)
+def test_interval_pairs_matches_naive(spark, raw):
+    df = _mk_events(spark, raw)
+    got = {
+        (r.user_id, r.id_a, r.id_b)
+        for r in interval_pairs(df, key="user_id", max_gap_seconds=300).collect()
+    }
+    rows = [(i, f"u{k}", BASE + dt.timedelta(seconds=s, microseconds=us))
+            for i, (k, s, us) in enumerate(raw)]
+    expected = {
+        (ka, ia, ib)
+        for (ia, ka, ta) in rows
+        for (ib, kb, tb) in rows
+        if ka == kb and ia < ib and abs((ta - tb).total_seconds()) <= 300
+    }
+    assert got == expected
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    left_raw=events_strategy,
+    right_raw=events_strategy,
+)
+def test_asof_join_matches_naive(spark, left_raw, right_raw):
+    # Unique (key, ts) per side: ASOF tie-breaking among equal right
+    # timestamps is unspecified in every engine (incl. DuckDB), so ties are
+    # excluded from the property, not from the operator.
+    def dedup(raw):
+        seen, out = set(), []
+        for k, s, us in raw:
+            if (k, s, us) not in seen:
+                seen.add((k, s, us))
+                out.append((k, s, us))
+        return out
+
+    left_raw, right_raw = dedup(left_raw), dedup(right_raw)
+    left = _mk_events(spark, left_raw)
+    right = _mk_events(spark, right_raw)
+    got = {
+        (r.event_id, r.asof_event_id)
+        for r in asof_join(
+            left, right, on="user_id", right_cols=("event_id",)
+        ).collect()
+    }
+    lrows = [(i, f"u{k}", BASE + dt.timedelta(seconds=s, microseconds=us))
+             for i, (k, s, us) in enumerate(left_raw)]
+    rrows = [(i, f"u{k}", BASE + dt.timedelta(seconds=s, microseconds=us))
+             for i, (k, s, us) in enumerate(right_raw)]
+    expected = set()
+    for li, lk, lt in lrows:
+        cands = [(rt, ri) for ri, rk, rt in rrows if rk == lk and rt <= lt]
+        expected.add((li, max(cands)[1] if cands else None))
+    assert got == expected
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vals=st.lists(
+        st.floats(min_value=0.0, max_value=1e6, allow_nan=False, width=32),
+        min_size=1,
+        max_size=40,
+    ),
+    n_parts=st.integers(1, 6),
+)
+def test_exact_sum_invariant_under_repartition(spark, vals, n_parts):
+    """The whole point of fixed-point aggregation: identical bits no matter
+    how the rows are partitioned."""
+    df = spark.createDataFrame([(float(v),) for v in vals], "x double")
+    a = df.coalesce(1).agg(exact_sum(F.col("x")).alias("s")).collect()[0]["s"]
+    b = (
+        df.repartition(n_parts)
+        .agg(exact_sum(F.col("x")).alias("s"))
+        .collect()[0]["s"]
+    )
+    assert a == b  # bitwise, not approx
