@@ -146,3 +146,35 @@ def test_state_reader_window_state(spark, pipeline_run):
         pytest.skip(f"statestore reader unavailable: {e}")
     # The store holds not-yet-emitted windows (the watermark-withheld tail).
     assert isinstance(rows, list)
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """Session windows in streaming mode: a 20 s burst, a 20 s silence, a
+    second burst — the closed first session must emit exactly once with all
+    its events; the open tail session is withheld by the watermark."""
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "input")
+    # Events 0..199 (0-20 s) then 400..599 (40-60 s): a 20 s gap per key.
+    write_generator_files(spark, data, n_events=200, files=4)
+    write_generator_files(spark, data, n_events=600, files=4, first_event=400)
+
+    sessions = (
+        sensor_stream_from_files(spark, data)
+        .withWatermark("ts", "0 seconds")
+        .groupBy("key", F.session_window("ts", "5 seconds").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select("key", F.col("w.start").alias("session_start"), "n_events")
+    )
+    q = (
+        sessions.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(str(tmp_path / "out")).collect()
+    per_key = {r["key"]: r["n_events"] for r in rows}
+    assert per_key == {"temp": 200, "pressure": 200}, rows

@@ -189,3 +189,111 @@ def q_lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("es")
     )
     return scored.select("*", predicted.alias("predicted_lang"))
+
+
+@register(
+    "q_doc_chunks",
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS BIGINT)                 AS chunk_idx,
+               SUBSTR(text, i * 192 + 1, 256)    AS chunk,
+               LENGTH(SUBSTR(text, i * 192 + 1, 256)) AS chunk_len
+        FROM documents,
+             UNNEST(range(CAST(
+                 greatest(ceil((LENGTH(text) - 64) / 192.0), 1) AS BIGINT))) AS t(i)
+    """,
+    doc=(
+        "Document chunking for context-window splitting: 256-char chunks "
+        "with 64-char overlap (stride 192), computed distributively as "
+        "sequence+explode+substring — one narrow pass, no UDF, rows scale "
+        "with total text volume / stride. The standard pre-tokenization "
+        "shard step of an LLM data pipeline."
+    ),
+    tags=("text", "chunking", "llm-pipeline"),
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    size, overlap = 256, 64
+    stride = size - overlap
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - overlap) / F.lit(float(stride))), F.lit(1)
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(
+                F.col("text"), (F.col("chunk_idx") * stride + 1).cast("int"), size
+            ).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
+@register(
+    "q_deterministic_sample",
+    oracle="""
+        SELECT doc_id, lang, source
+        FROM documents
+        WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+              % 100 < 10
+    """,
+    doc=(
+        "Deterministic content-hash sampling (10%): keep rows whose "
+        "md5(doc_id) prefix mod 100 < 10. Reproducible across engines, "
+        "cluster sizes and runs — the correct way to sample training data "
+        "(rand()-based sampling changes membership on every retry/replay). "
+        "Oracle-checkable because md5 is md5 everywhere."
+    ),
+    tags=("sampling", "llm-pipeline"),
+)
+def q_deterministic_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return d.where(bucket < 10).select("doc_id", "lang", "source")
+
+
+@register(
+    "q_source_mixture",
+    oracle="""
+        WITH rates AS (
+            SELECT * FROM (VALUES ('src0', 100), ('src1', 50), ('src2', 25),
+                                  ('src3', 10)) AS r(src, pct)
+        )
+        SELECT d.doc_id, d.source
+        FROM documents d JOIN rates r ON d.source = r.src
+        WHERE CAST(('0x' || SUBSTR(MD5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+              % 100 < r.pct
+    """,
+    doc=(
+        "Training-mixture sampling: per-source keep rates (down-weight web, "
+        "keep books/wiki, subsample code) applied with the same deterministic "
+        "hash — the data-mixing step of corpus assembly, as a broadcast join "
+        "against a rate table + one filter pass."
+    ),
+    tags=("sampling", "mixture", "llm-pipeline"),
+)
+def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    rates = d.sparkSession.createDataFrame(
+        [("src0", 100), ("src1", 50), ("src2", 25), ("src3", 10)], "src string, pct int"
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        d.join(F.broadcast(rates), d.source == rates.src)
+        .where(bucket < F.col("pct"))
+        .select("doc_id", "source")
+    )
