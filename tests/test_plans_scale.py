@@ -123,3 +123,37 @@ def test_partial_aggregation_before_shuffle(spark, sf_smoke):
     joined = "\n".join(tree)
     assert joined.count("HashAggregate") >= 2
     assert "Exchange" in joined
+
+
+def test_runtime_bloom_filter_injection(spark, sf_smoke):
+    """Spark's InjectRuntimeFilter plants a bloom pre-filter on the large
+    side of a selective join (the engine-native version of manual bloom
+    pruning) — assert it fires once thresholds match the local data scale."""
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.sources.tables import load
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "50MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        # Runtime filters only apply to SHUFFLE joins (a broadcast join
+        # already filters implicitly); at test scale everything would
+        # broadcast, so force the shuffle path the filter exists for.
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        l = load(spark, sf_smoke, "lineitem")
+        o = load(spark, sf_smoke, "orders").where(F.col("o_totalprice") > 400000)
+        df = l.join(o, l.l_orderkey == o.o_orderkey).select("l_orderkey", "o_totalprice")
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan or "bloom" in plan.lower(), plan[:1500]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

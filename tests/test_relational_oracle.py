@@ -54,3 +54,30 @@ def test_approx_distinct_accuracy(spark, sf_smoke):
     assert rows
     for r in rows:
         assert abs(r["approx"] - r["exact"]) / max(r["exact"], 1) < 0.15
+
+
+def test_approx_percentile_accuracy(spark, sf_oracle):
+    """Sketch percentiles within rank-error bound of exact percentiles."""
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.plans import all_queries
+    from timing_explorer_spark.sources.tables import load
+
+    approx = {
+        r["event_type"]: r
+        for r in all_queries()["q_approx_percentile"].build(spark, sf_oracle).collect()
+    }
+    exact = {
+        r["event_type"]: r
+        for r in load(spark, sf_oracle, "events")
+        .groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.5).alias("p50"),
+            F.percentile("value", 0.99).alias("p99"),
+        )
+        .collect()
+    }
+    for et, a in approx.items():
+        spread = abs(exact[et]["p99"] - exact[et]["p50"]) + 1e-9
+        assert abs(a["p50_approx"] - exact[et]["p50"]) <= 0.05 * spread + 1e-6
+        assert abs(a["p99_approx"] - exact[et]["p99"]) <= 0.10 * spread + 1e-6

@@ -356,3 +356,23 @@ def q_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.groupBy(tier.alias("tier")).agg(
         F.count(F.lit(1)).alias("n_orders"), exact_sum(F.col("o_totalprice")).alias("total")
     )
+
+
+@register(
+    "q_approx_percentile",
+    oracle=None,  # sketch-based; accuracy vs exact asserted in pytest
+    doc=(
+        "approx_percentile (quantile sketch) of event values per type — the "
+        "single-pass, mergeable alternative to exact percentiles at scale. "
+        "Rows-only driver check; tests assert |approx - exact| within the "
+        "sketch's accuracy bound."
+    ),
+    tags=("agg", "approx", "stats"),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("p50_approx"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
