@@ -35,19 +35,33 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Idempotently pins the session confs the engine
     assumes (UTC, AQE, nanos-as-long) so results are stable on any provided
     session. events.ts arrives as TIMESTAMP(NANOS) parquet — surfaced as
     epoch-nanos long under the legacy conf and converted here with exact
     integer arithmetic (ns DIV 1000 -> µs; double math would lose precision
-    above 2^53)."""
+    above 2^53).
+
+    The analyzed plan is cached per (session, path): `spark.read.parquet`
+    re-reads file footers on every call, and a 6-table query would otherwise
+    pay that listing/schema cost per table per build (a mini-catalog, same
+    role as a metastore's schema cache). DataFrames are immutable plans, so
+    reuse is safe; the underlying data is the read-only test fixture."""
     ensure_confs(spark)
+    key = (id(spark._jsparkSession), sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
         df = df.withColumn("ts", F.timestamp_micros(F.expr("CAST(ts DIV 1000 AS LONG)")))
+    _PLAN_CACHE[key] = df
     return df
 
 
