@@ -178,3 +178,34 @@ def test_streaming_session_windows(spark, tmp_path):
     rows = spark.read.parquet(str(tmp_path / "out")).collect()
     per_key = {r["key"]: r["n_events"] for r in rows}
     assert per_key == {"temp": 200, "pressure": 200}, rows
+
+
+def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
+    """Streaming dedup: replay the same generator files twice into one input
+    dir (simulated at-least-once upstream); dropDuplicatesWithinWatermark on
+    (key, ts) must emit each logical event exactly once."""
+    from pyspark.sql import functions as F
+
+    data = str(tmp_path / "input")
+    write_generator_files(spark, data, n_events=200, files=4)
+    # duplicate delivery: same events again as new files
+    write_generator_files(spark, data, n_events=200, files=4)
+
+    deduped = (
+        sensor_stream_from_files(spark, data)
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark(["key", "ts"])
+    )
+    q = (
+        deduped.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert out.count() == 2 * 200  # 200 events x 2 sensor keys, each once
+    dups = out.groupBy("key", "ts").count().where(F.col("count") > 1).count()
+    assert dups == 0

@@ -647,3 +647,66 @@ def q_approx_distinct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("o_custkey").alias("approx_customers"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@register(
+    "q_sorted_export",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, l_shipdate, l_extendedprice
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+        ORDER BY l_shipdate, l_orderkey, l_linenumber
+    """,
+    doc=(
+        "Global total-order sort (range-partitioned exchange + per-partition "
+        "sort — no single-node sort): the 'write a sorted extract for "
+        "downstream consumers' shape. The sort key prefix is the time "
+        "column, so the output also serves as a time-ordered export."
+    ),
+    tags=("sort", "export"),
+)
+def q_sorted_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.where(F.col("l_shipdate") >= F.lit("2001-01-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_extendedprice")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+    )
+
+
+@register(
+    "q_null_safe_join",
+    oracle="""
+        WITH e AS (SELECT event_id, user_id,
+                          CASE WHEN event_type = 'view' THEN NULL
+                               ELSE event_type END AS etype
+                   FROM events),
+        d AS (SELECT DISTINCT CASE WHEN event_type = 'view' THEN NULL
+                                   ELSE event_type END AS etype
+              FROM events)
+        SELECT e.event_id, e.etype, COUNT(*) AS n_matches
+        FROM e JOIN d ON e.etype IS NOT DISTINCT FROM d.etype
+        GROUP BY e.event_id, e.etype
+    """,
+    doc=(
+        "NULL-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys "
+        "match each other instead of vanishing — the semantics trap of "
+        "normal equi-joins on nullable keys, expressed declaratively (still "
+        "a hash join: the null-safe operator is a valid equi-key)."
+    ),
+    tags=("join", "null-semantics"),
+)
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.when(F.col("event_type") == "view", None)
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+    )
+    d = e.select("etype").distinct().withColumnRenamed("etype", "d_etype")
+    return (
+        e.join(d, e.etype.eqNullSafe(F.col("d_etype")))
+        .groupBy("event_id", "etype")
+        .agg(F.count(F.lit(1)).alias("n_matches"))
+    )

@@ -297,3 +297,88 @@ def q_source_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(bucket < F.col("pct"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "q_word_logfreq_score",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS w
+            FROM documents
+        ),
+        freq AS (SELECT w, COUNT(*) AS n FROM tok GROUP BY w)
+        SELECT t.doc_id,
+               CAST(SUM(CAST(LN(f.n) AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*)
+                   AS mean_log_freq,
+               COUNT(*) AS n_tokens
+        FROM tok t JOIN freq f ON t.w = f.w
+        GROUP BY t.doc_id
+    """,
+    doc=(
+        "Corpus-statistics quality score (CCNet-style LM-lite proxy): mean "
+        "log global word frequency per document — rare-word-heavy docs score "
+        "low. Two distributive passes: global token counts, then a token-"
+        "keyed join back (both shuffles on the token — the frequency table "
+        "stays distributed; no driver-side vocab). Decimal-exact mean keeps "
+        "the float reproducible."
+    ),
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q_word_logfreq_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("w")
+    )
+    freq = tok.groupBy("w").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        tok.join(freq, "w")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(F.log(F.col("n")).cast("decimal(27,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_log_freq"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+
+
+@register(
+    "q_pii_scrub",
+    oracle="""
+        SELECT doc_id,
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g')
+                   AS scrubbed,
+               (LENGTH(text) <> LENGTH(
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '\\b\\d{3}[-.]\\d{3,4}[-.]\\d{4}\\b', '<PHONE>', 'g')))
+                   AS had_pii
+        FROM documents
+    """,
+    doc=(
+        "PII scrubbing pass (emails, phone-shaped numbers -> placeholder "
+        "tokens) + a had-PII flag — the redaction step of a training-data "
+        "pipeline, as pure JVM regexp_replace (DuckDB needs the 'g' flag to "
+        "match Spark's replace-all default)."
+    ),
+    tags=("text", "pii", "llm-pipeline"),
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b"
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email, "<EMAIL>"), phone, "<PHONE>"
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        (F.length("text") != F.length(scrubbed)).alias("had_pii"),
+    )
