@@ -209,3 +209,42 @@ def test_streaming_drop_duplicates_within_watermark(spark, tmp_path):
     assert out.count() == 2 * 200  # 200 events x 2 sensor keys, each once
     dups = out.groupBy("key", "ts").count().where(F.col("count") > 1).count()
     assert dups == 0
+
+
+def test_rate_source_live_mode(spark, tmp_path):
+    """Live-mode parity (TimestampSource wall-clock pacing): the
+    rate-micro-batch-backed stream must produce exactly the closed-form
+    sensor stream prefix, batch by batch."""
+    import time
+
+    from timing_explorer_spark.sources.generator import (
+        sensor_stream_batch,
+        sensor_stream_streaming,
+    )
+
+    q = (
+        sensor_stream_streaming(spark, rows_per_batch=10)
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline:
+            try:
+                if spark.read.parquet(str(tmp_path / "out")).count() >= 100:
+                    break
+            except Exception:
+                pass
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    got = spark.read.parquet(str(tmp_path / "out"))
+    n_events = got.count() // 2  # two keys per event index
+    assert n_events >= 50, "stream produced too little data"
+    expected = sensor_stream_batch(spark, n_events=n_events)
+    # The streamed prefix equals the closed form (same index range).
+    diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
+    assert diff == 0

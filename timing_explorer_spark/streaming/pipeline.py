@@ -204,3 +204,4 @@ def run_pipeline_available_now(
     for q in (q_raw, q_evt, q_proc):
         q.awaitTermination()
     return out
+
