@@ -710,3 +710,77 @@ def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "etype")
         .agg(F.count(F.lit(1)).alias("n_matches"))
     )
+
+
+@register(
+    "q_window_range_frame",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY epoch(o_orderdate)
+                   RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS spent_30d
+        FROM orders
+    """,
+    doc=(
+        "RANGE window frame: per customer, rolling 30-day spend keyed on the "
+        "order timestamp (value-based frame, not row-count based — rows with "
+        "equal timestamps share a frame, unlike ROWS). Decimal-exact sum "
+        "keeps the running values reproducible."
+    ),
+    tags=("window", "range-frame", "timeseries"),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-2592000, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("spent_30d"),
+    )
+
+
+@register(
+    "q_window_navigation",
+    oracle="""
+        SELECT o_custkey, o_orderkey,
+               FIRST_VALUE(o_totalprice) OVER w AS first_order_price,
+               LAST_VALUE(o_totalprice)  OVER w AS latest_order_price,
+               NTH_VALUE(o_totalprice, 2) OVER w AS second_order_price,
+               NTILE(4) OVER (PARTITION BY o_custkey
+                              ORDER BY o_orderdate, o_orderkey) AS order_quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc=(
+        "Window navigation functions: first/last/nth value over a running "
+        "frame + NTILE quartiles — one shuffle on the partition key, "
+        "deterministic via the (date, orderkey) tiebreak."
+    ),
+    tags=("window", "navigation"),
+)
+def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tile = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).alias("first_order_price"),
+        F.last("o_totalprice").over(w).alias("latest_order_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
+        F.ntile(4).over(w_tile).alias("order_quartile"),
+    )
