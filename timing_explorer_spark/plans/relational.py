@@ -784,3 +784,30 @@ def q_window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_totalprice", 2).over(w).alias("second_order_price"),
         F.ntile(4).over(w_tile).alias("order_quartile"),
     )
+
+
+@register(
+    "q_unpivot_metrics",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, metric, value
+        FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+                     l_discount, l_tax
+              FROM lineitem WHERE l_orderkey % 100 = 0)
+        UNPIVOT (value FOR metric IN (l_quantity, l_extendedprice,
+                                      l_discount, l_tax))
+    """,
+    doc=(
+        "UNPIVOT (wide->long melt): per-line metrics into (metric, value) "
+        "rows — a pure projection+expand, no shuffle; the standard shape for "
+        "feeding generic metric pipelines."
+    ),
+    tags=("reshape", "unpivot"),
+)
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 100 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
