@@ -77,7 +77,16 @@ def jaccard_pairs(
     # smaller than the exploded index); sizes come from the array length —
     # no aggregation pass over the exploded rows. Both join sides re-explode
     # from the cached arrays (cheap, stays in codegen).
-    shingled = docs.select(
+    # Spread the docs BEFORE shingling: the input is typically few/large
+    # files (one scan task), and the HOF shingle computation is the heaviest
+    # per-row work in the plan — redistributing the raw docs first is a tiny
+    # shuffle (ids + text) that parallelizes it across the cluster.
+    # Spread = core count (defaultParallelism), not shuffle.partitions: the
+    # goal is one shingling task per core; a foreign session's 200-partition
+    # default would just make 200 micro-tasks of 500 docs.
+    spread = docs.sparkSession.sparkContext.defaultParallelism
+    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    shingled = docs.repartition(spread).select(
         F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("__arr")
     ).persist()
     sizes = shingled.select("doc", F.size("__arr").alias("sz"))
@@ -88,7 +97,6 @@ def jaccard_pairs(
     # Pin the self-join's partitioning explicitly: the pair blow-up is
     # CPU-heavy but byte-light, so AQE's size-based coalescing would fold it
     # into one task. An explicit N survives AQE and spreads Σ df(s)² work.
-    n_parts = int(idx.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     idx = idx.repartition(n_parts, "s")
     a = idx.alias("a")
     b = idx.alias("b")
