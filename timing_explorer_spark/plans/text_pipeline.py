@@ -382,3 +382,95 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         scrubbed.alias("scrubbed"),
         (F.length("text") != F.length(scrubbed)).alias("had_pii"),
     )
+
+
+@register(
+    "q_corpus_prep_pipeline",
+    oracle="""
+        WITH sampled AS (
+            SELECT doc_id, text FROM documents
+            WHERE CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                  % 100 < 60
+        ),
+        scrubbed AS (
+            SELECT doc_id,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS text
+            FROM sampled
+        ),
+        quality AS (
+            SELECT * FROM scrubbed
+            WHERE LENGTH(text) >= 80
+              AND LEN(string_split(text, ' ')) >= 12
+        ),
+        deduped AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       ROW_NUMBER() OVER (PARTITION BY MD5(text)
+                                          ORDER BY doc_id) AS rn
+                FROM quality)
+            WHERE rn = 1
+        )
+        SELECT doc_id,
+               CAST(i AS BIGINT)              AS chunk_idx,
+               SUBSTR(text, i * 192 + 1, 256) AS chunk
+        FROM deduped,
+             UNNEST(range(CAST(
+                 greatest(ceil((LENGTH(text) - 64) / 192.0), 1) AS BIGINT))) AS t(i)
+    """,
+    doc=(
+        "End-to-end corpus preparation as ONE composed plan — the LLM "
+        "training-data flow: deterministic 60% hash sample -> PII scrub -> "
+        "quality gate (length + token floor) -> exact dedup keeping the "
+        "lowest doc_id per content hash -> 256/64 chunking. Narrow ops fuse "
+        "into the scan stage; the only shuffle is the dedup window on the "
+        "content hash. At 100 TB each stage stays partition-parallel and "
+        "the whole flow is replayable bit-for-bit (hash sample + exact "
+        "dedup, no rand())."
+    ),
+    tags=("text", "llm-pipeline", "composed", "flagship"),
+)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+        % 100
+    )
+    from pyspark.sql import Window as W
+
+    scrubbed = (
+        d.where(bucket < 60)
+        .select("doc_id", F.regexp_replace(F.col("text"), email, "<EMAIL>").alias("text"))
+        .where(
+            (F.length("text") >= 80)
+            & (F.size(F.split(F.col("text"), " ")) >= 12)
+        )
+    )
+    w = W.partitionBy(F.md5(F.col("text"))).orderBy("doc_id")
+    deduped = (
+        scrubbed.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    size, overlap = 256, 64
+    stride = size - overlap
+    n_chunks = F.greatest(
+        F.ceil((F.length("text") - overlap) / F.lit(float(stride))), F.lit(1)
+    ).cast("long")
+    return (
+        deduped.select(
+            "doc_id",
+            "text",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.substring(
+                F.col("text"), (F.col("chunk_idx") * stride + 1).cast("int"), size
+            ).alias("chunk"),
+        )
+    )
