@@ -811,3 +811,53 @@ def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@register(
+    "q_value_histogram",
+    oracle="""
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bin,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        FROM orders
+        GROUP BY 1
+    """,
+    doc=(
+        "Equi-width histogram (50k bins over order value): closed-form "
+        "binning expression -> one hash aggregation; the distributed "
+        "histogram primitive (no sort, no per-bin pass)."
+    ),
+    tags=("agg", "histogram"),
+)
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        exact_sum(F.col("o_totalprice")).alias("total"),
+    )
+
+
+@register(
+    "q_window_distribution",
+    oracle="""
+        SELECT o_orderkey, o_custkey,
+               PERCENT_RANK() OVER (PARTITION BY o_orderstatus
+                                    ORDER BY o_totalprice, o_orderkey) AS pr,
+               CUME_DIST() OVER (PARTITION BY o_orderstatus
+                                 ORDER BY o_totalprice, o_orderkey) AS cd
+        FROM orders
+    """,
+    doc="Distribution window functions: percent_rank / cume_dist within status.",
+    tags=("window", "distribution"),
+)
+def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
