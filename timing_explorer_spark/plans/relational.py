@@ -861,3 +861,61 @@ def q_window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),
     )
+
+
+@register(
+    "q_conditional_agg",
+    oracle="""
+        SELECT o_orderstatus,
+               COUNT(*) FILTER (WHERE o_orderpriority = '1-URGENT') AS n_urgent,
+               COUNT(*) FILTER (WHERE o_totalprice > 200000)        AS n_large,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                    FILTER (WHERE YEAR(o_orderdate) = 2000) AS DOUBLE) AS total_2000,
+               COUNT(*) AS n
+        FROM orders
+        GROUP BY o_orderstatus
+    """,
+    doc=(
+        "Conditional aggregates (FILTER clause semantics) — several filtered "
+        "measures in ONE pass over the fact table instead of N filtered "
+        "scans; expressed as when()-guarded aggregates in the DataFrame API."
+    ),
+    tags=("agg", "conditional"),
+)
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).alias("n_urgent"),
+        F.count(F.when(F.col("o_totalprice") > 200000, 1)).alias("n_large"),
+        F.sum(
+            F.when(F.year("o_orderdate") == 2000, F.col("o_totalprice")).cast(
+                "decimal(18,4)"
+            )
+        )
+        .cast("double")
+        .alias("total_2000"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_regexp_extract",
+    oracle="""
+        SELECT p_partkey,
+               regexp_extract(p_name, '^(\\w+)\\s+(\\w+)$', 1) AS adjective,
+               regexp_extract(p_name, '^(\\w+)\\s+(\\w+)$', 2) AS noun,
+               regexp_matches(p_name, 'w(i|o)') AS has_wi_wo
+        FROM part
+    """,
+    doc="Regex group extraction + boolean match over part names (JVM regexp).",
+    tags=("scalar", "regex"),
+)
+def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    pat = r"^(\w+)\s+(\w+)$"
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", pat, 1).alias("adjective"),
+        F.regexp_extract("p_name", pat, 2).alias("noun"),
+        F.col("p_name").rlike("w(i|o)").alias("has_wi_wo"),
+    )
