@@ -55,6 +55,13 @@ def main() -> None:
     p1, p2 = run_pass(), run_pass()
     timings = {k: min(p1[k], p2[k]) for k in p1}
 
+    # Rebuilt plans share cached blocks via CacheManager plan-matching, so the
+    # passes above reuse (not duplicate) storage; release the handles now that
+    # timing is done.
+    from timing_explorer_spark.operators.dedup import release_cached
+
+    release_cached()
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(

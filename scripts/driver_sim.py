@@ -61,6 +61,9 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"ERROR: {name}: {str(e)[:300]}")
             fails.append(name)
+    from timing_explorer_spark.operators.dedup import release_cached
+
+    release_cached()
     print(f"total {time.time() - t0:.1f}s; {len(qs)} queries, {len(fails)} failures: {fails}")
     return 1 if fails else 0
 

@@ -41,9 +41,21 @@ def salted_join(
     every key is treated as hot (full n_salts replication of ``right`` —
     correct, but only acceptable when ``right`` is small).
 
-    Result == left.join(right, on, how) exactly; only the physical
-    distribution differs. Salting column names are internal (__salt).
+    Result == left.join(right, on, how) exactly for how in {'inner', 'left',
+    'left_semi', 'left_anti'}; only the physical distribution differs.
+    Right/full outer joins are rejected: an unmatched hot-key right row is
+    replicated once per salt, so the null-extended side would carry n_salts
+    duplicates. Salt the other input instead (swap sides + use 'left').
+    Salting column names are internal (__salt).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — right/full outer would "
+            f"duplicate unmatched hot-key right rows n_salts times; "
+            f"allowed: inner/left/left_semi/left_anti"
+        )
     if hot_keys is not None:
         hot = F.broadcast(hot_keys.select(F.col(hot_keys.columns[0]).alias("__hot_key")))
         left = left.join(hot, left[on] == F.col("__hot_key"), "left").withColumn(

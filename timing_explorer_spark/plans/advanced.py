@@ -155,11 +155,14 @@ _PRIORITY_ALIASES = ["urgent", "high", "medium", "not_specified", "low"]
     "q_pivot_order_priority",
     oracle="""
         SELECT o_orderstatus,
-               SUM(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 ELSE 0 END) AS urgent,
-               SUM(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 ELSE 0 END) AS high,
-               SUM(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 ELSE 0 END) AS medium,
-               SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS not_specified,
-               SUM(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 ELSE 0 END) AS low
+               -- COUNT(...) not SUM(CASE...): DuckDB SUM(BIGINT) widens to
+               -- HUGEINT while Spark pivot-count is int64; the driver's
+               -- value-hash is type-sensitive.
+               COUNT(CASE WHEN o_orderpriority = '1-URGENT'        THEN 1 END) AS urgent,
+               COUNT(CASE WHEN o_orderpriority = '2-HIGH'          THEN 1 END) AS high,
+               COUNT(CASE WHEN o_orderpriority = '3-MEDIUM'        THEN 1 END) AS medium,
+               COUNT(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 END) AS not_specified,
+               COUNT(CASE WHEN o_orderpriority = '5-LOW'           THEN 1 END) AS low
         FROM orders
         GROUP BY o_orderstatus
     """,

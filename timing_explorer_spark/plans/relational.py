@@ -607,7 +607,10 @@ def q_math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_extract",
     oracle="""
         SELECT event_type,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+               -- CAST: DuckDB SUM(BIGINT) widens to HUGEINT (int128); Spark
+               -- stays int64 — the driver's value-hash is type-sensitive.
+               CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                    AS BIGINT) AS sum_k,
                COUNT(*) AS n
         FROM events
         GROUP BY event_type

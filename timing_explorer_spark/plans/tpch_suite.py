@@ -641,3 +641,168 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.expr("RIGHT(c_name, 2)").alias("cust_group"))
         .agg(F.count(F.lit(1)).alias("numcust"), exact_sum(F.col("c_acctbal")).alias("totacctbal"))
     )
+
+
+@register(
+    "q12_ship_speed_priority",
+    oracle="""
+        SELECT ship_bucket,
+               COUNT(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS high_line_count,
+               COUNT(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                          THEN 1 END) AS low_line_count
+        FROM (
+            SELECT o.o_orderpriority,
+                   CASE WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 30 DAY
+                        THEN 'FAST'
+                        WHEN l.l_shipdate <= o.o_orderdate + INTERVAL 90 DAY
+                        THEN 'MEDIUM'
+                        ELSE 'SLOW' END AS ship_bucket
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )
+        GROUP BY ship_bucket
+    """,
+    doc=(
+        "TPC-H Q12 shape (priority counts per ship mode) with l_shipmode "
+        "absent from the synthetic schema: the mode becomes a derived "
+        "ship-speed bucket (days from order to ship). Same skeleton — "
+        "lineitem⋈orders join, CASE-classified conditional counts, small "
+        "group-by. COUNT(CASE...) not SUM(CASE...): DuckDB SUM(BIGINT) "
+        "widens to HUGEINT and the driver's value-hash is type-sensitive."
+    ),
+    tags=("join", "agg", "conditional"),
+)
+def q12_ship_speed_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    bucket = (
+        F.when(F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"), "FAST")
+        .when(F.col("l_shipdate") <= F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), "MEDIUM")
+        .otherwise("SLOW")
+    )
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .select(bucket.alias("ship_bucket"), high.alias("__high"))
+        .groupBy("ship_bucket")
+        .agg(
+            F.count(F.when(F.col("__high"), 1)).alias("high_line_count"),
+            F.count(F.when(~F.col("__high"), 1)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q20_dominant_suppliers",
+    oracle="""
+        SELECT s.s_suppkey, s.s_name
+        FROM supplier s
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l
+            WHERE l.l_partkey IN (SELECT p_partkey FROM part
+                                  WHERE p_name LIKE 'large%')
+              AND l.l_shipdate >= TIMESTAMP '2001-01-01 00:00:00'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING 2 * SUM(CAST(l.l_quantity AS DECIMAL(18,4))) >
+                   (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,4)))
+                    FROM lineitem l2
+                    WHERE l2.l_partkey = l.l_partkey
+                      AND l2.l_shipdate >= TIMESTAMP '2001-01-01 00:00:00')
+        )
+        ORDER BY s.s_suppkey
+    """,
+    doc=(
+        "TPC-H Q20 shape (nested IN subqueries + correlated availability "
+        "threshold) with partsupp absent: a supplier qualifies if it shipped "
+        ">50% of some 'large%' part's total 2001+ quantity. The correlated "
+        "scalar subquery decorrelates into a window SUM over partkey on the "
+        "(suppkey, partkey) aggregate — one shuffle keyed by partkey, then a "
+        "left-semi join into supplier. The threshold compares 2*qty > total "
+        "in DECIMAL on both engines (0.5*total would compare in binary "
+        "double on the Spark side and can flip exact-boundary shares)."
+    ),
+    tags=("subquery", "semi", "window", "agg"),
+)
+def q20_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    large_parts = p.where(F.col("p_name").like("large%")).select("p_partkey")
+    shipped = (
+        l.where(F.col("l_shipdate") >= _ts("2001-01-01 00:00:00"))
+        .join(F.broadcast(large_parts), l.l_partkey == large_parts.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("__qty"))
+    )
+    w = Window.partitionBy("l_partkey")
+    dominant = (
+        shipped.withColumn("__part_total", F.sum("__qty").over(w))
+        .where(F.col("__qty") * 2 > F.col("__part_total"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        s.join(dominant, s.s_suppkey == dominant.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )
+
+
+@register(
+    "q21_waiting_suppliers",
+    oracle="""
+        SELECT s.s_name, COUNT(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = l1.l_orderkey
+                        AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = l1.l_orderkey
+                            AND l3.l_suppkey <> l1.l_suppkey
+                            AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY s.s_name
+    """,
+    doc=(
+        "TPC-H Q21 shape (suppliers who kept orders waiting) with "
+        "receiptdate/commitdate absent: 'late' = shipped >60 days after the "
+        "order date. EXISTS/NOT EXISTS decorrelate into per-order distinct "
+        "supplier counts — n_suppliers ≥ 2 and exactly one late supplier — "
+        "computed in ONE aggregation keyed by orderkey (no three-way "
+        "self-join of lineitem; at 100 TB the order-level rollup is the "
+        "co-partitioned, map-combinable plan)."
+    ),
+    tags=("join", "subquery", "anti", "agg"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load(spark, sf_dir, "supplier")
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    lines = (
+        l.join(o.where(F.col("o_orderstatus") == "F"), l.l_orderkey == o.o_orderkey)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+                "__late"
+            ),
+        )
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("__n_supp"),
+        F.countDistinct(F.when(F.col("__late"), F.col("l_suppkey"))).alias("__n_late_supp"),
+    )
+    waiting = (
+        lines.where(F.col("__late"))
+        .join(per_order, "l_orderkey")
+        .where((F.col("__n_supp") >= 2) & (F.col("__n_late_supp") == 1))
+    )
+    return (
+        waiting.join(s, waiting.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

@@ -65,7 +65,26 @@ def get_spark(
     return spark
 
 
-_CONFS_APPLIED: "set[int]" = set()
+def session_key(spark: SparkSession) -> str:
+    """Stable identifier for a session: applicationId + JVM sessionUUID,
+    memoized on the Python wrapper (one py4j round-trip per wrapper, not per
+    call). id(jvm_obj) is NOT usable as a cache key: after a session is
+    stopped and GC'd, CPython can hand the same address to a new session,
+    which would serve stale cached plans / skip conf pinning."""
+    key = getattr(spark, "_tes_session_key", None)
+    if key is None:
+        try:
+            key = f"{spark.sparkContext.applicationId}/{spark._jsparkSession.sessionUUID()}"
+        except Exception:  # non-classic session (e.g. Connect) — best effort
+            key = f"fallback-{id(spark)}"
+        try:
+            spark._tes_session_key = key
+        except Exception:
+            pass
+    return key
+
+
+_CONFS_APPLIED: "set[str]" = set()
 
 
 def ensure_confs(spark: SparkSession) -> SparkSession:
@@ -74,11 +93,11 @@ def ensure_confs(spark: SparkSession) -> SparkSession:
     Safe on any session (these are session-scoped, not cluster-scoped).
     UTC matters most: the DuckDB oracle comparison formats timestamps in UTC.
 
-    Applied once per session object: this runs on every table load, and each
-    conf.set is a py4j round-trip (a 6-table join would otherwise pay ~36
-    driver RPCs before planning starts).
+    Applied once per session (keyed by session_key): this runs on every table
+    load, and each conf.set is a py4j round-trip (a 6-table join would
+    otherwise pay ~36 driver RPCs before planning starts).
     """
-    key = id(spark._jsparkSession)
+    key = session_key(spark)
     if key in _CONFS_APPLIED:
         return spark
     for k, v in RUNTIME_CONFS.items():

@@ -17,7 +17,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-from ..session import ensure_confs
+from ..session import ensure_confs, session_key
 
 TABLES = (
     "region",
@@ -35,7 +35,7 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-_PLAN_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -52,10 +52,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     role as a metastore's schema cache). DataFrames are immutable plans, so
     reuse is safe; the underlying data is the read-only test fixture."""
     ensure_confs(spark)
-    key = (id(spark._jsparkSession), sf_dir, name)
+    skey = session_key(spark)  # stable across id() reuse (see session.py)
+    key = (skey, sf_dir, name)
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
+    # Plans cached for other (dead or foreign) sessions are useless here and
+    # would pin those sessions' JVM state — drop them on session change.
+    stale = [k for k in _PLAN_CACHE if k[0] != skey]
+    for k in stale:
+        del _PLAN_CACHE[k]
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F

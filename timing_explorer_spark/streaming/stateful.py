@@ -160,10 +160,10 @@ def read_state_rows(spark, checkpoint_dir: str, **options: str) -> DataFrame:
     (jobs/ChangeBackend.java:48-69)."""
     from pyspark.sql import functions as F
 
-    raw = spark.read.format("statestore").load(checkpoint_dir)
+    reader = spark.read.format("statestore")
     for k, v in options.items():
-        raw = spark.read.format("statestore").option(k, v).load(checkpoint_dir)
-        break
+        reader = reader.option(k, v)
+    raw = reader.load(checkpoint_dir)
     ends = F.split(F.col("value.ends"), ",").cast("array<long>")
     counts = F.split(F.col("value.counts"), ",").cast("array<long>")
     return (

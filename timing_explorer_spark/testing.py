@@ -64,6 +64,11 @@ def spark_canonical(df) -> tuple[list[str], list[tuple[str, ...]]]:
 def duckdb_canonical(con, sql: str) -> tuple[list[str], list[tuple[str, ...]]]:
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
+    # HUGEINT (e.g. SUM over BIGINT) has no int64/arrow analog — the driver's
+    # pandas conversion turns it into float64 and the value-hash diverges even
+    # when the printed values agree. Force oracles to CAST(... AS BIGINT).
+    huge = [d[0] for d in cur.description if "HUGEINT" in str(d[1]).upper()]
+    assert not huge, f"oracle yields HUGEINT column(s) {huge}; CAST to BIGINT"
     rows = cur.fetchall()
     return sorted(cols), canonical_rows(cols, rows)
 
