@@ -75,6 +75,45 @@ def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load(spark, sf_dir, t) for t in TABLES}
 
 
+def warm_cache(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] | None = None,
+    n_partitions: int | None = None,
+) -> dict[str, DataFrame]:
+    """Pin hot tables in executor memory, spread across cores.
+
+    The test fixtures are single-file/single-row-group parquet, so every scan
+    is ONE task no matter how many cores exist — a degenerate layout a real
+    deployment never has (TESTDATA.md tables would be date-partitioned
+    multi-file at scale). warm_cache restores steady-state behavior: each
+    table is repartitioned across the cluster and persisted columnar
+    in-memory, and the loader's plan cache is repointed at the cached
+    relation, so EVERY query built through load() transparently reads the
+    parallel in-memory copy. This is the engine's buffer-pool analog — use it
+    for working sets that fit cluster memory; unpin with drop_warm_cache.
+    """
+    n = n_partitions or spark.sparkContext.defaultParallelism
+    skey = session_key(spark)
+    out: dict[str, DataFrame] = {}
+    for t in tables or TABLES:
+        df = load(spark, sf_dir, t)
+        cached = df.repartition(n).persist()
+        cached.count()  # materialize eagerly so queries never pay the fill
+        _PLAN_CACHE[(skey, sf_dir, t)] = cached
+        out[t] = cached
+    return out
+
+
+def drop_warm_cache(spark: SparkSession, sf_dir: str) -> None:
+    """Unpersist and forget any warm-cached tables for (session, sf_dir)."""
+    skey = session_key(spark)
+    for t in TABLES:
+        df = _PLAN_CACHE.pop((skey, sf_dir, t), None)
+        if df is not None:
+            df.unpersist()
+
+
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every table as a temp view so ``spark.sql`` can serve the
     same query shapes end-users run (SURVEY.md §2.1)."""
