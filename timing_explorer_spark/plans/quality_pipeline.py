@@ -1,0 +1,245 @@
+"""Corpus-quality operators for LLM training-data curation.
+
+Three verified (DuckDB-oracle) operators beyond the basic text statistics in
+text_pipeline.py, mirroring the published data-curation recipes (Gopher /
+C4 / The Pile reports — see /root/repo/PAPERS.md):
+
+  repetition metrics   duplicate-word / top-word / duplicate-bigram fractions
+                       — the Rae et al. (Gopher) repetition filters
+  contamination        n-gram overlap of candidate documents against a
+                       benchmark document set — the train/test leakage check
+  tf-idf top terms     per-document salient terms (tf·idf with a window
+                       ranking) — topic fingerprinting for mixture analysis
+
+All three are pure DataFrame plans (explode + hash aggregate + window /
+broadcast semi-join) — no UDFs, so they vectorize and codegen at any scale.
+The reference has no text surface at all (SURVEY.md §2 documents absence);
+these extend the driver-mandated LLM-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_shingles
+from ..sources.tables import load
+from .registry import register
+
+
+def _bigrams(text) -> "F.Column":
+    """ALL word 2-grams (non-distinct, order-preserving) — repetition metrics
+    need multiplicity, unlike the set-semantics word_shingles."""
+    w = tokens(text)
+    gram = F.transform(
+        F.sequence(F.lit(1), F.size(w) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+    )
+    return F.when(F.size(w) >= 2, gram).otherwise(F.array().cast("array<string>"))
+
+
+@register(
+    "q_repetition_quality",
+    oracle="""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        wc AS (
+            SELECT doc_id, UNNEST(w) AS word FROM words
+        ),
+        wstats AS (
+            SELECT doc_id,
+                   CAST(SUM(cnt) AS BIGINT)  AS n_words,
+                   CAST(COUNT(*) AS BIGINT)  AS n_distinct,
+                   CAST(MAX(cnt) AS BIGINT)  AS top_cnt
+            FROM (SELECT doc_id, word, COUNT(*) AS cnt
+                  FROM wc GROUP BY doc_id, word)
+            GROUP BY doc_id
+        ),
+        grams AS (
+            SELECT doc_id,
+                   list_transform(range(greatest(len(w) - 1, 0)),
+                                  i -> w[i+1] || ' ' || w[i+2]) AS g2
+            FROM words
+        )
+        SELECT s.doc_id,
+               s.n_words,
+               1.0 - CAST(s.n_distinct AS DOUBLE) / s.n_words AS dup_word_frac,
+               CAST(s.top_cnt AS DOUBLE) / s.n_words          AS top_word_frac,
+               CASE WHEN len(g.g2) > 0
+                    THEN 1.0 - CAST(len(list_distinct(g.g2)) AS DOUBLE) / len(g.g2)
+                    ELSE 0.0 END                              AS dup_2gram_frac
+        FROM wstats s JOIN grams g ON s.doc_id = g.doc_id
+    """,
+    doc=(
+        "Gopher-style repetition quality metrics per document: duplicate-word "
+        "fraction, top-word fraction, duplicate-bigram fraction. Word stats "
+        "come from one explode + two-level hash aggregate (map-side combine "
+        "on (doc, word)); bigram stats are row-local higher-order-function "
+        "expressions (no explode). One co-partitioned join on doc_id."
+    ),
+    tags=("text", "quality", "llm-pipeline"),
+)
+def q_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    wc = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wstats = wc.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top_cnt"),
+    )
+    g2 = _bigrams(F.col("text"))
+    grams = d.select(
+        "doc_id",
+        F.size(g2).alias("__n_g2"),
+        F.size(F.array_distinct(g2)).alias("__n_g2_distinct"),
+    )
+    return (
+        wstats.join(grams, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            (F.lit(1.0) - F.col("n_distinct").cast("double") / F.col("n_words")).alias(
+                "dup_word_frac"
+            ),
+            (F.col("top_cnt").cast("double") / F.col("n_words")).alias("top_word_frac"),
+            F.when(
+                F.col("__n_g2") > 0,
+                F.lit(1.0) - F.col("__n_g2_distinct").cast("double") / F.col("__n_g2"),
+            )
+            .otherwise(0.0)
+            .alias("dup_2gram_frac"),
+        )
+    )
+
+
+@register(
+    "q_benchmark_contamination",
+    oracle="""
+        WITH words AS (SELECT doc_id, source, string_split(text, ' ') AS w
+                       FROM documents),
+        sh AS (
+            SELECT doc_id, source,
+                   UNNEST(list_distinct(list_transform(
+                       range(greatest(len(w) - 4, 0)),
+                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                            w[i+4] || ' ' || w[i+5]))) AS s
+            FROM words
+        ),
+        bench AS (SELECT DISTINCT s FROM sh WHERE source = 'src0'),
+        cand  AS (SELECT doc_id, s FROM sh WHERE source <> 'src0'),
+        sizes AS (SELECT doc_id, COUNT(*) AS n_grams FROM cand GROUP BY doc_id),
+        hits  AS (SELECT doc_id, COUNT(*) AS n_cont
+                  FROM cand WHERE s IN (SELECT s FROM bench)
+                  GROUP BY doc_id)
+        SELECT sizes.doc_id,
+               sizes.n_grams,
+               COALESCE(hits.n_cont, 0) AS n_contaminated,
+               CAST(COALESCE(hits.n_cont, 0) AS DOUBLE) / sizes.n_grams
+                   AS contamination_frac
+        FROM sizes LEFT JOIN hits ON sizes.doc_id = hits.doc_id
+    """,
+    doc=(
+        "Benchmark-contamination check (train/test leakage): for every "
+        "candidate document, the fraction of its distinct word 5-grams that "
+        "appear anywhere in the benchmark set (here: source='src0' stands in "
+        "for the held-out benchmark). The benchmark gram set is DISTINCT and "
+        "bounded (benchmark suites are small), so it broadcasts — candidate "
+        "grams never shuffle; at 100 TB this is a map-side semi-join over "
+        "the corpus scan."
+    ),
+    tags=("text", "contamination", "llm-pipeline"),
+)
+def q_benchmark_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    arr = word_shingles(F.col("text"), 5)
+    bench_grams = (
+        d.where(F.col("source") == "src0")
+        .select(F.explode(arr).alias("s"))
+        .distinct()
+    )
+    cand = d.where(F.col("source") != "src0").select("doc_id", arr.alias("__arr"))
+    sizes = cand.select("doc_id", F.size("__arr").alias("n_grams")).where(F.col("n_grams") > 0)
+    hits = (
+        cand.select("doc_id", F.explode("__arr").alias("s"))
+        .join(F.broadcast(bench_grams), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("__n_cont"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_grams",
+            F.coalesce(F.col("__n_cont"), F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce(F.col("__n_cont"), F.lit(0)).cast("double") / F.col("n_grams")
+            ).alias("contamination_frac"),
+        )
+    )
+
+
+@register(
+    "q_tfidf_top_terms",
+    oracle="""
+        WITH wc AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS cnt
+               FROM wc GROUP BY doc_id, term),
+        scored AS (
+            SELECT doc_id, term,
+                   (CAST(cnt AS DOUBLE)
+                    / CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS DOUBLE))
+                   * LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE)
+                        / CAST(COUNT(*) OVER (PARTITION BY term) AS DOUBLE))
+                       AS tfidf
+            FROM tf
+        )
+        SELECT doc_id, term, tfidf, rnk
+        FROM (SELECT doc_id, term, tfidf,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY tfidf DESC, term) AS rnk
+              FROM scored)
+        WHERE rnk <= 3
+    """,
+    doc=(
+        "Per-document top-3 TF-IDF terms: tf = term count / doc length, idf "
+        "= ln(N / document frequency), deterministic tie-break on term. All "
+        "three statistics come from ONE (doc, term) aggregate reused by two "
+        "window partitionings (doc_id for length + ranking, term for df); N "
+        "is a 1-row broadcast cross join, never a driver collect."
+    ),
+    tags=("text", "tfidf", "window", "llm-pipeline"),
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    n_docs = d.agg(F.count(F.lit(1)).alias("__n"))
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_doc = Window.partitionBy("doc_id")
+    w_term = Window.partitionBy("term")
+    scored = (
+        tf.crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("cnt").cast("double") / F.sum("cnt").over(w_doc).cast("double"))
+                * F.log(
+                    F.col("__n").cast("double") / F.count(F.lit(1)).over(w_term).cast("double")
+                )
+            ).alias("tfidf"),
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.select("doc_id", "term", "tfidf", F.row_number().over(w_rank).alias("rnk"))
+        .where(F.col("rnk") <= 3)
+    )

@@ -106,12 +106,14 @@ _PRIORITY: tuple[str, ...] = (
     "q_pivot_order_priority",
     "q_value_tiers",
     "q_rollup_returns",
-    # Window / relational / text representatives
-    "q_window_topn_orders",
+    # Corpus-quality / text representatives (q_window_topn_orders,
+    # q_unpivot_metrics, q_pii_scrub were verified in round 1 and yield their
+    # window slots to the newer operators)
+    "q_repetition_quality",
+    "q_benchmark_contamination",
+    "q_tfidf_top_terms",
     "q_json_extract",
-    "q_unpivot_metrics",
     "q_corpus_prep_pipeline",
-    "q_pii_scrub",
 )
 
 
@@ -129,6 +131,7 @@ def _load_modules() -> None:
     from . import dedup_pipeline  # noqa: F401
     from . import similarity_pipeline  # noqa: F401
     from . import advanced  # noqa: F401
+    from . import quality_pipeline  # noqa: F401
     from . import tpch_suite  # noqa: F401
     from . import multimodal_pipeline  # noqa: F401
 
