@@ -1,0 +1,80 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: reviewed physical plans for the headline queries.
+
+Reuses the WANT annotations already present in PLANS.md (the reviewed
+property per query) and re-renders each plan tree under the CURRENT bench
+session confs, so the doc never drifts from what bench.py actually runs.
+
+Usage: python scripts/gen_plans.py   (writes /root/repo/PLANS.md in place)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+HEADER = """# PLANS — reviewed physical plans (headline queries, sf0.1 bench confs)
+
+Per the build rule "explain every operator and iterate until it's the plan
+you'd want": the tree below each query is the physical plan under the bench
+session (8 shuffle partitions, 32 MB broadcast threshold, AQE off at this
+micro-scale — see bench.py). The WANT line records the property the plan was
+reviewed against; plan-shape tests in `tests/test_plans_scale.py` enforce
+the load-bearing ones in CI. Regenerate with `python scripts/gen_plans.py`.
+"""
+
+
+def existing_wants(path: str) -> dict[str, str]:
+    wants: dict[str, str] = {}
+    if not os.path.exists(path):
+        return wants
+    name = None
+    for line in open(path):
+        m = re.match(r"^## (\S+)", line)
+        if m:
+            name = m.group(1)
+        elif name and line.startswith("WANT:"):
+            wants[name] = line[len("WANT:") :].strip()
+    return wants
+
+
+def plan_tree(df) -> str:
+    """The numbered operator tree from explain('formatted'), details elided."""
+    formatted = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    tree = formatted.split("\n\n")[0]
+    return tree.strip()
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out_path = os.path.join(repo, "PLANS.md")
+    wants = existing_wants(out_path)
+
+    from timing_explorer_spark.plans import all_queries
+    from timing_explorer_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(
+        app_name="gen-plans",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024)},
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    specs = {n: s for n, s in all_queries().items() if s.headline}
+    sections = [HEADER]
+    for name, spec in sorted(specs.items()):
+        df = spec.build(spark, sf_dir)
+        want = wants.get(name, "(unreviewed — add the property this plan must hold)")
+        sections.append(f"## {name}\n\nWANT: {want}\n\n```\n{plan_tree(df)}\n```\n")
+    with open(out_path, "w") as f:
+        f.write("\n".join(sections))
+    print(f"wrote {out_path} ({len(specs)} plans)")
+
+
+if __name__ == "__main__":
+    main()
