@@ -157,3 +157,19 @@ def test_runtime_bloom_filter_injection(spark, sf_smoke):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_contamination_benchmark_broadcasts(spark, sf_smoke):
+    """q_benchmark_contamination: the benchmark gram set must broadcast so
+    candidate grams never shuffle (map-side semi-join at 100 TB)."""
+    plan = plan_of(spark, "q_benchmark_contamination", sf_smoke)
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q21_single_lineitem_rollup(spark, sf_smoke):
+    """q21: the EXISTS/NOT-EXISTS decorrelation must NOT plan a three-way
+    lineitem self-join — one order-keyed aggregation feeds the filter."""
+    tree = plan_of(spark, "q21_waiting_suppliers", sf_smoke).split("\n\n")[0]
+    # lineitem x2 (lines + order rollup), orders x2 (broadcast), supplier x1
+    assert tree.count("Scan parquet") <= 5
