@@ -81,11 +81,13 @@ _PRIORITY: tuple[str, ...] = (
     # Temporal joins
     "q_asof_join_last_click",
     "q_interval_join_close_events",
-    # Event-time windowing (flagship + variants)
+    # Event-time windowing + event analytics (q_gap_fill and
+    # q_sliding_window_counts were verified in round 1 and yield their
+    # window slots)
     "q_events_per_window",
     "q_session_windows",
-    "q_gap_fill",
-    "q_sliding_window_counts",
+    "q_event_funnel",
+    "q_cohort_retention",
     # Deduplication family (oracle-backed members)
     "q_exact_dedup_docs",
     "q_dedup_events_earliest",

@@ -287,3 +287,88 @@ def q_sensor_window_invariant(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "q_event_funnel",
+    oracle="""
+        WITH stages AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view'     THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click'    THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT COUNT(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+               COUNT(CASE WHEN t_view IS NOT NULL
+                           AND t_click > t_view THEN 1 END)   AS n_view_click,
+               COUNT(CASE WHEN t_view IS NOT NULL
+                           AND t_click > t_view
+                           AND t_purchase > t_click THEN 1 END)
+                   AS n_view_click_purchase
+        FROM stages
+    """,
+    doc=(
+        "Conversion-funnel analysis (view → click → purchase, strictly "
+        "ordered first-occurrence timestamps): ONE hash aggregation keyed by "
+        "user computes every stage timestamp (conditional MIN — no per-stage "
+        "self-joins), then a single global conditional count. At 100 TB this "
+        "is a map-combinable single shuffle on user_id; the classic N-way "
+        "event self-join formulation would be N shuffles of the full event "
+        "log."
+    ),
+    tags=("events", "funnel", "agg"),
+)
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    stages = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") > F.col("t_view"))
+    reached_purchase = reached_click & (F.col("t_purchase") > F.col("t_click"))
+    return stages.agg(
+        F.count(F.when(reached_view, 1)).alias("n_view"),
+        F.count(F.when(reached_click, 1)).alias("n_view_click"),
+        F.count(F.when(reached_purchase, 1)).alias("n_view_click_purchase"),
+    )
+
+
+@register(
+    "q_cohort_retention",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day
+            FROM events GROUP BY user_id
+        )
+        SELECT f.cohort_day,
+               date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS day_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+        GROUP BY f.cohort_day, date_diff('day', f.cohort_day, CAST(e.ts AS DATE))
+    """,
+    doc=(
+        "Cohort retention: users grouped by first-activity day, activity "
+        "counted per (cohort, day-offset). The first-activity table and the "
+        "activity join share the user_id key — co-partitioned shuffle, and "
+        "the cohort side is a per-user aggregate (bounded by |users|, "
+        "broadcastable when users << events)."
+    ),
+    tags=("events", "retention", "agg", "join"),
+)
+def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(F.min(F.to_date("ts")).alias("cohort_day"))
+    return (
+        e.join(firsts, "user_id")
+        .select(
+            "cohort_day",
+            F.datediff(F.to_date("ts"), F.col("cohort_day")).alias("day_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
