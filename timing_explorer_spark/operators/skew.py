@@ -113,3 +113,37 @@ def bucketed_join(spark: SparkSession, left_table: str, right_table: str, on: st
     """Join two identically-bucketed tables on their bucket key — planned as
     a shuffle-free sort-merge join (no Exchange on either side)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    n_salts: int = 8,
+) -> DataFrame:
+    """Two-phase aggregation for hot grouping keys.
+
+    Phase 1 groups by (keys..., random salt) — the hot key's rows split
+    across n_salts reducers; phase 2 merges the per-salt partials by the
+    real keys (tiny input: n_groups * n_salts rows). ``aggs`` maps column →
+    one of sum/count/min/max (the mergeable aggregates where
+    merge(partials) == agg(all)).
+
+    Spark's hash aggregation already does map-side partial combine, which
+    handles most skew; salting matters when per-key state is too big for one
+    reducer even AFTER combine (e.g. count-distinct-style payloads) or when
+    a downstream stage must stay keyed by the hot key. Kept deliberately
+    API-compatible with a plain groupBy().agg() so it's a drop-in swap.
+    """
+    merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+    for how in aggs.values():
+        if how not in merge_fn:
+            raise ValueError(f"salted_agg: unsupported agg {how!r} (mergeable only)")
+    salted = df.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[first_fn[how](c).alias(f"__p_{c}_{how}") for c, how in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge_fn[how](f"__p_{c}_{how}").alias(f"{how}_{c}") for c, how in aggs.items()]
+    )

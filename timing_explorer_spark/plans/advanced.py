@@ -379,3 +379,45 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("p99_approx"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "q_salted_hot_key_agg",
+    oracle="""
+        SELECT event_type,
+               CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS sum_value,
+               CAST(MAX(value) AS DOUBLE) AS max_value,
+               COUNT(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "Skew-resilient aggregation as a user query: events has only 5 "
+        "event_type values (extreme key skew — every key is hot), so the "
+        "rollup runs as a two-phase salted aggregation "
+        "(operators/skew.py::salted_agg): phase 1 groups by (key, salt in "
+        "[0,8)) spreading each hot key over 8 reducers, phase 2 merges the "
+        "40-row partial set. Result is EXACTLY GROUP BY (oracle-checked): "
+        "sums are fixed-point decimal (order-independent), max/count are "
+        "merge-invariant. At 100 TB this bounds per-reducer state for hot "
+        "keys no matter how biased the key distribution gets."
+    ),
+    tags=("agg", "skew", "scale"),
+)
+def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.numeric import FINE
+    from ..operators.skew import salted_agg
+
+    e = load(spark, sf_dir, "events").select(
+        "event_type",
+        F.col("value").cast(FINE).alias("v"),
+        F.col("value").alias("value"),
+        "event_id",
+    )
+    out = salted_agg(e, ["event_type"], {"v": "sum", "value": "max", "event_id": "count"})
+    return out.select(
+        "event_type",
+        F.col("sum_v").cast("double").alias("sum_value"),
+        F.col("max_value").alias("max_value"),
+        F.col("count_event_id").alias("n_events"),
+    )
