@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -112,3 +113,23 @@ def test_exact_sum_invariant_under_repartition(spark, vals, n_parts):
         .collect()[0]["s"]
     )
     assert a == b  # bitwise, not approx
+
+
+@pytest.mark.parametrize("name", ["q01_pricing_summary", "q_stats_aggregates"])
+def test_query_results_partition_invariant(spark, sf_smoke, name):
+    """Whole-query determinism: the decimal/exact-moment aggregation queries
+    return bit-identical results under different shuffle widths — the
+    property that makes a 1000-executor run reproduce a laptop run."""
+    from timing_explorer_spark.plans import all_queries
+    from timing_explorer_spark.testing import spark_canonical
+
+    spec = all_queries()[name]
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        results = []
+        for nparts in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", nparts)
+            results.append(spark_canonical(spec.build(spark, sf_smoke)))
+        assert results[0] == results[1]
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)

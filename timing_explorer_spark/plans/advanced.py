@@ -421,3 +421,79 @@ def q_salted_hot_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_value").alias("max_value"),
         F.col("count_event_id").alias("n_events"),
     )
+
+
+@register(
+    "q_lateral_top_orders",
+    oracle="""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'
+    """,
+    doc=(
+        "LATERAL correlated subquery through the engine's SQL surface "
+        "(Spark 4 lateral join support): top-2 orders per BUILDING-segment "
+        "customer with a deterministic tie-break. Same result as the "
+        "row_number window formulation (q_window_topn_orders) — registered "
+        "to cover the lateral entry point end-users write."
+    ),
+    tags=("join", "lateral", "sql-api"),
+)
+def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        WHERE c.c_mktsegment = 'BUILDING'
+        """
+    )
+
+
+@register(
+    "q_recursive_month_spine",
+    oracle="""
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)) FROM orders
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < (SELECT DATE_TRUNC('MONTH', MAX(o_orderdate)) FROM orders)
+        )
+        SELECT CAST(m AS DATE) AS month, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON DATE_TRUNC('MONTH', o_orderdate) = m
+        GROUP BY m
+    """,
+    doc=(
+        "Recursive CTE (Spark 4 WITH RECURSIVE): complete month spine from "
+        "min to max order date — empty months included (the gap-fill shape "
+        "q_gap_fill builds with sequence(), expressed through the standard "
+        "SQL surface). Recursion depth = number of months (bounded, "
+        "driver-side union loop); the join+aggregate stays distributed."
+    ),
+    tags=("sql-api", "recursive", "gapfill"),
+)
+def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+            SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)) FROM orders
+            UNION ALL
+            SELECT m + INTERVAL 1 MONTH FROM months
+            WHERE m < (SELECT DATE_TRUNC('MONTH', MAX(o_orderdate)) FROM orders)
+        )
+        SELECT CAST(m AS DATE) AS month, COUNT(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders ON DATE_TRUNC('MONTH', o_orderdate) = m
+        GROUP BY m
+        """
+    )
