@@ -20,6 +20,48 @@ from timing_explorer_spark.plans import all_queries  # noqa: E402
 from timing_explorer_spark.session import get_spark  # noqa: E402
 
 
+def bench_streaming_throughput(spark, n_events: int = 200_000) -> dict:
+    """Replay throughput of the reference-parity streaming pipeline: N
+    generator events through watermark + keyed 1s tumbling window counts +
+    parquet sink (AvailableNow). The reference's source emits a throttled 20
+    events/s by design (TimestampSource PERIOD_MS=100, two keys); this
+    measures the same dataflow unthrottled — the single-node capability
+    number the throttle hides."""
+    import shutil
+    import tempfile
+
+    from timing_explorer_spark.streaming.pipeline import (
+        event_time_windows,
+        sensor_stream_from_files,
+        write_generator_files,
+    )
+
+    root = tempfile.mkdtemp(prefix="bench-stream-")
+    try:
+        write_generator_files(spark, f"{root}/in", n_events=n_events, files=4)
+        sensors = sensor_stream_from_files(spark, f"{root}/in", max_files_per_trigger=None)
+        t0 = time.monotonic()
+        q = (
+            event_time_windows(sensors)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.monotonic() - t0
+        return {
+            "events": n_events,
+            "wall_sec": round(wall, 3),
+            "events_per_sec": round(n_events / wall),
+            "reference_source_rate": 20,  # TimestampSource.java:118-119, 2 keys
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -87,6 +129,8 @@ def main() -> None:
 
     release_cached()
 
+    streaming = bench_streaming_throughput(spark)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -98,6 +142,7 @@ def main() -> None:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,
+                "streaming": streaming,
             }
         )
     )
