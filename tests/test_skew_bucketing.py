@@ -99,3 +99,30 @@ def test_bucketed_aggregation_shuffle_free(spark, bucketed_tables):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = je.explainString(mode)
     assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan[:2000]
+
+
+def test_salted_join_rejects_outer(spark, sf_smoke):
+    """right/full outer would duplicate unmatched hot-key right rows once per
+    salt — the API must refuse rather than return silently wrong results."""
+    import pytest
+
+    from timing_explorer_spark.operators.skew import salted_join
+
+    o = load(spark, sf_smoke, "orders")
+    c = load(spark, sf_smoke, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    for how in ("right", "full", "full_outer", "outer"):
+        with pytest.raises(ValueError, match="unsupported"):
+            salted_join(o, c, "o_custkey", how=how)
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_smoke):
+    from timing_explorer_spark.operators.skew import salted_agg
+
+    e = load(spark, sf_smoke, "events").select(
+        "event_type", F.col("value").cast("decimal(27,8)").alias("v"), "event_id"
+    )
+    salted = salted_agg(e, ["event_type"], {"v": "sum", "event_id": "count"})
+    plain = e.groupBy("event_type").agg(
+        F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("count_event_id")
+    )
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
