@@ -173,3 +173,41 @@ def test_q21_single_lineitem_rollup(spark, sf_smoke):
     tree = plan_of(spark, "q21_waiting_suppliers", sf_smoke).split("\n\n")[0]
     # lineitem x2 (lines + order rollup), orders x2 (broadcast), supplier x1
     assert tree.count("Scan parquet") <= 5
+
+
+def test_partitioned_layout_prunes(spark, sf_smoke, tmp_path):
+    """The 100 TB layout (TESTDATA.md: facts date-partitioned on disk) made
+    concrete: lineitem written partitioned by ship year, a one-year query
+    must prune to that partition at PLANNING time (PartitionFilters on the
+    scan), reading a fraction of the files."""
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.sources.tables import load
+
+    out = str(tmp_path / "lineitem_by_year")
+    (
+        load(spark, sf_smoke, "lineitem")
+        .withColumn("ship_year", F.year("l_shipdate"))
+        .write.mode("overwrite")
+        .partitionBy("ship_year")
+        .parquet(out)
+    )
+    df = (
+        spark.read.parquet(out)
+        .where(F.col("ship_year") == 2001)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = je.explainString(mode)
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "ship_year" in pf[0], plan[:1500]
+    # and the pruned result equals the unpartitioned filter
+    expected = (
+        load(spark, sf_smoke, "lineitem")
+        .where(F.year("l_shipdate") == 2001)
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expected.collect()))
