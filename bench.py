@@ -119,8 +119,8 @@ def main() -> None:
     # on every pass.
     plans = {name: spec.build(spark, sf_dir) for name, spec in specs.items()}
     run_pass(plans)  # untimed: codegen/JIT for the cached-relation plan shapes
-    p1, p2 = run_pass(plans), run_pass(plans)
-    timings = {k: min(p1[k], p2[k]) for k in p1}
+    passes = [run_pass(plans) for _ in range(3)]
+    timings = {k: min(p[k] for p in passes) for k in passes[0]}
 
     # Rebuilt plans share cached blocks via CacheManager plan-matching, so the
     # passes above reuse (not duplicate) storage; release the handles now that

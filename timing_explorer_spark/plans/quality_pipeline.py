@@ -243,3 +243,49 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.select("doc_id", "term", "tfidf", F.row_number().over(w_rank).alias("rnk"))
         .where(F.col("rnk") <= 3)
     )
+
+
+@register(
+    "q_mixture_token_budget",
+    oracle="""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY source
+        )
+        SELECT source,
+               n_tokens,
+               LEAST(1.0, (100000.0 / COUNT(*) OVER ()) / n_tokens)
+                   AS sample_rate,
+               LEAST(1.0, (100000.0 / COUNT(*) OVER ()) / n_tokens) * n_tokens
+                   AS expected_tokens
+        FROM per_src
+    """,
+    doc=(
+        "Mixture resampling to a token budget: per-source token totals, then "
+        "the per-source sampling rate that hits a 100k-token budget under "
+        "uniform source weights (rate = min(1, budget*weight/tokens)) and "
+        "the expected token yield. One aggregation + a 1-partition window "
+        "over the |sources|-row aggregate (bounded, never the corpus). The "
+        "rate column feeds deterministic md5-bucket sampling "
+        "(q_deterministic_sample) to materialize the mixture."
+    ),
+    tags=("text", "mixture", "llm-pipeline"),
+)
+def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(100000.0) / F.count(F.lit(1)).over(w)) / F.col("n_tokens"),
+    )
+    return per_src.select(
+        "source",
+        "n_tokens",
+        rate.alias("sample_rate"),
+        (rate * F.col("n_tokens")).alias("expected_tokens"),
+    )
