@@ -922,3 +922,62 @@ def q_regexp_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_name", pat, 2).alias("noun"),
         F.col("p_name").rlike("w(i|o)").alias("has_wi_wo"),
     )
+
+
+@register(
+    "q_full_outer_year_activity",
+    oracle="""
+        WITH y1998 AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev_1998
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+            GROUP BY o_custkey
+        ),
+        y2000 AS (
+            SELECT o_custkey,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS rev_2000
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+              AND o_orderdate <  TIMESTAMP '2001-01-01 00:00:00'
+            GROUP BY o_custkey
+        )
+        SELECT COALESCE(y1998.o_custkey, y2000.o_custkey) AS custkey,
+               rev_1998, rev_2000
+        FROM y1998 FULL OUTER JOIN y2000
+          ON y1998.o_custkey = y2000.o_custkey
+    """,
+    doc=(
+        "FULL OUTER join (the one join type the rest of the inventory lacked): "
+        "per-customer revenue in 1998 vs 2000 — rows preserved from BOTH "
+        "unmatched sides (customers active in only one year) plus the matched "
+        "core. Both inputs pre-aggregate before the join, so the full-outer "
+        "shuffle carries |active customers| rows, not orders; exact decimal "
+        "sums keep the nullable revenue columns hash-stable."
+    ),
+    tags=("join", "full-outer", "agg"),
+)
+def q_full_outer_year_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+
+    def year_rev(y: int, alias: str) -> DataFrame:
+        return (
+            o.where(
+                (F.col("o_orderdate") >= F.lit(f"{y}-01-01 00:00:00").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(f"{y + 1}-01-01 00:00:00").cast("timestamp"))
+            )
+            .groupBy(F.col("o_custkey").alias(f"__ck_{alias}"))
+            .agg(exact_sum(F.col("o_totalprice")).alias(f"rev_{alias}"))
+        )
+
+    a = year_rev(1998, "1998")
+    b = year_rev(2000, "2000")
+    return (
+        a.join(b, a["__ck_1998"] == b["__ck_2000"], "full_outer")
+        .select(
+            F.coalesce(F.col("__ck_1998"), F.col("__ck_2000")).alias("custkey"),
+            "rev_1998",
+            "rev_2000",
+        )
+    )
