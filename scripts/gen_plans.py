@@ -65,7 +65,17 @@ def main() -> None:
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("ERROR")
 
-    specs = {n: s for n, s in all_queries().items() if s.headline}
+    # Headline queries plus reviewed non-headline plans worth documenting
+    # (scale-critical shapes: skew, broadcast semi-join, decorrelation).
+    extra = (
+        "q21_waiting_suppliers",
+        "q_benchmark_contamination",
+        "q_salted_hot_key_agg",
+        "q_minhash_lsh_neardup",
+        "q_event_funnel",
+    )
+    qs = all_queries()
+    specs = {n: s for n, s in qs.items() if s.headline or n in extra}
     sections = [HEADER]
     for name, spec in sorted(specs.items()):
         df = spec.build(spark, sf_dir)
