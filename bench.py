@@ -62,27 +62,35 @@ def bench_streaming_throughput(spark, n_events: int = 200_000) -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
-    # Partitioning sized to the benchmark scale (single-digit-MB fact tables
-    # on one node): 8 shuffle partitions keeps task-launch overhead below the
-    # work per task, and a 32 MB broadcast threshold lets every dimension
-    # (even filtered orders at sf0.1) broadcast. On a real cluster both are
-    # deployment-set (shuffle partitions ~2-3x total cores; AQE coalesces).
+def bench_session(app_name: str = "timing-explorer-spark-bench"):
+    """The bench's SparkSession confs — shared with scripts/gen_plans.py so
+    PLANS.md always renders under the confs bench actually runs.
+
+    Partitioning sized to the benchmark scale (single-digit-MB fact tables
+    on one node): 8 shuffle partitions keeps task-launch overhead below the
+    work per task, and a 32 MB broadcast threshold lets every dimension
+    (even filtered orders at sf0.1) broadcast. On a real cluster both are
+    deployment-set (shuffle partitions ~2-3x total cores; AQE coalesces).
+    AQE's per-stage re-optimization costs driver round-trips that dominate
+    sub-second queries at this scale (~0.1s/query measured); it stays ON in
+    the engine's defaults for real deployments, where stages run long
+    enough for runtime re-planning to pay for itself."""
     spark = get_spark(
-        app_name="timing-explorer-spark-bench",
+        app_name=app_name,
         shuffle_partitions=8,
         extra_conf={"spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024)},
     )
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
-    # AQE's per-stage re-optimization costs driver round-trips that dominate
-    # sub-second queries at this scale (~0.1s/query measured); it stays ON in
-    # the engine's defaults for real deployments, where stages run long
-    # enough for runtime re-planning to pay for itself.
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    spark = bench_session()
 
     specs = {n: s for n, s in all_queries().items() if s.headline}
 
@@ -115,8 +123,11 @@ def main() -> None:
     # Steady state reuses the declared logical plan (the prepared-statement
     # analog: plan CONSTRUCTION is py4j-bound and ~0.15s/query here, pure
     # client overhead a resident engine pays once). Catalyst optimization,
-    # physical planning, codegen, and execution still run inside the timing
-    # on every pass.
+    # physical planning, codegen, and execution re-run inside the timing on
+    # every pass — EXCEPT operator-declared materialized intermediates (the
+    # dedup shingle index persisted by design, see operators/dedup.py),
+    # which warm passes serve from executor cache exactly as a resident
+    # engine would; cold_queries below reports the uncached cost.
     plans = {name: spec.build(spark, sf_dir) for name, spec in specs.items()}
     run_pass(plans)  # untimed: codegen/JIT for the cached-relation plan shapes
     passes = [run_pass(plans) for _ in range(3)]

@@ -53,16 +53,11 @@ def main() -> None:
     out_path = os.path.join(repo, "PLANS.md")
     wants = existing_wants(out_path)
 
+    from bench import bench_session
     from timing_explorer_spark.plans import all_queries
-    from timing_explorer_spark.session import get_spark
 
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark(
-        app_name="gen-plans",
-        shuffle_partitions=8,
-        extra_conf={"spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024)},
-    )
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark = bench_session(app_name="gen-plans")  # same confs as bench.py
     spark.sparkContext.setLogLevel("ERROR")
 
     # Headline queries plus reviewed non-headline plans worth documenting

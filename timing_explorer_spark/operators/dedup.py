@@ -49,11 +49,17 @@ def _track(df: DataFrame) -> DataFrame:
 
 def release_cached() -> int:
     """Unpersist every intermediate cached by this module; returns the count.
-    Safe to call at any time — the DataFrames are lazily recomputable."""
+    Safe to call at any time — the DataFrames are lazily recomputable, and
+    entries whose session has already stopped are simply dropped (their
+    cached blocks died with the session)."""
     n = 0
     while _CACHED:
-        _CACHED.pop().unpersist()
-        n += 1
+        df = _CACHED.pop()
+        try:
+            df.unpersist()
+            n += 1
+        except Exception:
+            pass  # dead session — nothing left to release
     return n
 
 

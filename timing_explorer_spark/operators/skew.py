@@ -135,8 +135,10 @@ def salted_agg(
     a downstream stage must stay keyed by the hot key. Kept deliberately
     API-compatible with a plain groupBy().agg() so it's a drop-in swap.
     """
+    # COUNT counts NON-NULL values of the named column (matching
+    # groupBy().agg() COUNT(col) — the drop-in-swap claim), not group rows.
     merge_fn = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
-    first_fn = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+    first_fn = {"sum": F.sum, "count": lambda c: F.count(F.col(c)), "min": F.min, "max": F.max}
     for how in aggs.values():
         if how not in merge_fn:
             raise ValueError(f"salted_agg: unsupported agg {how!r} (mergeable only)")

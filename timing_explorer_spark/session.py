@@ -75,11 +75,17 @@ def session_key(spark: SparkSession) -> str:
     if key is None:
         try:
             key = f"{spark.sparkContext.applicationId}/{spark._jsparkSession.sessionUUID()}"
-        except Exception:  # non-classic session (e.g. Connect) — best effort
-            key = f"fallback-{id(spark)}"
+        except Exception:  # non-classic session (e.g. Connect) — mint one
+            import uuid
+
+            key = f"local-{uuid.uuid4()}"
         try:
             spark._tes_session_key = key
         except Exception:
+            # Cannot memoize on this wrapper: return the fresh uuid so every
+            # call looks like a NEW session. Cache misses (re-pinned confs,
+            # re-read footers) are the safe failure mode; an id()-style
+            # fallback could serve another session's cached state.
             pass
     return key
 

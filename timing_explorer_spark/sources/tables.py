@@ -36,6 +36,8 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 _PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# warm_cache handles (subset of _PLAN_CACHE values that hold persisted blocks)
+_WARM: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -57,11 +59,10 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     cached = _PLAN_CACHE.get(key)
     if cached is not None:
         return cached
-    # Plans cached for other (dead or foreign) sessions are useless here and
-    # would pin those sessions' JVM state — drop them on session change.
-    stale = [k for k in _PLAN_CACHE if k[0] != skey]
-    for k in stale:
-        del _PLAN_CACHE[k]
+    # Entries for other sessions are left alone: evicting them here would
+    # drop warm_cache handles (leaking their persisted blocks) and thrash
+    # when two live sessions interleave. Keys are collision-safe
+    # (session_key), and the per-process session count is tiny.
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
@@ -96,11 +97,20 @@ def warm_cache(
     n = n_partitions or spark.sparkContext.defaultParallelism
     skey = session_key(spark)
     out: dict[str, DataFrame] = {}
-    for t in tables or TABLES:
+    for t in (tables if tables is not None else TABLES):
+        key = (skey, sf_dir, t)
+        prior = _WARM.get(key)
+        if prior is not None:
+            # Re-warming: release the old copy first, otherwise the new
+            # persist stacks a second materialized copy whose predecessor
+            # has no remaining Python handle.
+            prior.unpersist()
+            _PLAN_CACHE.pop(key, None)
         df = load(spark, sf_dir, t)
         cached = df.repartition(n).persist()
         cached.count()  # materialize eagerly so queries never pay the fill
-        _PLAN_CACHE[(skey, sf_dir, t)] = cached
+        _PLAN_CACHE[key] = cached
+        _WARM[key] = cached
         out[t] = cached
     return out
 
@@ -109,9 +119,14 @@ def drop_warm_cache(spark: SparkSession, sf_dir: str) -> None:
     """Unpersist and forget any warm-cached tables for (session, sf_dir)."""
     skey = session_key(spark)
     for t in TABLES:
-        df = _PLAN_CACHE.pop((skey, sf_dir, t), None)
+        key = (skey, sf_dir, t)
+        df = _WARM.pop(key, None)
         if df is not None:
-            df.unpersist()
+            _PLAN_CACHE.pop(key, None)
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session already stopped — blocks died with it
 
 
 def register_temp_views(spark: SparkSession, sf_dir: str) -> None:

@@ -62,14 +62,16 @@ def spark_canonical(df) -> tuple[list[str], list[tuple[str, ...]]]:
 
 
 def duckdb_canonical(con, sql: str) -> tuple[list[str], list[tuple[str, ...]]]:
-    cur = con.execute(sql)
-    cols = [d[0] for d in cur.description]
+    # Relation API, not cursor.description: the DB-API type_code is the
+    # generic category ('NUMBER'), which would hide HUGEINT entirely.
+    rel = con.sql(sql)
+    cols = list(rel.columns)
     # HUGEINT (e.g. SUM over BIGINT) has no int64/arrow analog — the driver's
     # pandas conversion turns it into float64 and the value-hash diverges even
     # when the printed values agree. Force oracles to CAST(... AS BIGINT).
-    huge = [d[0] for d in cur.description if "HUGEINT" in str(d[1]).upper()]
+    huge = [c for c, t in zip(cols, rel.types) if "HUGEINT" in str(t).upper()]
     assert not huge, f"oracle yields HUGEINT column(s) {huge}; CAST to BIGINT"
-    rows = cur.fetchall()
+    rows = rel.fetchall()
     return sorted(cols), canonical_rows(cols, rows)
 
 
