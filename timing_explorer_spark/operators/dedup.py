@@ -8,8 +8,8 @@ Four families, all shuffle-light designs meant for 100 TB inputs:
                  shingles, self-join on shingle, count co-occurrences. The
                  join key is the *shingle*, so only documents sharing at
                  least one shingle ever meet — no O(n²) cross join.
-  minhash-lsh    scale path: fixed-size signature per doc (nested
-                 higher-order-function expressions, no UDF), banded into
+  minhash-lsh    scale path: fixed-size signature per doc (one seeded
+                 xxhash64 MIN-aggregate per slot, no UDF), banded into
                  buckets; only same-bucket docs pair up. Candidates are then
                  verified with exact jaccard, so output precision is exact.
   simhash        64-bit sign-of-sum-of-word-hash sketch; near-dups = small
@@ -24,16 +24,10 @@ known hot spot at scale: ``max_shingle_df`` drops such shingles from the
 
 from __future__ import annotations
 
-import random
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import fingerprint, word_shingles
-
-# Universal-hash parameters for minhash permutations: h_i(x) = (a_i*x + b_i) mod P
-# over base hashes folded into [0, 2^31). Products stay < 2^62: safe under ANSI.
-_MERSENNE_P = (1 << 61) - 1
 
 # Persisted intermediates (shingle arrays, band indexes, block indexes) are
 # tracked here so repeated builds — bench passes, registry re-builds — don't
@@ -63,9 +57,6 @@ def release_cached() -> int:
     return n
 
 
-def _perm_params(num_perm: int, seed: int = 42) -> list[tuple[int, int]]:
-    rng = random.Random(seed)
-    return [(rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31)) for _ in range(num_perm)]
 
 
 def exact_dedup_groups(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -162,8 +153,12 @@ def minhash_signatures(
 ) -> DataFrame:
     """(id, signature array<bigint>[num_perm]) — entirely JVM-side.
 
-    Base shingle hash: xxhash64 folded into [0, 2^31); signature slot i =
-    min over shingles of (a_i*h + b_i) mod (2^61-1).
+    Signature slot i = min over shingles of xxhash64(shingle, seed+i): one
+    independent seeded hash per slot. NOT an affine permutation
+    (a*h+b) mod P of a folded base hash — with h < 2^31 and P = 2^61-1 the
+    product wraps at most once, so that map is nearly order-preserving in h
+    and the smallest base hash wins most slots (measured: two docs with
+    J=0.9 agreed on only 31% of slots, silently destroying LSH recall).
 
     Shape: explode shingles to rows, then num_perm plain MIN() aggregate
     expressions in one hash aggregation. Flat codegen'd expressions beat the
@@ -181,13 +176,10 @@ def minhash_signatures(
 
 def _signatures_from_shingled(shingled: DataFrame, num_perm: int, seed: int) -> DataFrame:
     """Signatures from a (doc, __arr) shingle-set frame (see minhash_signatures)."""
-    params = _perm_params(num_perm, seed)
-    exploded = shingled.select("doc", F.explode("__arr").alias("s")).select(
-        "doc", F.pmod(F.xxhash64("s"), F.lit(1 << 31)).alias("h")
-    )
+    exploded = shingled.select("doc", F.explode("__arr").alias("s"))
     mins = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(_MERSENNE_P))).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
+        F.min(F.xxhash64(F.col("s"), F.lit(seed + i))).alias(f"m{i}")
+        for i in range(num_perm)
     ]
     return (
         exploded.groupBy("doc")
@@ -199,8 +191,8 @@ def _signatures_from_shingled(shingled: DataFrame, num_perm: int, seed: int) -> 
 def minhash_lsh_pairs(
     docs: DataFrame,
     threshold: float = 0.8,
-    num_perm: int = 64,
-    bands: int = 16,
+    num_perm: int = 128,
+    bands: int = 32,
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -209,8 +201,12 @@ def minhash_lsh_pairs(
     candidates (only same-(band, band-hash) docs join), then each CANDIDATE
     PAIR is re-checked with exact set Jaccard over the cached shingle arrays
     (array_intersect — JVM-side, no UDF) — output = (doc_a, doc_b, jaccard ≥
-    t) with exact precision; recall is the LSH S-curve (≈1 at J≥0.8 for 16
-    bands x 4 rows, verified empirically at sf0.01 in tests/test_dedup.py).
+    t) with exact precision; recall is the LSH S-curve. Defaults are 32
+    bands x 4 rows (128 perms): per-pair miss probability at J=0.8 is
+    (1 - 0.8^4)^32 ≈ 2e-8, so the output equals the exact-Jaccard pair set
+    for corpora far beyond the fixtures (the previous 16x4 layout measurably
+    missed pairs at sf0.1 — per-pair miss 2e-4 over thousands of true
+    pairs). Verified against the exact oracle at sf0.01 AND sf0.1.
 
     This is the scale path: verification cost is O(|candidates| · avg shingle
     set size), NOT the full inverted-index self-join that exact
