@@ -81,3 +81,24 @@ def test_resolve_components_equals_union_find(spark, sf_smoke):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {(n, find(n)) for n in parent}
     assert got == expected
+
+
+def test_minhash_lsh_equals_exact_at_sf01(spark):
+    """Scale spot-check at sf0.1 (where the affine-permutation min-wise
+    independence bug first surfaced as a silently missed pair): LSH output
+    must equal the exact-Jaccard pair set, not just at the tiny SFs."""
+    from timing_explorer_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+        release_cached,
+    )
+
+    docs = load(spark, "/root/testdata/sf0.1", "documents")
+    try:
+        exact = {(r.doc_a, r.doc_b) for r in jaccard_pairs(docs, threshold=0.8).collect()}
+        lsh = {(r.doc_a, r.doc_b) for r in minhash_lsh_pairs(docs, threshold=0.8).collect()}
+        assert lsh == exact, (
+            f"missed={sorted(exact - lsh)[:5]} extra={sorted(lsh - exact)[:5]}"
+        )
+    finally:
+        release_cached()
