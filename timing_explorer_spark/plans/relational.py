@@ -981,3 +981,47 @@ def q_full_outer_year_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rev_2000",
         )
     )
+
+
+@register(
+    "q_setop_bag_semantics",
+    oracle="""
+        SELECT o_orderpriority FROM orders
+        WHERE o_orderstatus = 'O'
+        EXCEPT ALL
+        SELECT o_orderpriority FROM orders
+        WHERE o_orderstatus = 'F'
+    """,
+    doc=(
+        "EXCEPT ALL (multiset difference, duplicates preserved): open-order "
+        "priorities minus one occurrence per fulfilled-order priority. Bag "
+        "set ops plan as an aggregated count-difference + generate — one "
+        "shuffle on the row value, never a join of the raw inputs."
+    ),
+    tags=("setop", "bag"),
+)
+def q_setop_bag_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    open_p = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    fulfilled_p = o.where(F.col("o_orderstatus") == "F").select("o_orderpriority")
+    return open_p.exceptAll(fulfilled_p)
+
+
+@register(
+    "q_setop_intersect_all",
+    oracle="""
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'O'
+        INTERSECT ALL
+        SELECT o_orderpriority FROM orders WHERE o_orderstatus = 'P'
+    """,
+    doc=(
+        "INTERSECT ALL (multiset intersection: min of per-side "
+        "multiplicities) — the bag counterpart of q_setop_intersect."
+    ),
+    tags=("setop", "bag"),
+)
+def q_setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    a = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
+    b = o.where(F.col("o_orderstatus") == "P").select("o_orderpriority")
+    return a.intersectAll(b)
