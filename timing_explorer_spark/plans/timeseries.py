@@ -17,7 +17,7 @@ range join (spine is tiny relative to facts at any scale).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.generator import sensor_stream_batch
@@ -372,3 +372,48 @@ def q_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+@register(
+    "q_ema_trailing",
+    oracle="""
+        WITH framed AS (
+            SELECT event_id, user_id, ts,
+                   list(CAST(value AS DOUBLE))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS l
+            FROM events
+        )
+        SELECT event_id, user_id, ts,
+               list_reduce(l, (acc, x) -> 0.2::DOUBLE * x + 0.8::DOUBLE * acc)
+                   AS ema
+        FROM framed
+    """,
+    doc=(
+        "Trailing exponential moving average (alpha=0.2 over a 20-row "
+        "frame) — an operator neither Spark nor classic SQL has natively, "
+        "composed from builtins: collect the ordered frame with a window "
+        "list aggregate, fold it with a higher-order aggregate() (left "
+        "fold, init = oldest value). The bounded frame keeps the fold O(20) "
+        "per row and the weights bounded (an unbounded EMA prefix trick "
+        "overflows (1-a)^-n in double); one shuffle on the series key. "
+        "Total order (ts, event_id) makes the result deterministic; "
+        "identical IEEE fold order on both engines makes it hash-exact."
+    ),
+    tags=("timeseries", "window", "hof"),
+)
+def q_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    arr = F.collect_list(F.col("value").cast("double")).over(w)
+    framed = e.select("event_id", "user_id", "ts", arr.alias("__l"))
+    ema = F.aggregate(
+        F.slice(F.col("__l"), F.lit(2), F.greatest(F.size("__l") - 1, F.lit(0))),
+        F.element_at(F.col("__l"), 1),
+        lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
+    )
+    return framed.select("event_id", "user_id", "ts", ema.alias("ema"))
