@@ -474,3 +474,30 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("chunk"),
         )
     )
+
+
+@register(
+    "q_fuzzy_name_match",
+    oracle="""
+        SELECT p_partkey, p_name,
+               levenshtein(p_name, 'large widget') AS edit_dist
+        FROM part
+        WHERE levenshtein(p_name, 'large widget') <= 4
+    """,
+    doc=(
+        "Fuzzy string matching (edit distance): parts whose name is within "
+        "Levenshtein distance 4 of a probe string — the scalar building "
+        "block of fuzzy dedup/entity matching. Row-local JVM expression "
+        "(no join); at scale, pair generation would go through the blocking "
+        "strategies the dedup family already implements (shingle inverted "
+        "index / LSH), with edit distance as the verifier."
+    ),
+    tags=("text", "fuzzy", "scalar"),
+)
+def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    dist = F.levenshtein(F.col("p_name"), F.lit("large widget"))
+    return (
+        p.select("p_partkey", "p_name", dist.alias("edit_dist"))
+        .where(F.col("edit_dist") <= 4)
+    )
