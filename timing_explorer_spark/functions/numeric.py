@@ -28,6 +28,33 @@ MONEY = "decimal(18,4)"  # money-ish values (2-decimal data; 1e14 headroom)
 FINE = "decimal(27,8)"  # generic measures (sensor values, scores)
 
 
+def units(col: Column, scale: int) -> Column:
+    """Exact fixed-point units for a money-like double: rint(col*scale) as
+    long. ``F.rint`` (IEEE round-half-to-even, pure FP) instead of
+    ``F.round`` (HALF_UP via per-row BigDecimal — measured 2.6x slower in a
+    hot aggregate). The two only disagree when col*scale lands EXACTLY on
+    .5 — impossible when 10^k exactly represents the value's rational
+    decimal places (k >= the expression's decimal count): the scaled value
+    is then within ~1e-4 ulps of an integer, and every correct rounding
+    (Spark rint, DuckDB ROUND) picks the same one.
+
+    RULE: scale exponent >= decimal places of the rational value.
+      l_extendedprice (2dp)            -> 10^4 fine
+      price*(1-disc) (4dp)             -> 10^4 fine
+      price*(1-disc)*(1+tax) (6dp)     -> 10^6 REQUIRED (at 10^4 the scaled
+                                          value sits exactly on .5 for ~1%%
+                                          of rows; observed round!=rint)
+    """
+    return F.rint(col * scale).cast("long")
+
+
+def oracle_unit_sum(expr: str, scale: int) -> str:
+    """DuckDB spelling of SUM(units(expr, scale))/scale as double. DuckDB
+    accumulates BIGINT sums in hugeint, so one level suffices; the outer
+    DOUBLE cast keeps the driver's pandas hash off the HUGEINT path."""
+    return f"CAST(SUM(CAST(ROUND({expr} * {scale}) AS BIGINT)) AS DOUBLE) / {scale}.0"
+
+
 def exact_sum(col: Column, dt: str = MONEY) -> Column:
     """Order-independent SUM of a double expression, returned as double."""
     return F.sum(col.cast(dt)).cast("double")
@@ -59,11 +86,14 @@ def grouped_exact_sum(df, keys: list, alias: str, col: Column, scale: int = 1000
     Oracle spelling:  CAST(SUM(CAST(ROUND(expr*scale) AS BIGINT)) AS DOUBLE)
                       / scale.0
     (single-level is fine in DuckDB — its BIGINT sums accumulate in hugeint).
+
+    ``scale`` must satisfy the ``units()`` rule: 10^k exactly covers the
+    expression's rational decimal places, else rint/ROUND can disagree at .5.
     """
     import pyspark.sql.functions as _F
 
     partial = df.groupBy(*keys, _F.spark_partition_id().alias("__pid")).agg(
-        _F.sum(_F.round(col * scale).cast("long")).alias("__u")
+        _F.sum(units(col, scale)).alias("__u")
     )
     return partial.groupBy(*keys).agg(
         (_F.sum(_F.col("__u").cast("decimal(38,0)")).cast("double") / _F.lit(float(scale)))

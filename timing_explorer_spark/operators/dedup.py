@@ -108,10 +108,24 @@ def jaccard_pairs(
     prunes degenerate super-common shingles from candidate generation at
     scale; leave None for oracle-exact semantics.
     """
-    n_parts = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    # Width of the pair-generation stage: CPU-heavy, byte-light — so size it
+    # to the cores available (defaultParallelism), not shuffle.partitions,
+    # which is tuned for byte-heavy exchanges (8 in the bench session) and
+    # would leave most cores idle during the Σ df(s)² blow-up.
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
     shingled = _shingled_arrays(docs, n, text_col, id_col)
     sizes = shingled.select("doc", F.size("__arr").alias("sz"))
-    idx = shingled.select("doc", F.explode("__arr").alias("s"))
+    # Join on xxhash64(shingle), not the shingle string: the self-join key
+    # shrinks to 8 bytes (smaller shuffle, cheaper equality) — measured ~20%
+    # off the whole query. A collision only matters if two DIFFERENT shingles
+    # hash equal AND co-occur across one candidate pair; expected collisions
+    # ~D²/2^65 over D distinct shingles (≈1e-6 at the fixtures' 6e6, and a
+    # jaccard shift of 1/|union| per hit at corpus scale — widen to a
+    # two-seed 128-bit struct key if D approaches 1e12). xxhash64 is a fixed
+    # function, so results stay deterministic across runs/partitionings.
+    idx = shingled.select("doc", F.explode("__arr").alias("__s")).select(
+        "doc", F.xxhash64("__s").alias("s")
+    )
     if max_shingle_df is not None:
         rare = idx.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_shingle_df)
         idx = idx.join(rare.select("s"), "s")

