@@ -211,3 +211,22 @@ def test_partitioned_layout_prunes(spark, sf_smoke, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, df.collect())) == sorted(map(tuple, expected.collect()))
+
+
+def test_zscore_moment_table_broadcasts(spark, sf_smoke):
+    """q_zscore_outliers joins the per-type moment table back to the fact
+    stream — that side is tiny at any scale and must broadcast (the score
+    pass stays map-side; a shuffle here would re-exchange the whole fact
+    table just to attach 3 doubles per key)."""
+    plan = plan_of(spark, "q_zscore_outliers", sf_smoke)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_uses_windowgroup_limit(spark, sf_smoke):
+    """q_stratified_sample_k's rank<=k filter must plan as a window TopK
+    (WindowGroupLimit pushdown): each stratum keeps a bounded k-row heap
+    per partition instead of fully sorting every stratum — the property
+    that makes fixed-quota sampling O(k) state at 100 TB."""
+    plan = plan_of(spark, "q_stratified_sample_k", sf_smoke)
+    assert "WindowGroupLimit" in plan

@@ -81,3 +81,57 @@ def test_approx_percentile_accuracy(spark, sf_oracle):
         spread = abs(exact[et]["p99"] - exact[et]["p50"]) + 1e-9
         assert abs(a["p50_approx"] - exact[et]["p50"]) <= 0.05 * spread + 1e-6
         assert abs(a["p99_approx"] - exact[et]["p99"]) <= 0.10 * spread + 1e-6
+
+
+def test_transition_probabilities_sum_to_one(spark, sf_oracle):
+    """Per source state, the outgoing transition probabilities of the Markov
+    matrix must sum to 1 (exact integer-ratio arithmetic)."""
+    from pyspark.sql import functions as F
+
+    df = SPECS["q_event_transitions"].build(spark, sf_oracle)
+    sums = df.groupBy("prev_type").agg(F.sum("p_transition").alias("p")).collect()
+    assert sums
+    for r in sums:
+        assert abs(r["p"] - 1.0) < 1e-9, r
+
+
+def test_scd2_intervals_partition_history(spark, sf_oracle):
+    """SCD2 invariants: per user, intervals are ordered, non-overlapping,
+    contiguous (each valid_to equals the next valid_from), exactly one open
+    interval, and consecutive intervals never share a state (else they
+    would have been collapsed)."""
+    df = SPECS["q_scd2_intervals"].build(spark, sf_oracle)
+    rows = df.orderBy("user_id", "valid_from").collect()
+    from collections import defaultdict
+
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    assert by_user
+    for user, ivs in by_user.items():
+        assert sum(1 for r in ivs if r["is_current"]) == 1
+        assert ivs[-1]["valid_to"] is None
+        for a, b in zip(ivs, ivs[1:]):
+            assert a["valid_to"] == b["valid_from"], (user, a, b)
+            assert a["state"] != b["state"], (user, a, b)
+
+
+def test_stratified_sample_exact_quota(spark, sf_oracle):
+    """Every stratum yields exactly min(k, stratum size) docs, and the
+    selection is deterministic across runs."""
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.sources.tables import load
+
+    df = SPECS["q_stratified_sample_k"].build(spark, sf_oracle)
+    got = {r["source"]: r["n"] for r in df.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    avail = {
+        r["source"]: r["n"]
+        for r in load(spark, sf_oracle, "documents").groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got and set(got) == set(avail)
+    for src, n in got.items():
+        assert n == min(50, avail[src]), (src, n, avail[src])
+    a = sorted((r["source"], r["doc_id"]) for r in df.collect())
+    b = sorted((r["source"], r["doc_id"]) for r in SPECS["q_stratified_sample_k"].build(spark, sf_oracle).collect())
+    assert a == b

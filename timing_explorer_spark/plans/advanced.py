@@ -497,3 +497,84 @@ def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
         """
     )
+
+
+@register(
+    "q_zscore_outliers",
+    oracle="""
+        WITH m AS (
+            SELECT event_type,
+                   COUNT(*) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sv,
+                   CAST(SUM(CAST(value AS DECIMAL(19,4))
+                          * CAST(value AS DECIMAL(19,4))) AS DOUBLE) AS svv
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               (e.value - m.sv / m.n)
+                   / SQRT((m.svv - m.sv * m.sv / m.n) / (m.n - 1)) AS zscore
+        FROM events e JOIN m ON e.event_type = m.event_type
+        WHERE ABS((e.value - m.sv / m.n)
+                   / SQRT((m.svv - m.sv * m.sv / m.n) / (m.n - 1))) > 2.5
+    """,
+    doc=(
+        "Z-score outlier detection: per-key exact moments (decimal sums — "
+        "order-independent, bit-reproducible under any partitioning), then "
+        "each event scored against its group's mean/stddev via a BROADCAST "
+        "join of the tiny moment table back onto the fact stream — the "
+        "standard two-pass anomaly scan, one aggregation shuffle total; the "
+        "score pass is map-side at any scale. Identical IEEE expression "
+        "order on both engines makes the double z-scores hash-exact."
+    ),
+    tags=("stats", "outlier", "broadcast"),
+)
+def q_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    vd = F.col("value").cast("decimal(18,4)")
+    vq = F.col("value").cast("decimal(19,4)")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vd).cast("double").alias("sv"),
+        F.sum(vq * vq).cast("double").alias("svv"),
+    )
+    n, sv, svv = F.col("n"), F.col("sv"), F.col("svv")
+    z = (F.col("value") - sv / n) / F.sqrt((svv - sv * sv / n) / (n - 1))
+    return (
+        e.join(F.broadcast(m), "event_type")
+        .where(F.abs(z) > 2.5)
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+    )
+
+
+@register(
+    "q_stratified_sample_k",
+    oracle="""
+        SELECT source, doc_id, rk
+        FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY MD5(CAST(doc_id AS VARCHAR))) AS rk
+            FROM documents
+        )
+        WHERE rk <= 50
+    """,
+    doc=(
+        "Stratified fixed-k sampling: exactly k docs per stratum (source), "
+        "chosen by ranking on a content-independent hash — deterministic "
+        "across engines, replays, and cluster sizes (unlike rand()-based "
+        "sampling), uniform because MD5 order is independent of any data "
+        "attribute. One shuffle on the stratum key; at scale the rank "
+        "computation is a per-partition top-k (window TopK pushdown keeps "
+        "state bounded at k per stratum, no full sort). Complements "
+        "q_deterministic_sample (rate-based hash sampling) with the "
+        "fixed-quota-per-group shape training-data mixers need."
+    ),
+    tags=("sampling", "window", "corpus-prep"),
+)
+def q_stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.md5(F.col("doc_id").cast("string")))
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 50)
+    )

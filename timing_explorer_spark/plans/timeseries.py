@@ -438,3 +438,102 @@ def q_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, x: F.lit(0.2) * x + F.lit(0.8) * acc,
     )
     return framed.select("event_id", "user_id", "ts", ema.alias("ema"))
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+        WITH seq AS (
+            SELECT event_type AS next_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        )
+        SELECT prev_type, next_type,
+               COUNT(*) AS n_transitions,
+               CAST(COUNT(*) AS DOUBLE)
+                   / SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS p_transition
+        FROM seq
+        WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    """,
+    doc=(
+        "First-order Markov transition matrix over each user's event "
+        "sequence: lag() pairs consecutive events per user (total order "
+        "ts, event_id), then one count aggregation + a tiny window "
+        "normalization per source state. One shuffle on user_id for the "
+        "sequence pairing, one on the transition key — both co-partitioned "
+        "hash exchanges at any scale; the probability division is exact "
+        "integer-ratio arithmetic (bit-identical on both engines)."
+    ),
+    tags=("timeseries", "window", "event-analytics"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    per_prev = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(per_prev).cast("double")
+        ).alias("p_transition"),
+    )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type, ts, event_id,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ),
+        changes AS (
+            SELECT user_id, event_type AS state, ts AS valid_from,
+                   LEAD(ts) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS valid_to
+            FROM seq
+            WHERE prev_type IS NULL OR prev_type <> event_type
+        )
+        SELECT user_id, state, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM changes
+    """,
+    doc=(
+        "Change-data-capture to SCD2 (slowly-changing-dimension type 2) "
+        "validity intervals: collapse each user's event stream to the rows "
+        "where the state (event_type) changes, then close each interval "
+        "with the next change's timestamp (lead) — [valid_from, valid_to) "
+        "half-open, open-ended current row flagged. Two window passes over "
+        "the SAME (user_id ordered) shuffle — Catalyst reuses the exchange, "
+        "so the whole history rebuild is one shuffle at any scale; this is "
+        "the standard warehouse pattern for turning an append-only event "
+        "log into a temporal dimension table."
+    ),
+    tags=("timeseries", "window", "scd2", "event-analytics"),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).where(F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type")))
+    w2 = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return seq.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w2).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
