@@ -1,0 +1,55 @@
+"""Distributed prefix-scan operators (operators/prefix.py): the two-phase
+range-partitioned scan must equal the naive single-partition window bit for
+bit, for any partition count — and actually plan as a range exchange, not a
+collapse to one task."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from timing_explorer_spark.operators.prefix import global_rank, running_total
+from timing_explorer_spark.sources.tables import load
+
+
+def _naive_running(df):
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return df.select("t", F.sum("d").over(w).alias("running_total"))
+
+
+def test_running_total_matches_naive_window(spark, sf_smoke):
+    e = load(spark, sf_smoke, "events")
+    agg = e.groupBy(F.col("ts").alias("t")).agg(F.sum(F.lit(1)).alias("d"))
+    expect = sorted((r["t"], r["running_total"]) for r in _naive_running(agg).collect())
+    for n_parts in (2, 8):
+        got = sorted(
+            (r["t"], r["running_total"])
+            for r in running_total(agg, ["t"], "d", n_parts=n_parts).select("t", "running_total").collect()
+        )
+        assert got == expect, f"n_parts={n_parts}"
+
+
+def test_global_rank_matches_row_number(spark, sf_smoke):
+    e = load(spark, sf_smoke, "events").select("event_id", "ts")
+    w = Window.orderBy("ts", "event_id")
+    expect = sorted(
+        (r["event_id"], r["rk"])
+        for r in e.select("event_id", F.row_number().over(w).alias("rk")).collect()
+    )
+    got = sorted(
+        (r["event_id"], r["rk"])
+        for r in global_rank(e, ["ts", "event_id"], n_parts=5).select("event_id", "rk").collect()
+    )
+    assert got == expect
+
+
+def test_prefix_scan_plans_range_exchange(spark, sf_smoke):
+    """The heavy input goes through a RANGE exchange (partition-parallel),
+    and the only single-partition work is the per-partition offset table
+    (one row per partition)."""
+    e = load(spark, sf_smoke, "events")
+    agg = e.groupBy(F.col("ts").alias("t")).agg(F.sum(F.lit(1)).alias("d"))
+    plan = running_total(agg, ["t"], "d")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+    # the big-side local scan is partitioned by __pid, never a global window
+    assert "partial_sum" in plan or "Window" in plan

@@ -1,0 +1,90 @@
+"""Distributed prefix scans: running totals and global ranks without a
+single-partition window.
+
+``Window.orderBy(t)`` with no partition key plans as ONE task holding the
+whole dataset — correct at test scale, a non-starter at 100 TB. The classic
+distributed alternative is the two-phase scan:
+
+  1. range-partition the rows by the order key (a range exchange — the same
+     shuffle a global ORDER BY uses), sort within partitions;
+  2. per partition, compute the local prefix scan with a window PARTITIONED
+     by the physical partition id (parallel across partitions);
+  3. aggregate one row per partition (its local total / row count) — a tiny
+     side table — cumsum THAT with a driver-size window, and broadcast-join
+     the per-partition offset back.
+
+Every heavy step is partition-parallel; the only serial work is the
+per-partition offset cumsum over n_partitions rows. This is the textbook
+parallel scan (Blelloch) mapped onto Spark exchanges.
+
+The reference has no analog (its dataflow is single-parallelism,
+/root/reference/src/main/java/com/ververica/jobs/TimingExplorer.java:114);
+these exist for the driver's extension surface (global running aggregates,
+exact equi-depth ranking) at cluster scale.
+
+Determinism: ``order_cols`` must be a total order (add a unique tiebreaker);
+range partitioning boundaries are sampled but the OUTPUT is independent of
+the boundaries — offsets compensate wherever the splits land.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _with_partition_offsets(df: DataFrame, order_cols: list[str],
+                            local_col: str, n_parts: int | None) -> DataFrame:
+    """Range-partition ``df`` by ``order_cols``, attach __pid and the
+    exclusive per-partition offset of ``local_col`` (sum over all earlier
+    partitions). ``local_col`` values must already be per-row (pre-scan)."""
+    spark = df.sparkSession
+    n = n_parts or spark.sparkContext.defaultParallelism
+    ranged = (
+        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
+        .sortWithinPartitions(*order_cols)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # Tiny per-partition totals -> exclusive cumsum over __pid. n rows total
+    # (one per partition), so the unpartitioned window is driver-scale work.
+    totals = ranged.groupBy("__pid").agg(F.sum(local_col).alias("__ptotal"))
+    w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "__pid", F.coalesce(F.sum("__ptotal").over(w), F.lit(0)).alias("__offset")
+    )
+    return ranged.join(F.broadcast(offsets), "__pid")
+
+
+def running_total(df: DataFrame, order_cols: list[str], value_col: str,
+                  alias: str = "running_total", n_parts: int | None = None) -> DataFrame:
+    """Globally-ordered running SUM(value_col), distributed.
+
+    Equivalent to ``SUM(value_col) OVER (ORDER BY order_cols ROWS UNBOUNDED
+    PRECEDING)`` but executed as a two-phase parallel scan (module doc).
+    Output columns: input columns + ``alias``.
+    """
+    staged = _with_partition_offsets(df, order_cols, value_col, n_parts)
+    local_w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return staged.select(
+        *df.columns,
+        (F.sum(value_col).over(local_w) + F.col("__offset")).alias(alias),
+    )
+
+
+def global_rank(df: DataFrame, order_cols: list[str],
+                alias: str = "rk", n_parts: int | None = None) -> DataFrame:
+    """Global ROW_NUMBER() OVER (ORDER BY order_cols), distributed.
+
+    Same two-phase scan with value == 1: local row_number per range
+    partition + broadcast exclusive row-count offsets.
+    """
+    staged = _with_partition_offsets(
+        df.withColumn("__one", F.lit(1)), order_cols, "__one", n_parts
+    )
+    local_w = Window.partitionBy("__pid").orderBy(*order_cols)
+    return staged.select(
+        *[c for c in df.columns if c != "__one"],
+        (F.row_number().over(local_w) + F.col("__offset")).alias(alias),
+    )

@@ -578,3 +578,53 @@ def q_stratified_sample_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= 50)
     )
+
+
+@register(
+    "q_equidepth_histogram",
+    oracle="""
+        WITH t AS (
+            SELECT l_extendedprice AS v,
+                   NTILE(10) OVER (ORDER BY l_extendedprice, l_orderkey,
+                                   l_linenumber) AS bucket
+            FROM lineitem
+        )
+        SELECT bucket, MIN(v) AS lo, MAX(v) AS hi, COUNT(*) AS n
+        FROM t GROUP BY bucket
+    """,
+    doc=(
+        "EXACT equi-depth (quantile) histogram: 10 buckets of equal row "
+        "count with true boundaries — not approx_percentile. NTILE over a "
+        "global order would plan as one task; instead the global row rank "
+        "comes from the distributed two-phase scan "
+        "(operators/prefix.py::global_rank) and NTILE's bucket assignment "
+        "is applied as its closed form (first n%B buckets get one extra "
+        "row), reproducing NTILE semantics bit-for-bit at any scale. "
+        "Total order includes the row key as tiebreaker, so ties across "
+        "bucket boundaries split deterministically on both engines."
+    ),
+    tags=("agg", "histogram", "prefix-scan"),
+)
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import global_rank
+
+    li = load(spark, sf_dir, "lineitem").select(
+        F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
+    )
+    ranked = global_rank(li, ["v", "l_orderkey", "l_linenumber"], alias="rk")
+    counts = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    B = 10
+    n, rk = F.col("__n"), F.col("rk")
+    q, r = (n / B).cast("long"), n % B
+    big = r * (q + 1)  # rows covered by the (q+1)-sized leading buckets
+    bucket = (
+        F.when(rk <= big, ((rk - 1) / (q + 1)).cast("long") + 1)
+        .otherwise(r + ((rk - big - 1) / q).cast("long") + 1)
+        .cast("int")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(counts))
+        .select("v", bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n"))
+    )

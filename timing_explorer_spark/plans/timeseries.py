@@ -537,3 +537,139 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("valid_from"),
         F.lead("ts").over(w2).alias("valid_to"),
     ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+@register(
+    "q_rolling_median",
+    oracle="""
+        SELECT event_id, user_id,
+               MEDIAN(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+                   AS roll_med
+        FROM events
+    """,
+    doc=(
+        "Rolling median over a trailing 10-row frame per key — an operator "
+        "Spark lacks (median accepts no ordered frame), composed from "
+        "builtins: collect the frame with a window list aggregate, "
+        "array_sort it, take the middle element (odd) or the mean of the "
+        "two middles (even) — exactly quantile_cont(0.5) interpolation "
+        "semantics, matching DuckDB's native windowed MEDIAN. O(frame log "
+        "frame) per row with bounded frame size; one shuffle on the series "
+        "key. 2-decimal data keeps the even-count average bit-identical "
+        "across engines."
+    ),
+    tags=("timeseries", "window", "median"),
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(F.col("value")).over(w))
+    n = F.size(arr)
+    mid = (n / F.lit(2)).cast("int")
+    med = (
+        F.when(n % 2 == 1, F.element_at(arr, ((n + 1) / F.lit(2)).cast("int")).cast("double"))
+        .otherwise((F.element_at(arr, mid) + F.element_at(arr, mid + 1)) / F.lit(2.0))
+    )
+    return e.select("event_id", "user_id", med.alias("roll_med"))
+
+
+@register(
+    "q_concurrent_events",
+    oracle="""
+        WITH bounds AS (
+            SELECT ts AS t, 1 AS delta FROM events
+            UNION ALL
+            SELECT ts + INTERVAL 1 HOUR AS t, -1 AS delta FROM events
+        ),
+        agg AS (
+            SELECT t, CAST(SUM(delta) AS BIGINT) AS d
+            FROM bounds GROUP BY t
+        )
+        SELECT t,
+               CAST(SUM(d) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS concurrent
+        FROM agg
+    """,
+    doc=(
+        "Interval-overlap concurrency via sweep-line: each event holds a "
+        "1-hour validity interval [ts, ts+1h); emit +1/-1 boundary deltas, "
+        "collapse per distinct boundary time (no tie ambiguity — deltas at "
+        "equal t merge before the scan), then a GLOBAL running sum gives "
+        "the number of concurrently-open intervals after each boundary. "
+        "The running sum is the distributed two-phase parallel scan "
+        "(operators/prefix.py::running_total — range partition, local "
+        "scans, broadcast offsets), NOT a single-task global window: the "
+        "scalable alternative to an O(n²) interval self-join."
+    ),
+    tags=("timeseries", "sweep-line", "prefix-scan"),
+)
+def q_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import running_total
+
+    e = load(spark, sf_dir, "events")
+    bounds = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta")).unionByName(
+        e.select(
+            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+            F.lit(-1).alias("delta"),
+        )
+    )
+    agg = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
+    return running_total(agg, ["t"], "d", alias="concurrent").select("t", "concurrent")
+
+
+@register(
+    "q_activity_islands",
+    oracle="""
+        WITH days AS (
+            SELECT DISTINCT user_id,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        ranked AS (
+            SELECT user_id, day,
+                   DATE_DIFF('day', DATE '1970-01-01', CAST(day AS DATE))
+                       - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day)
+                       AS anchor
+            FROM days
+        )
+        SELECT user_id,
+               MIN(day)  AS streak_start,
+               MAX(day)  AS streak_end,
+               COUNT(*)  AS n_days
+        FROM ranked
+        GROUP BY user_id, anchor
+    """,
+    doc=(
+        "Gaps-and-islands: maximal runs of consecutive active days per "
+        "user. The classic anchor trick — day-number minus per-user row "
+        "rank is constant exactly within a consecutive run — turns island "
+        "detection into a plain GROUP BY: one shuffle for the distinct, "
+        "one user-partitioned window, one aggregation; all integer/date "
+        "arithmetic (hash-exact)."
+    ),
+    tags=("timeseries", "window", "gaps-islands", "event-analytics"),
+)
+def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    ranked = days.select(
+        "user_id",
+        "day",
+        (
+            F.datediff(F.col("day"), F.lit("1970-01-01").cast("date"))
+            - F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    return ranked.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).alias("n_days"),
+    ).drop("anchor")
