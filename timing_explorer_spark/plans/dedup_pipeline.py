@@ -18,6 +18,7 @@ from ..operators.dedup import (
     resolve_components,
     simhash_pairs,
 )
+from ..functions.text import fingerprint
 from ..sources.tables import load
 from .registry import register
 
@@ -168,3 +169,86 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, n=3)
     return resolve_components(pairs)
+
+
+@register(
+    "q_neardup_triangles",
+    oracle=f"""
+        SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+        FROM ({_JACCARD_ORACLE}) e1
+        JOIN ({_JACCARD_ORACLE}) e2 ON e2.doc_a = e1.doc_b
+        JOIN ({_JACCARD_ORACLE}) e3 ON e3.doc_a = e1.doc_a
+                                   AND e3.doc_b = e2.doc_b
+    """,
+    doc=(
+        "Triangle enumeration in the near-dup graph — the structure signal "
+        "that separates tight duplicate clusters (cliques) from chains of "
+        "borderline pairs. Edges are already canonically oriented "
+        "(doc_a < doc_b), which is the standard trick that makes each "
+        "triangle appear exactly once and bounds the join fan-out by "
+        "out-degree; two self-joins on the (small) near-dup edge list, "
+        "never on the corpus. The edge list is computed once and reused "
+        "across all three join legs (cached shingle/pair intermediates)."
+    ),
+    tags=("dedup", "graph", "triangles"),
+)
+def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, n=3).select(
+        "doc_a", "doc_b"
+    )
+    e1 = pairs.alias("e1")
+    e2 = pairs.alias("e2")
+    e3 = pairs.alias("e3")
+    return (
+        e1.join(e2, F.col("e2.doc_a") == F.col("e1.doc_b"))
+        .join(
+            e3,
+            (F.col("e3.doc_a") == F.col("e1.doc_a"))
+            & (F.col("e3.doc_b") == F.col("e2.doc_b")),
+        )
+        .select(
+            F.col("e1.doc_a").alias("a"),
+            F.col("e1.doc_b").alias("b"),
+            F.col("e2.doc_b").alias("c"),
+        )
+    )
+
+
+_NEW_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+@register(
+    "q_incremental_dedup",
+    oracle=f"""
+        WITH fps AS (
+            SELECT doc_id, source,
+                   MD5(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        )
+        SELECT n.doc_id, n.source, n.fp
+        FROM fps n
+        WHERE n.source IN {_NEW_SOURCES!r}
+          AND NOT EXISTS (
+              SELECT 1 FROM fps o
+              WHERE o.source NOT IN {_NEW_SOURCES!r} AND o.fp = n.fp
+          )
+    """.replace("(", "(", 1),
+    doc=(
+        "Incremental (cross-snapshot) exact dedup: keep only the docs of "
+        "the NEW crawl batch whose content fingerprint does not already "
+        "exist in the standing corpus — the dedup shape every recurring "
+        "ingestion pipeline runs. One hash anti-join on the md5 "
+        "fingerprint: fingerprints shrink the join key to 16 bytes, the "
+        "anti-join shuffles fingerprints only (not text), and at 100 TB "
+        "the standing-corpus side is a pre-computed fingerprint table "
+        "(bucketed on fp) so each increment joins against hashes, never "
+        "re-reading old text."
+    ),
+    tags=("dedup", "anti-join", "incremental"),
+)
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fps = d.select("doc_id", "source", fingerprint(F.col("text")).alias("fp"))
+    new = fps.where(F.col("source").isin(*_NEW_SOURCES))
+    old = fps.where(~F.col("source").isin(*_NEW_SOURCES))
+    return new.join(old.select("fp"), "fp", "left_anti").select("doc_id", "source", "fp")

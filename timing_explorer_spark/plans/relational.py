@@ -1030,3 +1030,112 @@ def q_setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.where(F.col("o_orderstatus") == "O").select("o_orderpriority")
     b = o.where(F.col("o_orderstatus") == "P").select("o_orderpriority")
     return a.intersectAll(b)
+
+
+_QTY_TIERS = [(0, 10, "XS"), (10, 20, "S"), (20, 35, "M"), (35, 51, "L")]
+
+
+@register(
+    "q_range_lookup_join",
+    oracle="""
+        SELECT t.tier,
+               COUNT(*)        AS n_items,
+               SUM(l_quantity) AS sum_qty
+        FROM lineitem l
+        JOIN (VALUES (0, 10, 'XS'), (10, 20, 'S'),
+                     (20, 35, 'M'), (35, 51, 'L')) t(lo, hi, tier)
+          ON l.l_quantity >= t.lo AND l.l_quantity < t.hi
+        GROUP BY t.tier
+    """,
+    doc=(
+        "Range-lookup join (a band/theta join — one of the operators Spark "
+        "has no native keyword for): each fact row matched to the dimension "
+        "interval [lo, hi) containing its value. The dimension is tiny at "
+        "any scale, so the non-equi condition executes as a "
+        "BroadcastNestedLoopJoin — fact rows never shuffle, each scans the "
+        "handful of broadcast ranges; with a large range dimension the "
+        "scale path is the neighbor-bucket equi-join (see "
+        "operators/joins.py::interval_pairs). Quantity is integer-valued, "
+        "so sums are exact."
+    ),
+    tags=("join", "range", "broadcast"),
+)
+def q_range_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    tiers = spark.createDataFrame(_QTY_TIERS, ["lo", "hi", "tier"])
+    return (
+        li.join(
+            F.broadcast(tiers),
+            (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi")),
+        )
+        .groupBy("tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+@register(
+    "q_revenue_share",
+    oracle="""
+        WITH nat AS (
+            SELECT r.r_name AS region, n.n_name AS nation,
+                   CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount)
+                        * 10000) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+            FROM customer c
+            JOIN orders o   ON c.c_custkey = o.o_custkey
+            JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            JOIN nation n   ON c.c_nationkey = n.n_nationkey
+            JOIN region r   ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name, n.n_name
+        ),
+        reg AS (
+            SELECT region, CAST(SUM(CAST(ROUND(revenue * 10000) AS BIGINT))
+                       AS DOUBLE) / 10000.0 AS region_revenue
+            FROM nat GROUP BY region
+        )
+        SELECT nat.region, nat.nation, nat.revenue,
+               nat.revenue / reg.region_revenue AS share
+        FROM nat JOIN reg ON nat.region = reg.region
+    """,
+    doc=(
+        "Ratio-to-report: each nation's share of its region's revenue. "
+        "Shares are NOT computed with a floating window SUM (whose "
+        "accumulation order differs between engines and partitionings) — "
+        "both levels are exact fixed-point unit sums, re-aggregated "
+        "nation→region (the nation totals are exact 4dp rationals, so the "
+        "re-rounding is lossless), and the share is one double division of "
+        "two exact values: bit-reproducible at any cluster size. The "
+        "region totals table is 5 rows — broadcast back, map-side."
+    ),
+    tags=("agg", "window-alternative", "ratio"),
+)
+def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    l = load(spark, sf_dir, "lineitem")
+    n = F.broadcast(load(spark, sf_dir, "nation"))
+    r = F.broadcast(load(spark, sf_dir, "region"))
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+    )
+    nat = grouped_exact_sum(
+        joined.withColumnRenamed("r_name", "region").withColumnRenamed("n_name", "nation"),
+        ["region", "nation"],
+        "revenue",
+        F.col("l_extendedprice") * (1 - F.col("l_discount")),
+    )
+    reg = grouped_exact_sum(
+        nat, ["region"], "region_revenue", F.col("revenue")
+    )
+    return (
+        nat.join(F.broadcast(reg), "region")
+        .select(
+            "region", "nation", "revenue",
+            (F.col("revenue") / F.col("region_revenue")).alias("share"),
+        )
+    )
