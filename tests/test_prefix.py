@@ -53,3 +53,28 @@ def test_prefix_scan_plans_range_exchange(spark, sf_smoke):
     assert "rangepartitioning" in plan
     # the big-side local scan is partitioned by __pid, never a global window
     assert "partial_sum" in plan or "Window" in plan
+
+
+def test_prefix_scan_under_cluster_confs(spark, sf_smoke):
+    """The two-phase scan must stay correct under deployment-style confs
+    (AQE on, 200 shuffle partitions): partition-id bookkeeping relies on
+    exchange reuse between the offsets subtree and the output subtree, so
+    adaptive re-planning must not skew the offsets."""
+    saved = {
+        "spark.sql.adaptive.enabled": spark.conf.get("spark.sql.adaptive.enabled"),
+        "spark.sql.shuffle.partitions": spark.conf.get("spark.sql.shuffle.partitions"),
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.shuffle.partitions", "200")
+        e = load(spark, sf_smoke, "events")
+        agg = e.groupBy(F.col("ts").alias("t")).agg(F.sum(F.lit(1)).alias("d"))
+        expect = sorted((r["t"], r["running_total"]) for r in _naive_running(agg).collect())
+        got = sorted(
+            (r["t"], r["running_total"])
+            for r in running_total(agg, ["t"], "d", n_parts=7).select("t", "running_total").collect()
+        )
+        assert got == expect
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)

@@ -673,3 +673,53 @@ def q_activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("day").alias("streak_end"),
         F.count(F.lit(1)).alias("n_days"),
     ).drop("anchor")
+
+
+@register(
+    "q_rollup_reaggregate",
+    oracle="""
+        SELECT event_type,
+               CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+               COUNT(*) AS n_events,
+               CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) AS DOUBLE)
+                    / 10000.0 AS sum_value
+        FROM events
+        GROUP BY event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)
+    """,
+    doc=(
+        "Continuous-aggregate rollup: the DAILY result is computed FROM the "
+        "HOURLY pre-aggregate, while the oracle aggregates the raw events "
+        "directly — the hash match proves the hourly partials merge "
+        "losslessly (fixed-point unit sums are associative integers, so "
+        "hour→day→month re-aggregation is exact at every level). This is "
+        "the incremental-view-maintenance pattern: at 100 TB the hourly "
+        "table is maintained per ingest batch and every coarser window is "
+        "served from it without touching raw data; counts and unit sums "
+        "are the algebraic aggregates that make that valid (averages are "
+        "derived at read time, never stored)."
+    ),
+    tags=("timeseries", "rollup", "incremental-view"),
+)
+def q_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_trunc("hour", "ts").alias("hour"),
+            F.spark_partition_id().alias("__pid"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("h_n"),
+            F.sum(units(F.col("value"), 10000)).alias("h_units"),
+        )
+    )
+    return (
+        hourly.groupBy("event_type", F.date_trunc("day", "hour").alias("day"))
+        .agg(
+            F.sum("h_n").alias("n_events"),
+            (
+                F.sum(F.col("h_units").cast("decimal(38,0)")).cast("double")
+                / F.lit(10000.0)
+            ).alias("sum_value"),
+        )
+    )
