@@ -81,11 +81,11 @@ _PRIORITY: tuple[str, ...] = (
     # Temporal joins
     "q_asof_join_last_click",
     "q_interval_join_close_events",
-    # Event-time windowing + event analytics (q_gap_fill and
-    # q_sliding_window_counts were verified in round 1 and yield their
-    # window slots)
+    # Event-time windowing + event analytics (q_gap_fill,
+    # q_sliding_window_counts and q_session_windows were verified in round 1
+    # and yield their window slots to newer operators)
     "q_events_per_window",
-    "q_session_windows",
+    "q_scd2_intervals",
     "q_event_funnel",
     "q_cohort_retention",
     # Deduplication family (oracle-backed members)
@@ -107,7 +107,9 @@ _PRIORITY: tuple[str, ...] = (
     "q_string_agg_segments",
     "q_pivot_order_priority",
     "q_value_tiers",
-    "q_rollup_returns",
+    # q_rollup_returns was verified in round 1; its slot goes to the
+    # distributed prefix-scan flagship.
+    "q_concurrent_events",
     # Corpus-quality / text representatives (q_window_topn_orders,
     # q_unpivot_metrics, q_pii_scrub were verified in round 1 and yield their
     # window slots to the newer operators)
