@@ -68,6 +68,10 @@ def main() -> None:
         "q_salted_hot_key_agg",
         "q_minhash_lsh_neardup",
         "q_event_funnel",
+        "q_concurrent_events",
+        "q_equidepth_histogram",
+        "q_zscore_outliers",
+        "q_scd2_intervals",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

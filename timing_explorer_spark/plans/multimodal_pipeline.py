@@ -76,3 +76,44 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(_media(spark, sf_dir))
+
+
+@register(
+    "q_media_mix_profile",
+    oracle="""
+        SELECT kind,
+               COUNT(*)                         AS n_assets,
+               CAST(SUM(n_bytes) AS BIGINT)     AS total_bytes,
+               CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms,
+               MAX(width)                       AS max_width
+        FROM (
+            SELECT CASE (doc_id % 3) WHEN 0 THEN 'image'
+                                     WHEN 1 THEN 'audio'
+                                     ELSE 'video' END AS kind,
+                   STRLEN(text)   AS n_bytes,
+                   n_chars * 10   AS duration_ms,
+                   n_chars % 640  AS width
+            FROM documents
+        )
+        GROUP BY kind
+    """,
+    doc=(
+        "Modality-mix report: per-kind asset counts, payload bytes and "
+        "duration totals straight off the typed metadata struct + payload "
+        "length — the storage/compute budgeting query a multimodal corpus "
+        "curator runs before scheduling decode fleets. Pure metadata "
+        "aggregation: payloads are never opened, so at 100 TB this reads "
+        "the (tiny) metadata columns only — columnar pruning does the "
+        "work. Oracle-checkable because the synthetic payload is the "
+        "document's UTF-8 bytes (ASCII fixture: byte length == STRLEN)."
+    ),
+    tags=("multimodal", "metadata", "agg"),
+)
+def q_media_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    m = _media(spark, sf_dir)
+    return m.groupBy("kind").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.length("payload")).alias("total_bytes"),
+        F.sum(F.col("meta.duration_ms")).alias("total_duration_ms"),
+        F.max(F.col("meta.width")).cast("bigint").alias("max_width"),
+    )
