@@ -20,7 +20,7 @@ from timing_explorer_spark.plans import all_queries  # noqa: E402
 from timing_explorer_spark.session import get_spark  # noqa: E402
 
 
-def bench_streaming_throughput(spark, n_events: int = 200_000) -> dict:
+def bench_streaming_throughput(spark, n_events: int = 1_000_000) -> dict:
     """Replay throughput of the reference-parity streaming pipeline: N
     generator events through watermark + keyed 1s tumbling window counts +
     parquet sink (AvailableNow). The reference's source emits a throttled 20
@@ -144,7 +144,25 @@ def main() -> None:
 
     release_cached()
 
+    # Untimed small pass first: the first streaming query in a session pays
+    # micro-batch machinery + codegen warm-up (~2-3s) that a resident
+    # streaming job amortizes over its lifetime; the measured 1M-event run
+    # reflects sustained replay throughput (measured: 200k events cold
+    # ~46k/s, 1M warm ~540k/s on the same dataflow).
+    bench_streaming_throughput(spark, n_events=50_000)
     streaming = bench_streaming_throughput(spark)
+
+    # One more dimension: the composed corpus-prep pipeline (hash sample ->
+    # PII scrub -> quality gate -> exact dedup -> chunking in one plan) —
+    # the end-to-end training-data shape, timed warm like the headline set.
+    pipe = all_queries()["q_corpus_prep_pipeline"].build(spark, sf_dir)
+    pipe.write.mode("overwrite").format("noop").save()  # untimed codegen pass
+    pipe_runs = []
+    for _ in range(3):
+        t0 = time.monotonic()
+        pipe.write.mode("overwrite").format("noop").save()
+        pipe_runs.append(time.monotonic() - t0)
+    pipeline = {"corpus_prep_sec": round(min(pipe_runs), 3)}
 
     total = round(sum(timings.values()), 3)
     print(
@@ -158,6 +176,7 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 "streaming": streaming,
+                "pipeline": pipeline,
             }
         )
     )
