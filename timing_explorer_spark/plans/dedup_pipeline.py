@@ -252,3 +252,64 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = fps.where(F.col("source").isin(*_NEW_SOURCES))
     old = fps.where(~F.col("source").isin(*_NEW_SOURCES))
     return new.join(old.select("fp"), "fp", "left_anti").select("doc_id", "source", "fp")
+
+
+@register(
+    "q_neardup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc, rep) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.rep FROM reach r JOIN edges e ON e.src = r.doc
+        ),
+        comp AS (SELECT doc, MIN(rep) AS rep FROM reach GROUP BY doc),
+        sel AS (
+            SELECT c.rep, d.doc_id, d.n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY c.rep
+                                      ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY c.rep) AS n_members
+            FROM comp c JOIN documents d ON d.doc_id = c.doc
+        )
+        SELECT rep, doc_id AS keep_id, n_chars AS keep_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM sel WHERE rk = 1
+    """,
+    doc=(
+        "Keep-best dedup policy: resolve near-dup clusters (connected "
+        "components over exact-Jaccard pairs), then keep the HIGHEST-"
+        "quality member per cluster (quality proxy = n_chars, ties to the "
+        "lower id) rather than the arbitrary min-id — the policy real "
+        "corpus dedup ships with (keep the longest / highest-scoring copy, "
+        "drop the rest). Components by min-label propagation (bounded "
+        "co-partitioned shuffles), then one window top-1 per cluster over "
+        "the tiny membership table joined to doc metadata."
+    ),
+    tags=("dedup", "components", "policy"),
+)
+def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(docs, threshold=0.8, n=3)
+    labels = resolve_components(pairs)
+    joined = labels.join(docs, labels.doc == docs.doc_id)
+    w = Window.partitionBy("rep").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("rep")
+    return (
+        joined.select(
+            "rep", "doc_id", "n_chars",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "rep",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_quality"),
+            "n_members",
+        )
+    )

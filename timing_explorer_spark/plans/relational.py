@@ -1139,3 +1139,40 @@ def q_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("revenue") / F.col("region_revenue")).alias("share"),
         )
     )
+
+
+@register(
+    "q_topk_with_ties",
+    oracle="""
+        SELECT o_orderpriority, o_orderkey, o_totalprice, rk
+        FROM (
+            SELECT o_orderpriority, o_orderkey, o_totalprice,
+                   RANK() OVER (PARTITION BY o_orderpriority
+                                ORDER BY ROUND(o_totalprice / 1000) DESC) AS rk
+            FROM orders
+        )
+        WHERE rk <= 3
+    """,
+    doc=(
+        "Top-k WITH TIES per group (RANK, not row_number): every order in "
+        "the top-3 price bands of its priority class survives, however "
+        "many tie — the SQL:2008 FETCH ... WITH TIES semantics. Contrast "
+        "q_window_topn_orders (row_number = arbitrary-but-deterministic "
+        "cut). Same WindowGroupLimit pushdown applies: rank <= k keeps "
+        "bounded per-partition state at any scale. Banded prices (rounded "
+        "to 1k) force real tie groups in the fixture data."
+    ),
+    tags=("window", "topk", "ties"),
+)
+def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc(F.round(F.col("o_totalprice") / 1000))
+    )
+    return (
+        o.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            F.rank().over(w).alias("rk"),
+        )
+        .where(F.col("rk") <= 3)
+    )
