@@ -41,6 +41,20 @@ def _track(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_cache(df: DataFrame, materialize: bool = False) -> DataFrame:
+    """Persist ``df`` under this module's cache tracking (released by
+    release_cached()). ``materialize=True`` forces computation NOW — use it
+    when a small derived frame (e.g. a near-dup edge list) feeds several
+    join legs: without materialization each leg would re-execute the full
+    derivation concurrently, multiplying the heaviest stage's memory
+    footprint by the fan-out (observed as an OOM-killed JVM in a
+    default-1g-heap session at sf0.1)."""
+    out = _track(df)
+    if materialize:
+        out.count()
+    return out
+
+
 def release_cached() -> int:
     """Unpersist every intermediate cached by this module; returns the count.
     Safe to call at any time — the DataFrames are lazily recomputable, and
@@ -407,6 +421,12 @@ def resolve_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
     saved = sess.conf.get("spark.sql.shuffle.partitions")
     sess.conf.set("spark.sql.shuffle.partitions", str(n_parts))
     try:
+        # Materialize the pair derivation ONCE before symmetrizing: the union
+        # reads `pairs` twice, and without a computed cache both reads would
+        # execute the (potentially heavy) upstream plan concurrently in one
+        # job — 2x its peak memory in a small-heap session.
+        pairs = _track(pairs)
+        pairs.count()
         edges = (
             pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
             .unionByName(pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))

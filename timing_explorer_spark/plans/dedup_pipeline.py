@@ -17,6 +17,7 @@ from ..operators.dedup import (
     minhash_lsh_pairs,
     resolve_components,
     simhash_pairs,
+    track_cache,
 )
 from ..functions.text import fingerprint
 from ..sources.tables import load
@@ -193,8 +194,16 @@ def q_neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "graph", "triangles"),
 )
 def q_neardup_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, n=3).select(
-        "doc_a", "doc_b"
+    # Materialize the edge list BEFORE the three join legs: without this,
+    # every leg re-executes the full inverted-index pair generation
+    # concurrently (3x the heaviest stage's memory at once — OOM-kills a
+    # default-heap session at sf0.1). The persisted edge list is tiny
+    # (near-dup pairs only) and is released via release_cached().
+    pairs = track_cache(
+        jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, n=3).select(
+            "doc_a", "doc_b"
+        ),
+        materialize=True,
     )
     e1 = pairs.alias("e1")
     e2 = pairs.alias("e2")
