@@ -723,3 +723,50 @@ def q_rollup_reaggregate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sum_value"),
         )
     )
+
+
+@register(
+    "q_conversion_latency",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END)     AS first_view,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+            FROM events
+            GROUP BY user_id
+        )
+        SELECT user_id, first_view, first_purchase,
+               CAST(DATE_DIFF('second', first_view, first_purchase) AS BIGINT)
+                   AS latency_sec
+        FROM firsts
+        WHERE first_view IS NOT NULL
+          AND first_purchase IS NOT NULL
+          AND first_purchase >= first_view
+    """,
+    doc=(
+        "Conversion latency: per user, seconds from first 'view' to first "
+        "subsequent 'purchase' — the time-to-convert metric downstream of "
+        "the funnel. Single-pass conditional-MIN aggregation (one shuffle "
+        "on user_id, no self-join of the event log), the same "
+        "stage-timestamp trick as q_event_funnel; integer second "
+        "difference is hash-exact."
+    ),
+    tags=("timeseries", "event-analytics", "funnel"),
+)
+def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return (
+        firsts.where(
+            F.col("first_view").isNotNull()
+            & F.col("first_purchase").isNotNull()
+            & (F.col("first_purchase") >= F.col("first_view"))
+        )
+        .select(
+            "user_id", "first_view", "first_purchase",
+            (F.col("first_purchase").cast("long") - F.col("first_view").cast("long")).alias("latency_sec"),
+        )
+    )
