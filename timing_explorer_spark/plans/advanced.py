@@ -628,3 +628,25 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket")
         .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "q_kmin_distinct_sketch",
+    oracle=None,  # sketch estimate — accuracy bound asserted in tests/test_sketches.py
+    doc=(
+        "k-min-statistic distinct-count sketch (KMV/theta family) built "
+        "from 64 plain MIN aggregates over seeded uniform hashes "
+        "(operators/sketches.py) — a novel sketch riding Spark's stock "
+        "aggregation: map-side partial MINs, k doubles per group on the "
+        "shuffle, and element-wise-min mergeability (any pre-aggregation "
+        "layout gives the identical estimate). Estimates distinct "
+        "customers per order priority; rows-only driver check, relative "
+        "error vs exact COUNT(DISTINCT) asserted < 3/sqrt(k) in pytest."
+    ),
+    tags=("agg", "approx", "sketch"),
+)
+def q_kmin_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import kmin_distinct_estimate
+
+    o = load(spark, sf_dir, "orders")
+    return kmin_distinct_estimate(o, ["o_orderpriority"], "o_custkey", k=64)
