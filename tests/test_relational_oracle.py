@@ -135,3 +135,19 @@ def test_stratified_sample_exact_quota(spark, sf_oracle):
     a = sorted((r["source"], r["doc_id"]) for r in df.collect())
     b = sorted((r["source"], r["doc_id"]) for r in SPECS["q_stratified_sample_k"].build(spark, sf_oracle).collect())
     assert a == b
+
+
+def test_weighted_sample_biases_toward_weight(spark, sf_oracle):
+    """The Efraimidis-Spirakis draw must bias toward heavier (longer) docs:
+    sampled mean n_chars exceeds the corpus mean. The draw is hash-
+    deterministic, so this is a frozen regression property, not a flaky
+    statistical test (measured ratio ~1.086 at sf0.01)."""
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.sources.tables import load
+
+    samp = SPECS["q_weighted_sample"].build(spark, sf_oracle)
+    d = load(spark, sf_oracle, "documents")
+    m_s = samp.join(d, ["doc_id"]).agg(F.avg("n_chars")).collect()[0][0]
+    m_all = d.agg(F.avg("n_chars")).collect()[0][0]
+    assert m_s > m_all * 1.02, (m_s, m_all)

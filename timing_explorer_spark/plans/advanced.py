@@ -650,3 +650,56 @@ def q_kmin_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load(spark, sf_dir, "orders")
     return kmin_distinct_estimate(o, ["o_orderpriority"], "o_custkey", k=64)
+
+
+@register(
+    "q_weighted_sample",
+    oracle="""
+        WITH keyed AS (
+            SELECT source, doc_id,
+                   -- Efraimidis-Spirakis key: u^(1/w), u = md5-prefix
+                   -- uniform in (0,1], w = n_chars (length-proportional).
+                   POW(
+                     (CAST(CAST(('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 13))
+                                AS BIGINT) AS DOUBLE) + 1.0)
+                       / 4503599627370497.0,
+                     1.0 / n_chars) AS k
+            FROM documents
+        )
+        SELECT source, doc_id, rk FROM (
+            SELECT source, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY source
+                                      ORDER BY k DESC, doc_id) AS rk
+            FROM keyed
+        )
+        WHERE rk <= 20
+    """,
+    doc=(
+        "Weighted sampling without replacement (Efraimidis-Spirakis): each "
+        "doc draws key u^(1/w) from a content-hash uniform u and weight w "
+        "(n_chars — longer docs proportionally likelier), and the top-k "
+        "keys per stratum are the sample. Deterministic across engines, "
+        "replays and cluster sizes (hash-derived u, not rand()); one "
+        "shuffle, WindowGroupLimit keeps per-stratum state at k. The "
+        "training-data shape: sample proportional to quality/length score "
+        "with an exactly reproducible draw. The uniform comes from a 52-bit md5 "
+        "prefix — the hash both engines compute identically (DuckDB's "
+        "hash() is not Spark's xxhash64)."
+    ),
+    tags=("sampling", "weighted", "corpus-prep"),
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    # u from the first 13 hex digits (52 bits — exactly a double mantissa) of
+    # md5: the one hash both engines spell identically. (DuckDB's hash() is
+    # NOT Spark's xxhash64 — verified divergent.)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10)
+        .cast("double") + 1.0
+    ) / 4503599627370497.0
+    key = F.pow(u, 1.0 / F.col("n_chars"))
+    w = Window.partitionBy("source").orderBy(F.desc(key), F.asc("doc_id"))
+    return (
+        d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
+        .where(F.col("rk") <= 20)
+    )
