@@ -770,3 +770,85 @@ def q_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("first_purchase").cast("long") - F.col("first_view").cast("long")).alias("latency_sec"),
         )
     )
+
+
+@register(
+    "q_window_growth",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   COUNT(*) AS n
+            FROM events
+            GROUP BY event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)
+        )
+        SELECT event_type, day, n,
+               LAG(n) OVER (PARTITION BY event_type ORDER BY day) AS prev_n,
+               CAST(n - LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+                    AS DOUBLE)
+                   / LAG(n) OVER (PARTITION BY event_type ORDER BY day)
+                   AS growth
+        FROM daily
+    """,
+    doc=(
+        "Window-over-window delta: day-over-day growth rate per series — "
+        "the KPI-trend shape (aggregate to the window grain, then lag "
+        "across windows). The window function runs on the tiny aggregated "
+        "table, partitioned by series key — never on raw events; growth is "
+        "a single division of exact integers (hash-exact)."
+    ),
+    tags=("timeseries", "window", "kpi"),
+)
+def q_window_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day")
+    prev = F.lag("n").over(w)
+    return daily.select(
+        "event_type", "day", "n",
+        prev.alias("prev_n"),
+        ((F.col("n") - prev).cast("double") / prev).alias("growth"),
+    )
+
+
+@register(
+    "q_data_profile",
+    oracle="""
+        SELECT
+            COUNT(*)                                   AS n_rows,
+            CAST(COUNT(*) - COUNT(user_id) AS BIGINT)  AS null_user_id,
+            CAST(COUNT(*) - COUNT(value) AS BIGINT)    AS null_value,
+            CAST(COUNT(*) - COUNT(props) AS BIGINT)    AS null_props,
+            COUNT(DISTINCT event_type)                 AS distinct_types,
+            COUNT(DISTINCT user_id)                    AS distinct_users,
+            CAST(MIN(ts) AS TIMESTAMP)                 AS min_ts,
+            CAST(MAX(ts) AS TIMESTAMP)                 AS max_ts,
+            MIN(value)                                 AS min_value,
+            MAX(value)                                 AS max_value
+        FROM events
+    """,
+    doc=(
+        "Single-pass data-quality profile: null counts, distinct counts, "
+        "and ranges for the event stream — the ingest-validation audit "
+        "every pipeline runs before trusting a new batch. One aggregation "
+        "(multi-distinct plans as one Expand), no per-column scans; at "
+        "100 TB this is a map-side-heavy single shuffle."
+    ),
+    tags=("profile", "quality", "agg"),
+)
+def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("user_id")).alias("null_user_id"),
+        (F.count(F.lit(1)) - F.count("value")).alias("null_value"),
+        (F.count(F.lit(1)) - F.count("props")).alias("null_props"),
+        F.countDistinct("event_type").alias("distinct_types"),
+        F.countDistinct("user_id").alias("distinct_users"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
