@@ -852,3 +852,53 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("value").alias("min_value"),
         F.max("value").alias("max_value"),
     )
+
+
+@register(
+    "q_type_affinity",
+    oracle="""
+        WITH sets AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        )
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               COUNT(*) AS n_users
+        FROM sets a JOIN sets b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    """,
+    doc=(
+        "Market-basket affinity: for every pair of event types, how many "
+        "users exhibit both. The oracle self-joins the (user, type) set; "
+        "the Spark plan instead collects each user's DISTINCT type set "
+        "(bounded by the type-vocabulary size, NOT by event count) and "
+        "expands ordered pairs with nested array HOFs — per-user work is "
+        "O(|types|²) with no join, and the pair counts aggregate map-side. "
+        "The self-join-free form is the one that survives 100 TB: the "
+        "event log is touched once."
+    ),
+    tags=("event-analytics", "affinity", "hof"),
+)
+def q_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    sets = (
+        e.groupBy("user_id").agg(
+            F.array_sort(F.collect_set("event_type")).alias("types")
+        )
+    )
+    # Ordered pairs (a < b) from the sorted set: for index i, pair with
+    # every later element — flatten(transform(i -> transform(j -> struct)))
+    pairs = F.flatten(
+        F.transform(
+            F.col("types"),
+            lambda t, i: F.transform(
+                F.slice(F.col("types"), i + 2, F.size(F.col("types"))),
+                lambda u: F.struct(t.alias("type_a"), u.alias("type_b")),
+            ),
+        )
+    )
+    return (
+        sets.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.type_a"), F.col("p.type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
