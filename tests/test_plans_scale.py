@@ -230,3 +230,19 @@ def test_stratified_sample_uses_windowgroup_limit(spark, sf_smoke):
     that makes fixed-quota sampling O(k) state at 100 TB."""
     plan = plan_of(spark, "q_stratified_sample_k", sf_smoke)
     assert "WindowGroupLimit" in plan
+
+
+def test_type_affinity_has_no_join(spark, sf_smoke):
+    """q_type_affinity must stay self-join-free: the pair expansion happens
+    in array HOFs over each user's bounded type set, so the physical plan
+    contains aggregation + generate but NO join operator at all."""
+    plan = plan_of(spark, "q_type_affinity", sf_smoke)
+    assert "Join" not in plan, plan
+    assert "Generate" in plan  # the explode of HOF-built pairs
+
+
+def test_weighted_sample_uses_windowgroup_limit(spark, sf_smoke):
+    """The weighted draw's rank<=k must plan as WindowGroupLimit (bounded
+    per-stratum state), same as the uniform stratified sampler."""
+    plan = plan_of(spark, "q_weighted_sample", sf_smoke)
+    assert "WindowGroupLimit" in plan
