@@ -1176,3 +1176,136 @@ def q_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rk") <= 3)
     )
+
+
+@register(
+    "q_rfm_segmentation",
+    oracle="""
+        WITH anchor AS (SELECT MAX(o_orderdate) AS max_d FROM orders),
+        rfm AS (
+            SELECT o_custkey AS custkey,
+                   DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                             CAST((SELECT max_d FROM anchor) AS DATE)) AS recency_days,
+                   COUNT(*) AS frequency,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT))
+                        AS DOUBLE) / 10000.0 AS monetary
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT CASE WHEN recency_days <= 180 THEN 'active'
+                    WHEN recency_days <= 540 THEN 'cooling'
+                    ELSE 'dormant' END AS recency_band,
+               CASE WHEN frequency >= 20 THEN 'frequent'
+                    WHEN frequency >= 10 THEN 'regular'
+                    ELSE 'occasional' END AS frequency_band,
+               CASE WHEN monetary >= 3000000 THEN 'high'
+                    WHEN monetary >= 1000000 THEN 'mid'
+                    ELSE 'low' END AS monetary_band,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(ROUND(monetary * 10000) AS BIGINT)) AS DOUBLE)
+                    / 10000.0 AS band_revenue
+        FROM rfm
+        GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "RFM (recency / frequency / monetary) customer segmentation — the "
+        "classic warehouse workload: one aggregation to per-customer RFM "
+        "facts (recency anchored to the corpus max date — a 1-row scalar "
+        "subquery, broadcast), fixed banding thresholds (deterministic at "
+        "any scale, unlike global-quantile bands), then the segment "
+        "rollup. Two shuffles total (custkey, then the 27-cell segment "
+        "grid); money stays on exact fixed-point unit sums end to end — "
+        "band_revenue re-rounds exact 4dp rationals, so the nested "
+        "unit-sum is lossless."
+    ),
+    tags=("agg", "segmentation", "scalar-subquery"),
+)
+def q_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("max_d"))
+    rfm = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.datediff(F.max("max_d"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            (F.sum(units(F.col("o_totalprice"), 10000)).cast("double") / F.lit(10000.0)).alias("monetary"),
+        )
+    )
+    rband = (
+        F.when(F.col("recency_days") <= 180, "active")
+        .when(F.col("recency_days") <= 540, "cooling")
+        .otherwise("dormant")
+    )
+    fband = (
+        F.when(F.col("frequency") >= 20, "frequent")
+        .when(F.col("frequency") >= 10, "regular")
+        .otherwise("occasional")
+    )
+    mband = (
+        F.when(F.col("monetary") >= 3000000, "high")
+        .when(F.col("monetary") >= 1000000, "mid")
+        .otherwise("low")
+    )
+    return (
+        rfm.groupBy(
+            rband.alias("recency_band"),
+            fband.alias("frequency_band"),
+            mband.alias("monetary_band"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            (F.sum(units(F.col("monetary"), 10000)).cast("double") / F.lit(10000.0)).alias("band_revenue"),
+        )
+    )
+
+
+@register(
+    "q_pareto_revenue",
+    oracle="""
+        WITH spend AS (
+            SELECT o_custkey AS custkey,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 10000) AS BIGINT))
+                        AS BIGINT) AS units
+            FROM orders GROUP BY o_custkey
+        )
+        SELECT custkey,
+               CAST(units AS DOUBLE) / 10000.0 AS spend,
+               CAST(SUM(units) OVER (ORDER BY -units, custkey
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS DOUBLE)
+                   / CAST((SELECT SUM(units) FROM spend) AS DOUBLE)
+                   AS cum_share
+        FROM spend
+    """,
+    doc=(
+        "Pareto / ABC revenue-concentration curve: customers ranked by "
+        "spend (descending, id tie-break), each carrying the cumulative "
+        "share of total revenue — 'which fraction of customers produce "
+        "80%% of revenue'. The cumulative sum runs over exact integer "
+        "units via the DISTRIBUTED two-phase prefix scan "
+        "(operators/prefix.py::running_total — range partition on the "
+        "sort key, local scans, broadcast offsets), never a single-task "
+        "global window; the share division is exact-int/exact-int, so "
+        "the curve is bit-identical at any cluster size."
+    ),
+    tags=("agg", "pareto", "prefix-scan"),
+)
+def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import running_total
+
+    o = load(spark, sf_dir, "orders")
+    spend = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(units(F.col("o_totalprice"), 10000)).alias("units_")
+    )
+    # ascending (-units, custkey) == descending spend with id tie-break
+    staged = spend.select("custkey", "units_", (-F.col("units_")).alias("neg"))
+    total = spend.agg(F.sum("units_").alias("t"))
+    run = running_total(staged, ["neg", "custkey"], "units_", alias="cum_units")
+    return (
+        run.crossJoin(F.broadcast(total))
+        .select(
+            "custkey",
+            (F.col("units_").cast("double") / F.lit(10000.0)).alias("spend"),
+            (F.col("cum_units").cast("double") / F.col("t").cast("double")).alias("cum_share"),
+        )
+    )
