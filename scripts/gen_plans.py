@@ -72,6 +72,8 @@ def main() -> None:
         "q_equidepth_histogram",
         "q_zscore_outliers",
         "q_scd2_intervals",
+        "q_pareto_revenue",
+        "q_type_affinity",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}
