@@ -246,3 +246,20 @@ def test_weighted_sample_uses_windowgroup_limit(spark, sf_smoke):
     per-stratum state), same as the uniform stratified sampler."""
     plan = plan_of(spark, "q_weighted_sample", sf_smoke)
     assert "WindowGroupLimit" in plan
+
+
+def test_exact_similarity_has_no_driver_collect(spark, sf_smoke, monkeypatch):
+    """q_embedding_nn / q_embedding_neardup must never materialize the corpus
+    on the driver (round-2 verdict "What's wrong" #3): the dense build side is
+    loaded by each WORKER from parquet (_worker_load_matrix). Any driver-side
+    toPandas/collect during build+execute fails this test."""
+    import pyspark.sql.classic.dataframe as cdf
+
+    def _boom(self, *a, **k):  # noqa: ANN001
+        raise AssertionError("driver-side materialization in registered similarity path")
+
+    monkeypatch.setattr(cdf.DataFrame, "toPandas", _boom)
+    monkeypatch.setattr(cdf.DataFrame, "collect", _boom)
+    for name in ("q_embedding_nn", "q_embedding_neardup"):
+        out = all_queries()[name].build(spark, sf_smoke)
+        assert out.count() > 0  # executes the mapInPandas path end-to-end

@@ -49,7 +49,12 @@ _COS = (
     tags=("similarity", "knn"),
 )
 def q_embedding_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return nearest_neighbor_all(load(spark, sf_dir, "embeddings"))
+    # corpus_path → the build-side matrix is loaded by each Python worker
+    # straight from parquet; the driver never materializes the corpus.
+    return nearest_neighbor_all(
+        load(spark, sf_dir, "embeddings"),
+        corpus_path=f"{sf_dir}/embeddings.parquet",
+    )
 
 
 @register(
@@ -92,7 +97,11 @@ def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "neardup"),
 )
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return embedding_neardup_pairs(load(spark, sf_dir, "embeddings"), threshold=0.45)
+    return embedding_neardup_pairs(
+        load(spark, sf_dir, "embeddings"),
+        threshold=0.45,
+        corpus_path=f"{sf_dir}/embeddings.parquet",
+    )
 
 
 @register(
