@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.generator import sensor_stream_batch
-from ..functions.numeric import exact_avg, exact_sum, units
+from ..functions.numeric import exact_avg, exact_sum, merge_split_sum, split_exact_sum, units
 from ..sources.tables import load
 from .registry import register
 
@@ -76,26 +76,19 @@ def q_events_per_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Tumbling bucket via date_trunc (cheapest equivalent of window('1 hour')
     # for calendar-aligned durations — no struct construction in the agg key).
     # value is 2-decimal sensor data, so the exact sum runs on the long-units
-    # fast path (functions/numeric.py::units) with a two-level merge:
-    # per-(group, partition) long partials, then a decimal combine — identical
-    # bits at any partitioning/scale, no BigDecimal in the per-row loop.
-    partial = (
-        e.groupBy(
-            "event_type",
-            F.date_trunc("hour", "ts").alias("window_start"),
-            F.spark_partition_id().alias("__pid"),
-        )
-        .agg(
-            F.count(F.lit(1)).alias("p_n"),
-            F.sum(units(F.col("value"), 10000)).alias("p_sum"),
-        )
-    )
+    # fast path as a split-accumulator sum (functions/numeric.py::
+    # split_exact_sum): two long aggregates, ONE exchange, exact decimal
+    # recombine per group — identical bits at any partitioning/scale, no
+    # BigDecimal in the per-row loop and no second aggregation stage.
+    hi, lo = split_exact_sum(F.col("value"), 10000)
     return (
-        partial.groupBy("event_type", "window_start")
+        e.groupBy("event_type", F.date_trunc("hour", "ts").alias("window_start"))
         .agg(
-            F.sum("p_n").alias("n_events"),
-            (F.sum(F.col("p_sum").cast("decimal(38,0)")).cast("double") / F.lit(10000.0)).alias("sum_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            hi.alias("__hi"),
+            lo.alias("__lo"),
         )
+        .withColumn("sum_value", merge_split_sum(F.col("__hi"), F.col("__lo"), 10000))
         .select(
             "event_type",
             "window_start",
