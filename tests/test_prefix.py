@@ -78,3 +78,19 @@ def test_prefix_scan_under_cluster_confs(spark, sf_smoke):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_sequence_packing_distributed_scan(spark, sf_smoke):
+    """q_sequence_packing's running token offset must plan as the two-phase
+    scan: a rangepartitioning exchange for the data path, with the only
+    ORDER-BY-without-PARTITION-BY window running over the per-partition
+    offset table (one row per partition, driver-scale)."""
+    from timing_explorer_spark.plans import all_queries
+
+    df = all_queries()["q_sequence_packing"].build(spark, sf_smoke)
+    je = df._jdf.queryExecution()
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = je.explainString(mode)
+    assert "rangepartitioning" in plan
+    # the big-side window is partitioned by __pid, never a global sort
+    assert "partitionBy=[__pid" in plan.replace(" ", "") or "__pid" in plan

@@ -66,3 +66,51 @@ def test_ivf_probes_bound_candidates(spark, sf_oracle):
     for qid, ranks in per_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= 10
+
+
+def test_tiled_build_side_matches_full_matrix(spark, sf_smoke):
+    """tile_rows streams the build side in bounded tiles; results must agree
+    with the full-matrix worker path: identical neighbor ids (running strict-
+    max reproduces argmax first-occurrence tie-breaks) and cos within BLAS
+    blocking noise (~2 ulps; per-tile matmuls block differently)."""
+    from timing_explorer_spark.sources.tables import load
+
+    emb = load(spark, sf_smoke, "embeddings")
+    path = f"{sf_smoke}/embeddings.parquet"
+    full = {
+        r.query_id: (r.neighbor_id, r.cos)
+        for r in nearest_neighbor_all(emb, corpus_path=path).collect()
+    }
+    tiled = {
+        r.query_id: (r.neighbor_id, r.cos)
+        for r in nearest_neighbor_all(emb, corpus_path=path, tile_rows=37).collect()
+    }
+    assert full.keys() == tiled.keys()
+    for qid, (nid, cos) in full.items():
+        t_nid, t_cos = tiled[qid]
+        assert t_nid == nid, (qid, nid, t_nid)
+        assert abs(t_cos - cos) < 1e-12
+
+
+def test_tiled_neardup_matches_full_matrix(spark, sf_smoke):
+    from timing_explorer_spark.operators.similarity import embedding_neardup_pairs
+    from timing_explorer_spark.sources.tables import load
+
+    emb = load(spark, sf_smoke, "embeddings")
+    path = f"{sf_smoke}/embeddings.parquet"
+    full = {(r.id_a, r.id_b) for r in embedding_neardup_pairs(emb, 0.45, corpus_path=path).collect()}
+    tiled = {
+        (r.id_a, r.id_b)
+        for r in embedding_neardup_pairs(emb, 0.45, corpus_path=path, tile_rows=41).collect()
+    }
+    assert full == tiled and len(full) > 0
+
+
+def test_tile_rows_requires_path(spark, sf_smoke):
+    import pytest as _pytest
+
+    from timing_explorer_spark.sources.tables import load
+
+    emb = load(spark, sf_smoke, "embeddings")
+    with _pytest.raises(ValueError):
+        nearest_neighbor_all(emb, tile_rows=10)

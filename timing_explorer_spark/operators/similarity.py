@@ -78,11 +78,33 @@ def _worker_load_matrix(corpus_path: str, id_col: str, vec_col: str):
     return ids, mat
 
 
+def _worker_iter_tiles(corpus_path: str, id_col: str, vec_col: str, tile_rows: int):
+    """Executor-side: stream the build side as bounded (ids, matrix) tiles
+    (pyarrow record batches re-chunked to ``tile_rows``). Peak memory is one
+    tile (+ the probe batch), independent of corpus size — the shape that
+    stays alive when the corpus outgrows worker memory and full-matrix
+    caching (_worker_load_matrix) stops being an option. IO amortization at
+    scale comes from Spark's own batching: one scan of the build side per
+    probe TASK, each task holding thousands of probe rows."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    dataset = ds.dataset(corpus_path)
+    for rb in dataset.to_batches(columns=[id_col, vec_col], batch_size=tile_rows):
+        if rb.num_rows == 0:
+            continue
+        ids = rb.column(0).to_numpy(zero_copy_only=False)
+        arr = rb.column(1)
+        flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+        yield ids, flat.reshape(rb.num_rows, -1)
+
+
 def nearest_neighbor_all(
     corpus: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_path: str | None = None,
+    tile_rows: int | None = None,
 ) -> DataFrame:
     """Top-1 neighbor for EVERY corpus vector (all-pairs cosine), exact.
 
@@ -96,14 +118,20 @@ def nearest_neighbor_all(
     query path), every Python worker loads the matrix itself from parquet
     (_worker_load_matrix) — zero driver materialization. Without a path
     (ad-hoc DataFrames in unit tests), the matrix is collected and broadcast;
-    that fallback is driver-bounded (~1M x 64 = 512 MB). Beyond
-    worker-memory scale the answer is tiling the corpus (loop over chunks) or
-    lsh_topk — all-pairs exact NN over 100 TB is not a thing regardless of
+    that fallback is driver-bounded (~1M x 64 = 512 MB).
+
+    ``tile_rows`` (needs corpus_path) bounds worker memory: the build side
+    streams as tiles (_worker_iter_tiles) with a running per-query best —
+    peak memory one tile regardless of corpus size, the configuration for a
+    corpus that outgrows worker RAM. Past ~10^7 vectors prefer lsh_topk /
+    ivf_topk — all-pairs exact NN over 100 TB is not a thing regardless of
     engine.
     """
     import numpy as np
     import pandas as pd
 
+    if tile_rows is not None and corpus_path is None:
+        raise ValueError("tile_rows requires corpus_path (worker-side streaming)")
     if corpus_path is None:
         pdf = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).toPandas()
         ids = pdf["vid"].to_numpy()
@@ -133,8 +161,29 @@ def nearest_neighbor_all(
                 }
             )
 
+    def top1_tiled(batches):
+        for batch in batches:
+            q = np.vstack(batch["v"].to_numpy()).astype(np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            qids = batch["vid"].to_numpy()
+            best_cos = np.full(len(qids), -np.inf)
+            best_id = np.zeros(len(qids), dtype=np.int64)
+            for t_ids, t_mat in _worker_iter_tiles(corpus_path, id_col, vec_col, tile_rows):
+                t_mat = t_mat / np.linalg.norm(t_mat, axis=1, keepdims=True)
+                sims = q @ t_mat.T
+                sims[qids[:, None] == t_ids[None, :]] = -np.inf  # exclude self
+                arg = sims.argmax(axis=1)
+                cand = sims[np.arange(len(qids)), arg]
+                # strict > keeps the EARLIEST corpus position on exact ties —
+                # the same choice argmax makes over the full matrix.
+                upd = cand > best_cos
+                best_cos[upd] = cand[upd]
+                best_id[upd] = t_ids[arg[upd]]
+            yield pd.DataFrame({"query_id": qids, "neighbor_id": best_id, "cos": best_cos})
+
     return corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).mapInPandas(
-        top1, schema="query_id long, neighbor_id long, cos double"
+        top1 if tile_rows is None else top1_tiled,
+        schema="query_id long, neighbor_id long, cos double",
     )
 
 
@@ -144,6 +193,7 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     corpus_path: str | None = None,
+    tile_rows: int | None = None,
 ) -> DataFrame:
     """All pairs with cosine ≥ threshold (embedding near-duplicate check).
 
@@ -158,11 +208,14 @@ def embedding_neardup_pairs(
 
     Build side: worker-side parquet re-read when ``corpus_path`` is given
     (no driver materialization — see _worker_load_matrix); driver broadcast
-    fallback otherwise. Beyond worker-memory scale the path is tiling or the
-    LSH prefilter (lsh_topk)."""
+    fallback otherwise. ``tile_rows`` streams the build side in bounded
+    tiles (peak memory one tile — pairs are emitted per tile, no cross-tile
+    state); past that, the LSH prefilter (lsh_topk)."""
     import numpy as np
     import pandas as pd
 
+    if tile_rows is not None and corpus_path is None:
+        raise ValueError("tile_rows requires corpus_path (worker-side streaming)")
     if corpus_path is None:
         pdf = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).toPandas()
         ids = pdf["vid"].to_numpy()
@@ -187,8 +240,22 @@ def embedding_neardup_pairs(
                 {"id_a": qids[r], "id_b": b_ids[c], "cos": cos[r, c]}
             )
 
+    def pairs_tiled(batches):
+        for batch in batches:
+            q = np.vstack(batch["v"].to_numpy()).astype(np.float64)
+            qids = batch["vid"].to_numpy()
+            qn = np.linalg.norm(q, axis=1)
+            for t_ids, t_mat in _worker_iter_tiles(corpus_path, id_col, vec_col, tile_rows):
+                t_norms = np.linalg.norm(t_mat, axis=1)
+                cos = (q @ t_mat.T) / np.outer(qn, t_norms)
+                keep = (cos >= threshold) & (qids[:, None] < t_ids[None, :])
+                r, c = np.nonzero(keep)
+                if len(r):
+                    yield pd.DataFrame({"id_a": qids[r], "id_b": t_ids[c], "cos": cos[r, c]})
+
     return corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v")).mapInPandas(
-        pairs, schema="id_a long, id_b long, cos double"
+        pairs if tile_rows is None else pairs_tiled,
+        schema="id_a long, id_b long, cos double",
     )
 
 

@@ -322,3 +322,83 @@ def q_neardup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+_COS_DOUBLE = (
+    "list_dot_product(a.v, b.v) / "
+    "(SQRT(list_dot_product(a.v, a.v)) * SQRT(list_dot_product(b.v, b.v)))"
+)
+
+
+@register(
+    "q_semantic_dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE e AS (
+            SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+        ),
+        pairs AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE {_COS_DOUBLE} >= 0.45
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION
+            SELECT id_b AS src, id_a AS dst FROM pairs
+        ),
+        reach(doc, rep) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e2.dst, r.rep FROM reach r JOIN edges e2 ON e2.src = r.doc
+        ),
+        comp AS (SELECT doc, MIN(rep) AS rep FROM reach GROUP BY doc),
+        sel AS (
+            SELECT c.rep, d.doc_id, d.n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY c.rep
+                                      ORDER BY d.n_chars DESC, d.doc_id) AS rk,
+                   COUNT(*) OVER (PARTITION BY c.rep) AS n_members
+            FROM comp c JOIN documents d ON d.doc_id = c.doc
+        )
+        SELECT rep, doc_id AS keep_id, n_chars AS keep_quality,
+               CAST(n_members AS BIGINT) AS n_members
+        FROM sel WHERE rk = 1
+    """,
+    doc=(
+        "SEMANTIC dedup, end-to-end: embedding-cosine near-dup pairs "
+        "(vec_id aligns with doc_id in the fixtures) -> connected components "
+        "(min-label propagation) -> keep the highest-quality member per "
+        "cluster (n_chars proxy, ties to lower id). The embedding analog of "
+        "q_neardup_keep_best: the dedup decision comes from vector "
+        "similarity, the keep policy from document metadata — the composed "
+        "shape of a production semantic-dedup stage. All three building "
+        "blocks are independently oracle-verified; this query verifies their "
+        "composition."
+    ),
+    tags=("dedup", "similarity", "components", "policy"),
+)
+def q_semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import embedding_neardup_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    emb = load(spark, sf_dir, "embeddings")
+    pairs = embedding_neardup_pairs(
+        emb, threshold=0.45, corpus_path=f"{sf_dir}/embeddings.parquet"
+    ).select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+    labels = resolve_components(pairs)
+    joined = labels.join(docs, labels.doc == docs.doc_id)
+    w = Window.partitionBy("rep").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = Window.partitionBy("rep")
+    return (
+        joined.select(
+            "rep", "doc_id", "n_chars",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n_members"),
+        )
+        .where(F.col("rk") == 1)
+        .select(
+            "rep",
+            F.col("doc_id").alias("keep_id"),
+            F.col("n_chars").alias("keep_quality"),
+            "n_members",
+        )
+    )

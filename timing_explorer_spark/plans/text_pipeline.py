@@ -501,3 +501,59 @@ def q_fuzzy_name_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select("p_partkey", "p_name", dist.alias("edit_dist"))
         .where(F.col("edit_dist") <= 4)
     )
+
+
+@register(
+    "q_sequence_packing",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id,
+                   md5(CAST(doc_id AS VARCHAR))   AS shuffle_key,
+                   LEN(string_split(text, ' '))   AS n_tokens
+            FROM documents
+        ), o AS (
+            SELECT *,
+                   SUM(n_tokens) OVER (ORDER BY shuffle_key, doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_tokens
+                       AS cum_before
+            FROM t
+        )
+        SELECT CAST(cum_before // 512 AS BIGINT)        AS seq_id,
+               COUNT(*)                                 AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT)            AS total_tokens,
+               CAST(SUM(n_tokens) AS DOUBLE) / 512.0    AS fill_ratio
+        FROM o
+        GROUP BY cum_before // 512
+    """,
+    doc=(
+        "Training-sequence packing: documents are put in a deterministic "
+        "pseudo-random training order (md5 of doc_id — reproducible across "
+        "engines and replays, unlike rand()), then greedily packed into "
+        "contiguous sequences of a 512-token budget: a doc belongs to the "
+        "sequence where its running-token offset falls (spillover docs "
+        "continue into the next sequence, the pack-then-split convention). "
+        "The running offset is the DISTRIBUTED two-phase prefix scan "
+        "(operators/prefix.py::running_total) — a global ORDER BY window "
+        "would be one task holding the corpus at 100 TB."
+    ),
+    tags=("text", "training-prep", "prefix-scan"),
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.prefix import running_total
+
+    budget = 512
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        token_count(F.col("text")).alias("n_tokens"),
+    )
+    running = running_total(d, ["shuffle_key", "doc_id"], "n_tokens", alias="cum")
+    return (
+        running.withColumn("cum_before", F.col("cum") - F.col("n_tokens"))
+        .groupBy(F.expr(f"cum_before DIV {budget}").alias("seq_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            (F.sum("n_tokens").cast("double") / F.lit(float(budget))).alias("fill_ratio"),
+        )
+    )
