@@ -83,3 +83,110 @@ def test_stateful_window_labels_end_inclusive(spark, stateful_run):
     for r in rows:
         ms = int(r["window_end_label"].timestamp() * 1000)
         assert ms % 1000 == 999, f"label {r['window_end_label']} not end-inclusive"
+
+
+class _FakeGroupState:
+    """Minimal GroupState stand-in for unit-testing the proc-time fn."""
+
+    def __init__(self, now_ms, state=None, timed_out=False):
+        self._now = now_ms
+        self._state = state
+        self.hasTimedOut = timed_out
+        self.removed = False
+        self.timeout_duration = None
+
+    @property
+    def exists(self):
+        return self._state is not None
+
+    @property
+    def get(self):
+        return self._state
+
+    def getCurrentProcessingTimeMs(self):
+        return self._now
+
+    def update(self, row):
+        self._state = row
+
+    def setTimeoutDuration(self, ms):
+        self.timeout_duration = ms
+
+    def remove(self):
+        self._state = None
+        self.removed = True
+
+
+def test_proctime_fn_buckets_by_arrival_and_arms_timer():
+    """PseudoWindow proc-time branch (PseudoWindow.java:79-90): arriving rows
+    land in the CURRENT processing-time window; the per-key timer is armed
+    just past the earliest open inclusive end."""
+    import pandas as pd
+
+    from timing_explorer_spark.streaming.stateful import make_pseudo_window_proctime_fn
+
+    fn = make_pseudo_window_proctime_fn(duration_ms=1000)
+    now = 1_700_000_000_500  # mid-window; window end = ...000_999
+    st = _FakeGroupState(now_ms=now)
+    out = list(fn(("temp",), [pd.DataFrame({"v": range(7)})], st))
+    assert out == []  # nothing closed yet
+    ends, counts = st.get
+    assert ends == str(1_700_000_000_999) and counts == "7"
+    assert st.timeout_duration == 1_700_000_000_999 + 1 - now
+
+
+def test_proctime_fn_timer_fires_emits_and_clears():
+    import pandas as pd
+
+    from timing_explorer_spark.streaming.stateful import make_pseudo_window_proctime_fn
+
+    fn = make_pseudo_window_proctime_fn(duration_ms=1000)
+    st = _FakeGroupState(
+        now_ms=1_700_000_001_100,  # past the inclusive end
+        state=(str(1_700_000_000_999), "7"),
+        timed_out=True,
+    )
+    [out] = list(fn(("temp",), iter(()), st))
+    assert out["value"].tolist() == [7]
+    assert out["key"].tolist() == ["temp"]
+    assert int(out["window_end_label"].astype("int64").iloc[0] // 1_000_000) == 1_700_000_000_999
+    assert st.removed  # no open windows left
+
+
+def test_proctime_stream_conserves_counts(spark, tmp_path):
+    """End-to-end with REAL processing-time timers: every ingested event is
+    emitted by some timer callback once the stream has idled past the last
+    window (non-deterministic window assignment, deterministic total)."""
+    import time
+
+    from timing_explorer_spark.streaming.stateful import pseudo_window_proctime
+
+    data = str(tmp_path / "input")
+    write_generator_files(spark, data, n_events=100, files=2)
+    q = (
+        pseudo_window_proctime(sensor_stream_from_files(spark, data), duration_ms=300)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="200 milliseconds")
+        .start()
+    )
+    try:
+        deadline = time.time() + 60
+        total = 0
+        while time.time() < deadline:
+            time.sleep(1.0)
+            try:
+                total = (
+                    spark.read.parquet(str(tmp_path / "out"))
+                    .agg(F.sum("value").alias("s"))
+                    .collect()[0]["s"]
+                ) or 0
+            except Exception:
+                total = 0  # no files yet
+            if total == 200:  # 100 events x 2 keys
+                break
+        assert total == 200
+    finally:
+        q.stop()

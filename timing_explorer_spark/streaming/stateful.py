@@ -152,6 +152,79 @@ def pseudo_window_stateful(
     )
 
 
+def make_pseudo_window_proctime_fn(duration_ms: int = 1000):
+    """Processing-time PseudoWindow (PseudoWindow.java:79-90's
+    ``useProcessingTime`` branch): events are bucketed by their ARRIVAL time
+    at the operator, a per-key processing-time timer fires at the window end,
+    and the count is emitted from the timer callback — non-deterministic by
+    design, exactly like the reference (the assigned window depends on when
+    the event physically arrives).
+
+    GroupState gives one timeout per key, so as in the event-time operator
+    the timer is kept at the earliest open window end and re-armed after
+    every sweep (the multi-timer → single-timeout translation)."""
+
+    def fn(
+        key: tuple[str],
+        pdfs: Iterable["pd.DataFrame"],
+        state: GroupState,
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        windows = _decode(state.get) if state.exists else {}
+        now_ms = state.getCurrentProcessingTimeMs()
+
+        if not state.hasTimedOut:
+            n = 0
+            for pdf in pdfs:
+                n += len(pdf)
+            if n:
+                # All rows in this invocation arrive NOW (processElement's
+                # ctx.timerService().currentProcessingTime()).
+                end = now_ms - (now_ms % duration_ms) + duration_ms - 1
+                windows[end] = windows.get(end, 0) + n
+
+        # onTimer parity: close every window whose inclusive end has passed.
+        closed = sorted(e for e in windows if e < now_ms)
+        out = None
+        if closed:
+            out = pd.DataFrame(
+                {
+                    "key": [key[0]] * len(closed),
+                    "window_end_label": pd.to_datetime(closed, unit="ms"),
+                    "value": [windows.pop(e) for e in closed],
+                }
+            )
+
+        if windows:
+            state.update(_encode(windows))
+            state.setTimeoutDuration(max(1, min(windows) + 1 - now_ms))
+        elif state.exists:
+            state.remove()
+
+        if out is not None:
+            yield out
+
+    return fn
+
+
+def pseudo_window_proctime(sensors: DataFrame, duration_ms: int = 1000) -> DataFrame:
+    """Keyed tumbling PROCESSING-time count windows with real per-key timers
+    (GroupStateTimeout.ProcessingTimeTimeout) — the timer-based analog of the
+    reference's proc-time mode; pipeline.processing_time_windows remains the
+    deterministic-ish foreachBatch alternative. No watermark: processing time
+    needs none (late data cannot exist)."""
+    return (
+        sensors.groupBy("key").applyInPandasWithState(
+            make_pseudo_window_proctime_fn(duration_ms),
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def read_state_rows(spark, checkpoint_dir: str, **options: str) -> DataFrame:
     """ChangeBackend read-path parity for the stateful operator: decode the
     operator's GroupState rows from a checkpoint via the Spark 4 statestore
