@@ -467,3 +467,56 @@ def resolve_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
         return labels
     finally:
         sess.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def containment_pairs(
+    docs: DataFrame,
+    threshold: float = 0.9,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Shingle-containment near-dup pairs: C(A,B) = |A∩B| / min(|A|,|B|) ≥ t.
+
+    Containment is the subset-duplicate detector Jaccard misses: a document
+    quoted whole inside a much larger one has tiny Jaccard (the union is
+    dominated by the big doc) but containment ≈ 1 (Broder 1997's "resemblance
+    vs containment" distinction). Same inverted-index candidate generation as
+    ``jaccard_pairs`` — only docs sharing a shingle ever meet, the self-join
+    key is the 8-byte xxhash64 of the shingle, and the shingle arrays come
+    from the shared per-doc cache (computed once across both operators).
+    Scale shape is identical to jaccard: one bucketed self-join, no O(n²).
+    """
+    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    shingled = _shingled_arrays(docs, n, text_col, id_col)
+    sizes = shingled.select("doc", F.size("__arr").alias("sz"))
+    idx = shingled.select("doc", F.explode("__arr").alias("__s")).select(
+        "doc", F.xxhash64("__s").alias("s")
+    )
+    if max_shingle_df is not None:
+        rare = idx.groupBy("s").agg(F.count(F.lit(1)).alias("df")).where(F.col("df") <= max_shingle_df)
+        idx = idx.join(rare.select("s"), "s")
+    idx = idx.repartition(n_parts, "s")
+    a = idx.alias("a")
+    b = idx.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    return (
+        common.join(sa, F.col("doc_a") == F.col("sa.doc"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc"))
+        .select(
+            "doc_a",
+            "doc_b",
+            (
+                F.col("c").cast("double")
+                / F.least(F.col("sa.sz"), F.col("sb.sz")).cast("double")
+            ).alias("containment"),
+        )
+        .where(F.col("containment") >= threshold)
+    )

@@ -402,3 +402,42 @@ def q_semantic_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "q_containment_neardup",
+    oracle="""
+        WITH words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        sh AS (
+            SELECT doc_id,
+                   UNNEST(list_distinct(list_transform(
+                       range(greatest(len(w) - 2, 0)),
+                       i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3]))) AS s
+            FROM words
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY a.doc_id, b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               CAST(c AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) AS containment
+        FROM common
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(c AS DOUBLE) / CAST(LEAST(sa.sz, sb.sz) AS DOUBLE) >= 0.9
+    """,
+    doc=(
+        "Subset-duplicate pairs via shingle CONTAINMENT (|A∩B|/min(|A|,|B|) "
+        "≥ 0.9, Broder 1997): catches a small doc quoted whole inside a "
+        "large one, which Jaccard misses (union dominated by the large doc). "
+        "Same inverted-index self-join shape as q_jaccard_neardup_pairs and "
+        "shares its cached shingle arrays."
+    ),
+    tags=("dedup", "neardup", "containment"),
+)
+def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(load(spark, sf_dir, "documents"), threshold=0.9, n=3)

@@ -557,3 +557,31 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("n_tokens").cast("double") / F.lit(float(budget))).alias("fill_ratio"),
         )
     )
+
+
+@register(
+    "q_vocab_heavy_hitters",
+    oracle="""
+        WITH w AS (SELECT UNNEST(string_split(text, ' ')) AS word FROM documents),
+        tot AS (SELECT COUNT(*) AS n FROM w)
+        SELECT word, COUNT(*) AS freq
+        FROM w
+        GROUP BY word
+        HAVING COUNT(*) >= (SELECT CEIL(0.005 * n) FROM tot)
+    """,
+    doc=(
+        "Exact corpus-vocabulary heavy hitters (freq >= 0.5% of all tokens) "
+        "via per-partition Misra-Gries candidate generation + exact recount "
+        "of candidates only (operators/heavy_hitters.py). The Zipf tail — "
+        "the overwhelming bulk of a 100 TB vocabulary — is filtered map-side "
+        "against the broadcast candidate set and never shuffles; output is "
+        "exact, so a plain GROUP BY/HAVING is the oracle."
+    ),
+    tags=("text", "heavy-hitters", "sketch", "llm-pipeline"),
+)
+def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy_hitters import heavy_hitters
+
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word"))
+    return heavy_hitters(words, phi=0.005, key_col="word")

@@ -1,0 +1,427 @@
+"""TSDB-style continuous analytics over the ``events`` series.
+
+Round-3 extensions of the reference's Grafana query surface (SURVEY §2.1:
+time-bucketed re-aggregation + fill(null) is all the reference's dashboards
+can do — dashboard.json:295-331). These are the operators a real TSDB layers
+on top of that surface, each expressed as declarative Spark and oracle-backed:
+
+  q_m4_downsample        M4 width-preserving downsampling (Jugel et al.,
+                         "M4: A Visualization-Oriented Time Series Data
+                         Aggregation", VLDB 2014): per pixel-bucket emit
+                         min/max/first/last — the 4 points that make a
+                         line-chart render pixel-identical to the full series.
+  q_time_weighted_avg    time-weighted average (the irregular-sampling-safe
+                         mean): each observation weighted by its holding
+                         interval, LOCF segments, day-end closed.
+  q_gap_fill_interpolate linear interpolation across missing buckets
+                         (InfluxQL fill(linear) / timescale interpolate()).
+  q_mad_outliers         robust outlier counts via median absolute deviation
+                         (modified z-score, Iglewicz-Hoaglin), using exact
+                         element medians so both engines agree bit-for-bit.
+  q_sensor_correlation   pairwise correlation matrix between the per-type
+                         hourly series, via order-independent exact moments.
+
+Scale notes: every query is one hash shuffle on its (series, bucket) grain
+(map-side partial agg), except the interpolation spine window — the spine is
+O(time-range/interval) rows, independent of fact cardinality, so its single
+ordered window is driver-scale data by construction at any SF. The M4
+window sort rides the same shuffle as its aggregation (partitionBy ==
+groupBy keys). No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.numeric import exact_avg
+from ..sources.tables import load
+from .registry import register
+
+# 6-hour pixel buckets in microseconds (the "pixel width" of the downsample).
+_M4_BUCKET_US = 6 * 3600 * 1_000_000
+
+
+@register(
+    "q_m4_downsample",
+    oracle=f"""
+        WITH pts AS (
+            SELECT event_type, value, ts, event_id,
+                   CAST(FLOOR(epoch_us(ts) / {_M4_BUCKET_US}) AS BIGINT) AS bkt,
+                   ROW_NUMBER() OVER (PARTITION BY event_type,
+                                          CAST(FLOOR(epoch_us(ts) / {_M4_BUCKET_US}) AS BIGINT)
+                                      ORDER BY ts, event_id) AS rn_a,
+                   ROW_NUMBER() OVER (PARTITION BY event_type,
+                                          CAST(FLOOR(epoch_us(ts) / {_M4_BUCKET_US}) AS BIGINT)
+                                      ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM events
+        )
+        SELECT event_type,
+               make_timestamp(bkt * {_M4_BUCKET_US}) AS bucket,
+               COUNT(*)                              AS n,
+               MIN(value)                            AS v_min,
+               MAX(value)                            AS v_max,
+               MAX(CASE WHEN rn_a = 1 THEN value END) AS v_first,
+               MAX(CASE WHEN rn_d = 1 THEN value END) AS v_last,
+               MIN(ts)                               AS t_first,
+               MAX(ts)                               AS t_last
+        FROM pts
+        GROUP BY event_type, bkt
+    """,
+    doc=(
+        "M4 downsampling (VLDB'14): per (series, pixel-bucket) keep "
+        "min/max/first/last — error-free line-chart reduction from N points "
+        "to 4×pixels. First/last are made deterministic with a (ts, event_id) "
+        "total order (arg-min/max on ts alone ties on equal timestamps). One "
+        "shuffle: the row_number windows sort within the same (type, bucket) "
+        "hash partitioning the aggregation consumes."
+    ),
+    tags=("timeseries", "downsample", "m4", "window"),
+)
+def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    bkt = F.floor(F.unix_micros(F.col("ts")) / F.lit(_M4_BUCKET_US)).cast("bigint")
+    pts = e.select("event_type", "value", "ts", "event_id", bkt.alias("bkt"))
+    w_a = Window.partitionBy("event_type", "bkt").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "bkt").orderBy(F.desc("ts"), F.desc("event_id"))
+    pts = pts.withColumn("rn_a", F.row_number().over(w_a)).withColumn(
+        "rn_d", F.row_number().over(w_d)
+    )
+    return (
+        pts.groupBy("event_type", "bkt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("v_last"),
+            F.min("ts").alias("t_first"),
+            F.max("ts").alias("t_last"),
+        )
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("bkt") * F.lit(_M4_BUCKET_US)).alias("bucket"),
+            "n",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+            "t_first",
+            "t_last",
+        )
+    )
+
+
+@register(
+    "q_time_weighted_avg",
+    oracle="""
+        WITH seg AS (
+            SELECT event_type,
+                   CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   value,
+                   epoch_us(COALESCE(
+                       LEAD(ts) OVER (PARTITION BY event_type, DATE_TRUNC('day', ts)
+                                      ORDER BY ts, event_id),
+                       DATE_TRUNC('day', ts) + INTERVAL 1 DAY)) - epoch_us(ts) AS dt_us
+            FROM events
+        )
+        SELECT event_type, day,
+               (CAST(SUM(CAST(ROUND(value * dt_us * 100) AS BIGINT)) AS DOUBLE) / 100.0)
+                   / CAST(SUM(dt_us) AS DOUBLE) AS twa,
+               COUNT(*) AS n
+        FROM seg
+        GROUP BY event_type, day
+    """,
+    doc=(
+        "Time-weighted average per (series, day): each observation holds "
+        "until the next one (LOCF), the last until day end — the correct "
+        "mean under irregular sampling, where the plain AVG over-weights "
+        "bursts. Weighted sum in exact fixed-point units (value is 2-dp "
+        "rational, dt integer micros -> value*dt*100 is integral; Σdt per "
+        "group is bounded by the day length, so the long accumulator can "
+        "never overflow regardless of row count). One window + one agg on "
+        "the same (type, day) grain: a single shuffle."
+    ),
+    tags=("timeseries", "twa", "window-agg"),
+)
+def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    next_ts = F.coalesce(F.lead("ts").over(w), day + F.expr("INTERVAL 1 DAY"))
+    seg = e.select(
+        "event_type",
+        day.alias("day"),
+        "value",
+        (F.unix_micros(next_ts) - F.unix_micros(F.col("ts"))).alias("dt_us"),
+    )
+    # value*dt_us*100 is exactly integral (2-dp value, integer micros) —
+    # rint, not round: see functions/numeric.units.
+    wsum = F.sum(F.rint(F.col("value") * F.col("dt_us") * 100).cast("long"))
+    return seg.groupBy("event_type", "day").agg(
+        ((wsum.cast("double") / F.lit(100.0)) / F.sum("dt_us").cast("double")).alias("twa"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_gap_fill_interpolate",
+    oracle="""
+        WITH spine AS (
+            SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-30 23:00:00',
+                                          INTERVAL 1 HOUR)) AS bucket
+        ),
+        agg AS (
+            SELECT DATE_TRUNC('hour', ts) AS bucket,
+                   CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS mean_value
+            FROM events WHERE event_type = 'error'
+            GROUP BY DATE_TRUNC('hour', ts)
+        ),
+        joined AS (
+            SELECT s.bucket, a.mean_value FROM spine s LEFT JOIN agg a ON s.bucket = a.bucket
+        ),
+        nav AS (
+            SELECT bucket, mean_value,
+                   last_value(mean_value IGNORE NULLS) OVER
+                       (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS prev_v,
+                   last_value(CASE WHEN mean_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+                       (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS prev_b,
+                   first_value(mean_value IGNORE NULLS) OVER
+                       (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+                   first_value(CASE WHEN mean_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER
+                       (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_b
+            FROM joined
+        )
+        SELECT bucket,
+               CASE
+                   WHEN mean_value IS NOT NULL THEN mean_value
+                   WHEN prev_v IS NULL OR next_v IS NULL THEN NULL
+                   ELSE prev_v + (next_v - prev_v)
+                        * (CAST(epoch_us(bucket) - epoch_us(prev_b) AS DOUBLE)
+                           / CAST(epoch_us(next_b) - epoch_us(prev_b) AS DOUBLE))
+               END AS filled_value,
+               mean_value IS NULL AS interpolated
+        FROM nav
+    """,
+    doc=(
+        "fill(linear): hourly mean over a generated spine, missing buckets "
+        "linearly interpolated between the nearest observed neighbors "
+        "(leading/trailing gaps stay NULL — nothing to anchor to). The "
+        "navigation window is over the SPINE (O(range/interval) rows, "
+        "independent of fact cardinality), so its global ordering is "
+        "driver-scale by construction; the fact-side agg shuffles once."
+    ),
+    tags=("timeseries", "gapfill", "interpolation", "window"),
+)
+def q_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    agg = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(exact_avg(F.col("value"), "decimal(27,8)").alias("mean_value"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01 00:00:00").cast("timestamp"),
+                F.lit("2024-01-30 23:00:00").cast("timestamp"),
+                F.expr("INTERVAL 1 HOUR"),
+            )
+        ).alias("bucket")
+    )
+    joined = F.broadcast(spine).join(agg, "bucket", "left")
+    w_prev = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("bucket").rowsBetween(0, Window.unboundedFollowing)
+    obs_b = F.when(F.col("mean_value").isNotNull(), F.col("bucket"))
+    nav = joined.select(
+        "bucket",
+        "mean_value",
+        F.last("mean_value", ignorenulls=True).over(w_prev).alias("prev_v"),
+        F.last(obs_b, ignorenulls=True).over(w_prev).alias("prev_b"),
+        F.first("mean_value", ignorenulls=True).over(w_next).alias("next_v"),
+        F.first(obs_b, ignorenulls=True).over(w_next).alias("next_b"),
+    )
+    frac = (F.unix_micros(F.col("bucket")) - F.unix_micros(F.col("prev_b"))).cast("double") / (
+        F.unix_micros(F.col("next_b")) - F.unix_micros(F.col("prev_b"))
+    ).cast("double")
+    return nav.select(
+        "bucket",
+        F.when(F.col("mean_value").isNotNull(), F.col("mean_value"))
+        .when(F.col("prev_v").isNull() | F.col("next_v").isNull(), F.lit(None).cast("double"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+        .alias("filled_value"),
+        F.col("mean_value").isNull().alias("interpolated"),
+    )
+
+
+@register(
+    "q_mad_outliers",
+    oracle="""
+        WITH ranked AS (
+            SELECT event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+                   COUNT(*)    OVER (PARTITION BY event_type)                 AS n
+            FROM events
+        ),
+        med AS (
+            SELECT event_type, MAX(value) AS med
+            FROM ranked WHERE rn = (n + 1) // 2 GROUP BY event_type
+        ),
+        devs AS (
+            SELECT e.event_type, e.value, ABS(e.value - m.med) AS dev, m.med
+            FROM events e JOIN med m ON e.event_type = m.event_type
+        ),
+        dev_ranked AS (
+            SELECT event_type, med, value, dev,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rn,
+                   COUNT(*)    OVER (PARTITION BY event_type)               AS n
+            FROM devs
+        ),
+        mad AS (
+            SELECT event_type, MAX(dev) AS mad
+            FROM dev_ranked WHERE rn = (n + 1) // 2 GROUP BY event_type
+        )
+        SELECT d.event_type,
+               MAX(d.med)                                            AS med,
+               MAX(mad.mad)                                          AS mad,
+               COUNT(*)                                              AS n,
+               COUNT(CASE WHEN d.dev > 3.5 * mad.mad THEN 1 END)     AS n_outliers,
+               CAST(COUNT(CASE WHEN d.dev > 3.5 * mad.mad THEN 1 END) AS DOUBLE)
+                   / COUNT(*)                                        AS outlier_share
+        FROM devs d JOIN mad ON d.event_type = mad.event_type
+        GROUP BY d.event_type
+    """,
+    doc=(
+        "Robust outlier profile per series: median + MAD (median absolute "
+        "deviation), outlier = deviation > 3.5 MAD (Iglewicz-Hoaglin "
+        "modified z-score with the 0.6745 constant folded into the "
+        "threshold). Medians are exact ELEMENTS (lower median via "
+        "row_number selection), not interpolated — element selection is the "
+        "only median both engines reproduce bit-for-bit, which keeps the "
+        "dev > 3.5*mad comparison deterministic. Medians broadcast back "
+        "(5 rows); two ranking shuffles on the series key."
+    ),
+    tags=("timeseries", "stats", "outlier", "robust"),
+)
+def q_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events").select("event_type", "value")
+    w_rank = Window.partitionBy("event_type").orderBy("value")
+    w_all = Window.partitionBy("event_type")
+    ranked = e.select(
+        "event_type",
+        "value",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    med = (
+        ranked.where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .groupBy("event_type")
+        .agg(F.max("value").alias("med"))
+    )
+    devs = e.join(F.broadcast(med), "event_type").select(
+        "event_type", "value", "med", F.abs(F.col("value") - F.col("med")).alias("dev")
+    )
+    w_dev = Window.partitionBy("event_type").orderBy("dev")
+    dev_ranked = devs.select(
+        "event_type",
+        "dev",
+        F.row_number().over(w_dev).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    mad = (
+        dev_ranked.where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .groupBy("event_type")
+        .agg(F.max("dev").alias("mad"))
+    )
+    out = F.count(F.when(F.col("dev") > F.lit(3.5) * F.col("mad"), F.lit(1)))
+    return (
+        devs.join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("med").alias("med"),
+            F.max("mad").alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+            out.alias("n_outliers"),
+            (out.cast("double") / F.count(F.lit(1))).alias("outlier_share"),
+        )
+    )
+
+
+@register(
+    "q_sensor_correlation",
+    oracle="""
+        WITH hourly AS (
+            SELECT CAST(DATE_TRUNC('hour', ts) AS TIMESTAMP) AS bucket, event_type,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS s
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b, a.s AS x, b.s AS y
+            FROM hourly a JOIN hourly b
+              ON a.bucket = b.bucket AND a.event_type < b.event_type
+        ),
+        m AS (
+            SELECT type_a, type_b, COUNT(*) AS n,
+                   CAST(SUM(CAST(x AS DECIMAL(27,8))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(y AS DECIMAL(27,8))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(x AS DECIMAL(19,4)) * CAST(x AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(y AS DECIMAL(19,4)) * CAST(y AS DECIMAL(19,4))) AS DOUBLE) AS syy
+            FROM pairs GROUP BY type_a, type_b
+        )
+        SELECT type_a, type_b, n,
+               (n * sxy - sx * sy)
+                   / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr
+        FROM m
+    """,
+    doc=(
+        "Pairwise correlation matrix between the per-type hourly revenue "
+        "series (co-observed buckets only). Hourly sums are exact fixed-point "
+        "longs; moment sums are exact decimals — order-independent, so the "
+        "correlation is bit-reproducible under any partitioning (the builtin "
+        "corr's Welford merges are not). The self-join operates on the "
+        "bucketed aggregate (O(buckets × types) rows), not the facts."
+    ),
+    tags=("timeseries", "stats", "correlation"),
+)
+def q_sensor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            (F.sum(F.rint(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias(
+                "s"
+            )
+        )
+    )
+    a, b = hourly.alias("a"), hourly.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.s").alias("x"),
+        F.col("b.s").alias("y"),
+    )
+    xd = F.col("x").cast("decimal(19,4)")
+    yd = F.col("y").cast("decimal(19,4)")
+    m = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast("decimal(27,8)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(27,8)")).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    return m.select(
+        "type_a",
+        "type_b",
+        "n",
+        ((n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))).alias(
+            "corr"
+        ),
+    )
