@@ -66,6 +66,8 @@ def test_q05_dimensions_broadcast(spark, sf_smoke):
         "q_asof_join_last_click",
         "q_interval_join_close_events",
         "q_jaccard_neardup_pairs",
+        "q_containment_neardup",
+        "q_sensor_correlation",
     ],
 )
 def test_no_cartesian_products(spark, sf_smoke, name):
@@ -103,7 +105,9 @@ def test_q01_whole_stage_codegen(spark, sf_smoke):
 @pytest.mark.parametrize(
     "name",
     ["q01_pricing_summary", "q03_shipping_priority", "q_events_per_window",
-     "q_time_bucket_avg", "q_exact_dedup_docs", "q_token_stats"],
+     "q_time_bucket_avg", "q_exact_dedup_docs", "q_token_stats",
+     "q_m4_downsample", "q_time_weighted_avg", "q_gap_fill_interpolate",
+     "q_mad_outliers", "q_sensor_correlation", "q_embedding_rp_project"],
 )
 def test_no_python_udfs_in_relational_hot_paths(spark, sf_smoke, name):
     """Relational/text queries stay JVM-side end to end. (Pandas UDFs are
@@ -263,3 +267,11 @@ def test_exact_similarity_has_no_driver_collect(spark, sf_smoke, monkeypatch):
     for name in ("q_embedding_nn", "q_embedding_neardup"):
         out = all_queries()[name].build(spark, sf_smoke)
         assert out.count() > 0  # executes the mapInPandas path end-to-end
+
+
+def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_smoke):
+    """The exact-recount pass must semi-join the stream against a BROADCAST
+    candidate set (map-side tail filtering — the long tail never shuffles)."""
+    plan = plan_of(spark, "q_vocab_heavy_hitters", sf_smoke)
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi" in plan

@@ -446,3 +446,49 @@ def ivf_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return cands.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
+
+
+def random_projection(
+    embs: DataFrame,
+    out_dims: int = 8,
+    in_dims: int = 64,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic quantized random projection: in_dims -> out_dims.
+
+    The Johnson-Lindenstrauss shape used to cheapen downstream similarity
+    passes (Achlioptas 2003 showed sparse integer matrices {-1,0,+1}/{±3}
+    suffice — no Gaussians needed). Two engineering choices make the operator
+    bit-reproducible across engines, partitionings, and replays:
+
+      - the projection matrix is a pure integer formula of (j, d) —
+        w(j,d) = (((j*73856093) XOR (d*19349663)) mod 7) - 3, an
+        Achlioptas-style bounded integer surrogate (the multipliers are the
+        classic spatial-hash primes; XOR mixing keeps rows linearly
+        independent, unlike affine-mod-7 formulas whose rows repeat with
+        period 7) — so there is no RNG state to ship or seed-sync;
+      - inputs are first quantized to integer units (floor(x * quant) —
+        floor, not round: round-half rules differ across engines), so the
+        accumulation is exact integer arithmetic with no FP-order sensitivity.
+
+    Entirely JVM-side HOF arithmetic (one sequence-aggregate per output dim):
+    no shuffle, no Python, embarrassingly parallel over rows.
+    """
+    emb = F.col(vec_col)
+
+    def proj(j: int):
+        def merge(acc, d):
+            w = (F.lit(j * 73856093).cast("long").bitwiseXOR((d * 19349663).cast("long")) % 7) - 3
+            return acc + F.floor(F.element_at(emb, (d + 1).cast("int")) * quant).cast("long") * w
+
+        return F.aggregate(F.sequence(F.lit(0), F.lit(in_dims - 1)), F.lit(0).cast("long"), merge)
+
+    return embs.select(
+        F.col(id_col),
+        *[
+            (proj(j).cast("double") / F.lit(float(quant))).alias(f"p{j}")
+            for j in range(out_dims)
+        ],
+    )

@@ -137,3 +137,40 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load(spark, sf_dir, "embeddings")
     return ivf_topk(emb, emb.where(F.col("vec_id") < 5), k=10, n_centroids=16, n_probe=4)
+
+
+@register(
+    "q_embedding_rp_project",
+    oracle="""
+        SELECT vec_id,
+               CAST(list_sum(list_transform(range(64), d ->
+                   CAST(FLOOR(embedding[d+1]*1000) AS BIGINT) * (xor(0*73856093, d*19349663)%7 - 3))) AS DOUBLE)/1000.0 AS p0,
+               CAST(list_sum(list_transform(range(64), d ->
+                   CAST(FLOOR(embedding[d+1]*1000) AS BIGINT) * (xor(1*73856093, d*19349663)%7 - 3))) AS DOUBLE)/1000.0 AS p1,
+               CAST(list_sum(list_transform(range(64), d ->
+                   CAST(FLOOR(embedding[d+1]*1000) AS BIGINT) * (xor(2*73856093, d*19349663)%7 - 3))) AS DOUBLE)/1000.0 AS p2,
+               CAST(list_sum(list_transform(range(64), d ->
+                   CAST(FLOOR(embedding[d+1]*1000) AS BIGINT) * (xor(3*73856093, d*19349663)%7 - 3))) AS DOUBLE)/1000.0 AS p3,
+               CAST(list_sum(list_transform(range(64), d ->
+                   CAST(FLOOR(embedding[d+1]*1000) AS BIGINT) * (xor(4*73856093, d*19349663)%7 - 3))) AS DOUBLE)/1000.0 AS p4,
+               CAST(list_sum(list_transform(range(64), d ->
+                   CAST(FLOOR(embedding[d+1]*1000) AS BIGINT) * (xor(5*73856093, d*19349663)%7 - 3))) AS DOUBLE)/1000.0 AS p5,
+               CAST(list_sum(list_transform(range(64), d ->
+                   CAST(FLOOR(embedding[d+1]*1000) AS BIGINT) * (xor(6*73856093, d*19349663)%7 - 3))) AS DOUBLE)/1000.0 AS p6,
+               CAST(list_sum(list_transform(range(64), d ->
+                   CAST(FLOOR(embedding[d+1]*1000) AS BIGINT) * (xor(7*73856093, d*19349663)%7 - 3))) AS DOUBLE)/1000.0 AS p7
+        FROM embeddings
+    """,
+    doc=(
+        "Dimensionality reduction 64->8 by deterministic quantized random "
+        "projection (Achlioptas-style integer matrix, floor-quantized exact "
+        "integer accumulation — bit-reproducible on any cluster). The cheap "
+        "front-end of a two-stage similarity cascade: search in 8 dims, "
+        "re-rank survivors in 64."
+    ),
+    tags=("similarity", "projection", "jl", "llm-pipeline"),
+)
+def q_embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import random_projection
+
+    return random_projection(load(spark, sf_dir, "embeddings"))
