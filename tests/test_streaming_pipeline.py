@@ -248,3 +248,56 @@ def test_rate_source_live_mode(spark, tmp_path):
     # The streamed prefix equals the closed form (same index range).
     diff = got.exceptAll(expected).count() + expected.exceptAll(got).count()
     assert diff == 0
+
+
+def test_streaming_m4_matches_batch(spark, tmp_path):
+    """The continuous M4 aggregate over the replayed sensor stream equals the
+    same M4 computed in batch over the same events — the streaming form is a
+    true continuously-maintained view, not an approximation."""
+    from timing_explorer_spark.sources.generator import sensor_stream_batch
+    from timing_explorer_spark.streaming.pipeline import m4_windows
+
+    data = str(tmp_path / "in")
+    out = str(tmp_path / "m4")
+    ckpt = str(tmp_path / "ckpt")
+    write_generator_files(spark, data, n_events=400, files=4)
+    q = (
+        m4_windows(sensor_stream_from_files(spark, data))
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = spark.read.parquet(out)
+    assert streamed.count() > 0
+
+    batch = sensor_stream_batch(spark, n_events=400)
+    expected = (
+        batch.groupBy("key", F.window("ts", "1 second").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", "ts").alias("v_first"),
+            F.max_by("value", "ts").alias("v_last"),
+        )
+        .select(
+            "key",
+            (F.col("w.end") - F.expr("INTERVAL 1 MILLISECOND")).alias("window_end_label"),
+            "n",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+    )
+    # Streaming withholds windows the watermark hasn't sealed; every emitted
+    # window must match its batch counterpart exactly.
+    emitted = {tuple(r) for r in streamed.collect()}
+    full = {tuple(r) for r in expected.collect()}
+    assert emitted, "no M4 windows emitted"
+    assert emitted <= full, "streamed M4 disagrees with batch M4"
+    assert len(emitted) >= 0.8 * len(full)

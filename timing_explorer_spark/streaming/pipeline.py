@@ -121,6 +121,41 @@ def event_time_windows(
     )
 
 
+def m4_windows(sensors: DataFrame, duration: str = "1 second", watermark: str = "0 seconds") -> DataFrame:
+    """Continuous M4 downsampling (VLDB'14) over the sensor stream: per
+    (key, tumbling window) emit n/min/max/first/last — the streaming form of
+    the batch ``q_m4_downsample`` operator, i.e. a continuously-maintained
+    render-ready aggregate for the reference's Grafana dashboards (the
+    dashboards re-aggregate with GROUP BY time($__interval);
+    dashboard.json:295-331 — M4 is that operation done right).
+
+    first/last use min_by/max_by on event time, which Structured Streaming
+    maintains incrementally in state; append mode + watermark seals each
+    window exactly once. The source is in-order per key by construction, so
+    (ts) is a sufficient order key here (batch M4 over the events table uses
+    (ts, event_id) because that table has no in-order guarantee)."""
+    return (
+        sensors.withWatermark("ts", watermark)
+        .groupBy(F.col("key"), F.window("ts", duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.min_by("value", "ts").alias("v_first"),
+            F.max_by("value", "ts").alias("v_last"),
+        )
+        .select(
+            "key",
+            (F.col("w.end") - F.expr("INTERVAL 1 MILLISECOND")).alias("window_end_label"),
+            "n",
+            "v_min",
+            "v_max",
+            "v_first",
+            "v_last",
+        )
+    )
+
+
 def processing_time_counts_foreach_batch(output_table_dir: str, duration_ms: int = 1000):
     """foreachBatch function reproducing PseudoWindow's processing-time mode:
     every row is credited to the wall-clock bucket in which this micro-batch
