@@ -245,3 +245,30 @@ def test_mad_outliers_flags_injected_spike(spark):
         .count()
     )
     assert n_out == 5
+
+
+# ---------------------------------------------------------------- pagerank
+def test_pagerank_mass_and_centrality(spark):
+    """On a star graph the hub must out-rank the leaves; total rank mass
+    stays near N (bounded below by truncation loss only)."""
+    from timing_explorer_spark.operators.graph import pagerank_fixed
+
+    pairs = spark.createDataFrame([(0, i) for i in range(1, 6)], ["doc_a", "doc_b"])
+    ranks = {r["doc"]: r["rank"] for r in pagerank_fixed(pairs, iterations=5).collect()}
+    assert set(ranks) == set(range(6))
+    hub, leaves = ranks[0], [ranks[i] for i in range(1, 6)]
+    assert all(hub > leaf for leaf in leaves)
+    assert len(set(leaves)) == 1  # symmetry: all leaves identical
+    total = sum(ranks.values())
+    assert 0.9 * 6 <= total <= 6.0 + 1e-9  # mass conserved up to truncation
+
+
+def test_pagerank_deterministic_under_partitioning(spark):
+    from timing_explorer_spark.operators.graph import pagerank_fixed
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(20)] + [(0, 21), (5, 22)], ["doc_a", "doc_b"]
+    )
+    a = sorted(map(tuple, pagerank_fixed(pairs, iterations=4).collect()))
+    b = sorted(map(tuple, pagerank_fixed(pairs.repartition(13), iterations=4).collect()))
+    assert a == b

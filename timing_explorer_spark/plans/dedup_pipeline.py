@@ -441,3 +441,28 @@ def q_containment_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_pairs
 
     return containment_pairs(load(spark, sf_dir, "documents"), threshold=0.9, n=3)
+
+
+from ..operators.graph import pagerank_oracle_sql  # noqa: E402
+
+
+@register(
+    "q_neardup_pagerank",
+    oracle=pagerank_oracle_sql(_JACCARD_ORACLE, iterations=5),
+    doc=(
+        "Damped PageRank (5 fixed rounds) over the exact-Jaccard near-dup "
+        "graph — centrality ranks the 'canonical' member of each duplicate "
+        "cluster better than min-id when clusters are chains. Fixed-point "
+        "integer arithmetic ((units*85) DIV (100*deg)) makes every round "
+        "bit-deterministic on any cluster; the oracle is the same recurrence "
+        "unrolled into chained CTEs. One co-partitioned join + one agg per "
+        "round (the resolve_components shuffle shape)."
+    ),
+    tags=("dedup", "graph", "pagerank", "iterative"),
+)
+def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import jaccard_pairs
+    from ..operators.graph import pagerank_fixed
+
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, n=3)
+    return pagerank_fixed(pairs, iterations=5)

@@ -425,3 +425,34 @@ def q_sensor_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "corr"
         ),
     )
+
+
+@register(
+    "q_percentile_bands",
+    oracle="""
+        SELECT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS bucket, event_type,
+               quantile_cont(value, 0.50) AS p50,
+               quantile_cont(value, 0.90) AS p90,
+               quantile_cont(value, 0.99) AS p99,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    """,
+    doc=(
+        "Percentile bands per (series, day) — the Grafana p50/p90/p99 chart. "
+        "Spark's exact `percentile` and DuckDB's quantile_cont share the "
+        "same linear-interpolation definition (verified bit-identical on "
+        "this data at every SF). Exact percentiles shuffle the group's "
+        "values once; at 100 TB the drop-in is approx_percentile "
+        "(KLL-sketch, mergeable, map-side combinable) — registered "
+        "separately as q_approx_percentile with accuracy-bound tests."
+    ),
+    tags=("timeseries", "stats", "percentile", "grafana"),
+)
+def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return e.groupBy(F.date_trunc("day", "ts").alias("bucket"), "event_type").agg(
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.percentile("value", 0.99).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
