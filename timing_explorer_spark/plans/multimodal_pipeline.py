@@ -117,3 +117,37 @@ def q_media_mix_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("meta.duration_ms")).alias("total_duration_ms"),
         F.max(F.col("meta.width")).cast("bigint").alias("max_width"),
     )
+
+
+@register(
+    "q_media_exact_dedup",
+    oracle="""
+        SELECT MD5(text) AS fp_md5,
+               MIN(doc_id) AS rep_media_id,
+               COUNT(*)    AS n_copies,
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes
+        FROM documents
+        GROUP BY MD5(text)
+    """,
+    doc=(
+        "Exact media dedup: hash-groupBy on the Arrow-computed payload "
+        "fingerprint — the same one-shuffle exact-dedup shape as "
+        "q_exact_dedup_docs, applied to opaque binary payloads — the full "
+        "fingerprint -> representative mapping (dup groups have n_copies > 1). "
+        "The fingerprint pass is the "
+        "only Python (sanctioned Arrow batch hashing); grouping stays JVM."
+    ),
+    tags=("multimodal", "dedup", "binary", "pandas-udf"),
+)
+def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import media_fingerprints
+
+    fps = media_fingerprints(_media(spark, sf_dir))
+    return (
+        fps.groupBy("fp_md5")
+        .agg(
+            F.min("media_id").alias("rep_media_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.sum("n_bytes").alias("total_bytes"),
+        )
+    )

@@ -585,3 +585,67 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     words = d.select(F.explode(tokens(F.col("text"))).alias("word"))
     return heavy_hitters(words, phi=0.005, key_col="word")
+
+
+@register(
+    "q_bigram_surprisal",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, string_split(lower(text), ' ') AS w FROM documents
+        ),
+        flat AS (
+            SELECT doc_id, s.w1 AS w1, s.bg AS bg
+            FROM (SELECT doc_id,
+                         UNNEST(list_transform(range(greatest(len(w) - 1, 0)),
+                                i -> {'w1': w[i+1], 'bg': w[i+1] || ' ' || w[i+2]})) AS s
+                  FROM words)
+        ),
+        pc AS (SELECT w1, COUNT(*) AS n1 FROM flat GROUP BY w1),
+        bc AS (SELECT bg, COUNT(*) AS n2 FROM flat GROUP BY bg)
+        SELECT f.doc_id,
+               CAST(SUM(CAST(LN(pc.n1) AS DECIMAL(27,8))
+                      - CAST(LN(bc.n2) AS DECIMAL(27,8))) AS DOUBLE) / COUNT(*)
+                   AS mean_surprisal,
+               COUNT(*) AS n_bigrams
+        FROM flat f JOIN pc ON f.w1 = pc.w1 JOIN bc ON f.bg = bc.bg
+        GROUP BY f.doc_id
+    """,
+    doc=(
+        "Bigram LM surprisal (KenLM-lite fluency proxy): per doc, mean "
+        "-ln P(w2|w1) under corpus bigram MLE counts — repetitive/templated "
+        "text scores near 0, incoherent token soup scores high. The count "
+        "tables stay DISTRIBUTED (token-keyed shuffle joins; at 100 TB a "
+        "bigram vocabulary cannot broadcast); per-term decimal-rounded logs "
+        "make the mean reproducible (same trick as q_word_logfreq_score)."
+    ),
+    tags=("text", "lm", "quality", "llm-pipeline"),
+)
+def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split(F.lower("text"), " ").alias("w")).where(F.size("w") >= 2)
+    flat = w.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-2),"
+                " i -> named_struct('w1', w[i], 'bg', concat(w[i], ' ', w[i+1])))"
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.bg").alias("bg"))
+    pc = flat.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    bc = flat.groupBy("bg").agg(F.count(F.lit(1)).alias("n2"))
+    return (
+        flat.join(pc, "w1")
+        .join(bc, "bg")
+        .groupBy("doc_id")
+        .agg(
+            (
+                F.sum(
+                    F.log(F.col("n1")).cast("decimal(27,8)")
+                    - F.log(F.col("n2")).cast("decimal(27,8)")
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_surprisal"),
+            F.count(F.lit(1)).alias("n_bigrams"),
+        )
+    )
