@@ -74,6 +74,12 @@ def main() -> None:
         "q_scd2_intervals",
         "q_pareto_revenue",
         "q_type_affinity",
+        # Round-3 additions worth a reviewed plan.
+        "q_m4_downsample",
+        "q_time_weighted_avg",
+        "q_vocab_heavy_hitters",
+        "q_embedding_rp_project",
+        "q_bigram_surprisal",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

@@ -583,7 +583,12 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.heavy_hitters import heavy_hitters
 
     d = load(spark, sf_dir, "documents")
-    words = d.select(F.explode(tokens(F.col("text"))).alias("word"))
+    # Spread the COMPACT doc rows across cores, then tokenize/explode inside
+    # each partition: the MG pass parallelizes without ever shuffling the
+    # exploded token stream (repartitioning post-explode would move the
+    # whole corpus — the exact cost this operator exists to avoid).
+    spread = spark.sparkContext.defaultParallelism
+    words = d.repartition(spread).select(F.explode(tokens(F.col("text"))).alias("word"))
     return heavy_hitters(words, phi=0.005, key_col="word")
 
 

@@ -146,12 +146,17 @@ def q_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
-    day = F.date_trunc("day", F.col("ts"))
-    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
-    next_ts = F.coalesce(F.lead("ts").over(w), day + F.expr("INTERVAL 1 DAY"))
+    # Materialize the day column BEFORE the window so the window partitioning
+    # and the final groupBy reference the same attribute — Catalyst then
+    # reuses the window's Exchange for the aggregation (one shuffle total;
+    # partitioning by the raw date_trunc expression inside the window spec
+    # planned a second Exchange on the aliased key).
+    e = e.withColumn("day", F.date_trunc("day", F.col("ts")))
+    w = Window.partitionBy("event_type", "day").orderBy("ts", "event_id")
+    next_ts = F.coalesce(F.lead("ts").over(w), F.col("day") + F.expr("INTERVAL 1 DAY"))
     seg = e.select(
         "event_type",
-        day.alias("day"),
+        "day",
         "value",
         (F.unix_micros(next_ts) - F.unix_micros(F.col("ts"))).alias("dt_us"),
     )
