@@ -133,3 +133,41 @@ def test_query_results_partition_invariant(spark, sf_smoke, name):
         assert results[0] == results[1]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_asof_directions_and_tolerance(spark):
+    """backward/forward/nearest semantics + tolerance nulling, on a frame
+    small enough to verify by hand. Left rows at :10 and 1:00; right rows at
+    :08 (v=1), :11 (v=2), 10:00 (v=3)."""
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:10"), (2, "2024-01-01 00:01:00")], ["id", "ts"]
+    ).select("id", F.col("ts").cast("timestamp").alias("ts"), F.lit(1).alias("k"))
+    right = spark.createDataFrame(
+        [("2024-01-01 00:00:08", 1.0), ("2024-01-01 00:00:11", 2.0), ("2024-01-01 00:10:00", 3.0)],
+        ["ts", "v"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "v", F.lit(1).alias("k"))
+
+    def got(**kw):
+        rows = asof_join(left, right, on="k", right_cols=("v",), **kw).orderBy("id").collect()
+        return [(r["id"], r["asof_v"]) for r in rows]
+
+    assert got(direction="backward") == [(1, 1.0), (2, 2.0)]
+    assert got(direction="forward") == [(1, 2.0), (2, 3.0)]
+    # nearest: id1 -> :11 is 1s away vs :08 2s away; id2 -> :11 (49s) vs 10:00 (540s)
+    assert got(direction="nearest") == [(1, 2.0), (2, 2.0)]
+    # 5s tolerance nulls id2's 49s-away nearest match
+    assert got(direction="nearest", tolerance_us=5_000_000) == [(1, 2.0), (2, None)]
+
+
+def test_asof_equal_timestamp_visibility(spark):
+    """A right row at exactly left.ts must be visible in BOTH directions
+    (<= and >= inclusive semantics, matching DuckDB ASOF and merge_asof)."""
+    left = spark.createDataFrame([(1, "2024-01-01 00:00:10")], ["id", "ts"]).select(
+        "id", F.col("ts").cast("timestamp").alias("ts"), F.lit(1).alias("k")
+    )
+    right = spark.createDataFrame([("2024-01-01 00:00:10", 7.0)], ["ts", "v"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "v", F.lit(1).alias("k")
+    )
+    for d in ("backward", "forward", "nearest"):
+        rows = asof_join(left, right, on="k", right_cols=("v",), direction=d).collect()
+        assert [(r["id"], r["asof_v"]) for r in rows] == [(1, 7.0)], d

@@ -28,13 +28,27 @@ def asof_join(
     left_ts: str = "ts",
     right_ts: str = "ts",
     right_cols: tuple[str, ...] = (),
+    direction: str = "backward",
+    tolerance_us: int | None = None,
 ) -> DataFrame:
-    """For every left row, attach the most recent right row with
-    right.ts <= left.ts and the same key (`on`). Left rows keep NULLs when no
-    prior right row exists (ASOF LEFT JOIN semantics).
+    """For every left row, attach one right row with the same key (`on`):
 
-    Output: all left columns + right_cols prefixed 'asof_'.
+      direction='backward'  the most recent right row with right.ts <= left.ts
+                            (default; ASOF LEFT JOIN / merge_asof semantics)
+      direction='forward'   the next right row with right.ts >= left.ts
+      direction='nearest'   whichever of the two is closer in time
+                            (ties -> backward, like pandas merge_asof)
+
+    ``tolerance_us``: maximum |left.ts - right.ts| in microseconds; matches
+    further away are nulled out (merge_asof's tolerance). Left rows keep
+    NULLs when no qualifying right row exists.
+
+    Output: all left columns + asof_ts + right_cols prefixed 'asof_'.
+    Single shuffle regardless of direction: both passes ride the same
+    union + keyed-window ordering.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"unknown direction: {direction!r}")
     lcols = left.columns
     payload = F.when(
         F.col("__side") == 1,
@@ -54,16 +68,45 @@ def asof_join(
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(c) for c in lcols],
         *[F.col(c).alias(f"__r_{c}") for c in (right_ts, *right_cols)],
     )
-    # Right rows sort BEFORE left rows at equal timestamps (__side desc) so a
-    # right row at exactly left.ts is visible (<= semantics, like ASOF JOIN).
-    w = (
-        Window.partitionBy("__key")
-        .orderBy(F.col("__t"), F.col("__side").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    merged = l_tagged.unionByName(r_tagged).withColumn(
-        "__carry", F.last(payload, ignorenulls=True).over(w)
-    )
+    merged = l_tagged.unionByName(r_tagged)
+    # Backward: right rows sort BEFORE left rows at equal timestamps
+    # (__side desc) so a right row at exactly left.ts is visible (<=
+    # semantics). Forward: ascending __side puts the equal-ts right row
+    # AFTER the left row, inside the following frame (>= semantics). Both
+    # windows share the (__key, __t) sort — one shuffle, one ordering.
+    if direction in ("backward", "nearest"):
+        w_b = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t"), F.col("__side").desc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        merged = merged.withColumn("__carry_b", F.last(payload, ignorenulls=True).over(w_b))
+    if direction in ("forward", "nearest"):
+        w_f = (
+            Window.partitionBy("__key")
+            .orderBy(F.col("__t"), F.col("__side").asc())
+            .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        )
+        merged = merged.withColumn("__carry_f", F.first(payload, ignorenulls=True).over(w_f))
+    if direction == "backward":
+        carry = F.col("__carry_b")
+    elif direction == "forward":
+        carry = F.col("__carry_f")
+    else:
+        d_b = F.unix_micros(F.col("__t")) - F.unix_micros(F.col("__carry_b.ts"))
+        d_f = F.unix_micros(F.col("__carry_f.ts")) - F.unix_micros(F.col("__t"))
+        carry = (
+            F.when(F.col("__carry_b").isNull(), F.col("__carry_f"))
+            .when(F.col("__carry_f").isNull(), F.col("__carry_b"))
+            .when(d_b <= d_f, F.col("__carry_b"))
+            .otherwise(F.col("__carry_f"))
+        )
+    if tolerance_us is not None:
+        carry = F.when(
+            F.abs(F.unix_micros(carry["ts"]) - F.unix_micros(F.col("__t"))) <= tolerance_us,
+            carry,
+        )
+    merged = merged.withColumn("__carry", carry)
     return merged.where(F.col("__side") == 0).select(
         *[F.col(c) for c in lcols],
         F.col("__carry.ts").alias("asof_ts"),

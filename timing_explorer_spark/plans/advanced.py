@@ -703,3 +703,52 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("source", "doc_id", F.row_number().over(w).alias("rk"))
         .where(F.col("rk") <= 20)
     )
+
+
+@register(
+    "q_asof_forward_next_purchase",
+    oracle="""
+        WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+        p AS (SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        nxt AS (
+            SELECT c.event_id, c.user_id, c.ts, MIN(p.ts) AS asof_ts
+            FROM c LEFT JOIN p
+              ON c.user_id = p.user_id
+             AND p.ts >= c.ts
+             AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000
+            GROUP BY c.event_id, c.user_id, c.ts
+        )
+        SELECT event_id, user_id, ts, asof_ts,
+               (epoch_us(asof_ts) - epoch_us(ts)) / 1000000.0 AS latency_s
+        FROM nxt
+    """,
+    doc=(
+        "FORWARD as-of join with tolerance (pandas merge_asof "
+        "direction='forward'): for each click, the user's next purchase "
+        "within 7 days — the time-to-conversion shape. Same union + keyed "
+        "window implementation as the backward as-of (single shuffle, no "
+        "pair blow-up); the oracle is the quadratic join+MIN formulation "
+        "(slow but obviously correct)."
+    ),
+    tags=("join", "asof", "temporal", "forward"),
+)
+def q_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    clicks = e.where(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    buys = e.where(F.col("event_type") == "purchase").select("user_id", "ts")
+    out = asof_join(
+        clicks,
+        buys,
+        on="user_id",
+        direction="forward",
+        tolerance_us=7 * 86400 * 1_000_000,
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "asof_ts",
+        (
+            (F.unix_micros("asof_ts") - F.unix_micros("ts")).cast("double") / F.lit(1_000_000.0)
+        ).alias("latency_s"),
+    )

@@ -41,10 +41,9 @@ from .registry import register
 # 6-hour pixel buckets in microseconds (the "pixel width" of the downsample).
 _M4_BUCKET_US = 6 * 3600 * 1_000_000
 
-
-@register(
-    "q_m4_downsample",
-    oracle=f"""
+# Shared by q_m4_downsample (direct) and q_m4_rollup (merged from hourly
+# partials — both must equal this ground truth).
+_M4_ORACLE = f"""
         WITH pts AS (
             SELECT event_type, value, ts, event_id,
                    CAST(FLOOR(epoch_us(ts) / {_M4_BUCKET_US}) AS BIGINT) AS bkt,
@@ -67,7 +66,12 @@ _M4_BUCKET_US = 6 * 3600 * 1_000_000
                MAX(ts)                               AS t_last
         FROM pts
         GROUP BY event_type, bkt
-    """,
+    """
+
+
+@register(
+    "q_m4_downsample",
+    oracle=_M4_ORACLE,
     doc=(
         "M4 downsampling (VLDB'14): per (series, pixel-bucket) keep "
         "min/max/first/last — error-free line-chart reduction from N points "
@@ -460,4 +464,69 @@ def q_percentile_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("value", 0.9).alias("p90"),
         F.percentile("value", 0.99).alias("p99"),
         F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "q_m4_rollup",
+    oracle=_M4_ORACLE,
+    doc=(
+        "M4 is ALGEBRAIC (mergeable): the 6h downsample computed by merging "
+        "1h M4 partials — min/max combine directly, first/last combine by "
+        "arg-min/arg-max on the partials' t_first/t_last (disjoint buckets "
+        "⇒ no ties) — must equal the direct 6h M4 bit-for-bit, which the "
+        "shared oracle enforces. This is the hierarchical-rollup property "
+        "that lets a TSDB serve any zoom level from materialized fine-grain "
+        "partials instead of rescanning raw data: at 100 TB the hourly M4 "
+        "table is ~6 orders of magnitude smaller than the events it "
+        "summarizes."
+    ),
+    tags=("timeseries", "downsample", "m4", "rollup", "incremental-view"),
+)
+def q_m4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour_us = 3600 * 1_000_000
+    e = load(spark, sf_dir, "events")
+    hkt = F.floor(F.unix_micros(F.col("ts")) / F.lit(hour_us)).cast("bigint")
+    pts = e.select("event_type", "value", "ts", "event_id", hkt.alias("hkt"))
+    w_a = Window.partitionBy("event_type", "hkt").orderBy("ts", "event_id")
+    w_d = Window.partitionBy("event_type", "hkt").orderBy(F.desc("ts"), F.desc("event_id"))
+    hourly = (
+        pts.withColumn("rn_a", F.row_number().over(w_a))
+        .withColumn("rn_d", F.row_number().over(w_d))
+        .groupBy("event_type", "hkt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+            F.max(F.when(F.col("rn_a") == 1, F.col("value"))).alias("v_first"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias("v_last"),
+            F.min("ts").alias("t_first"),
+            F.max("ts").alias("t_last"),
+        )
+    )
+    merged = (
+        hourly.groupBy(
+            "event_type",
+            F.floor(F.col("hkt") * hour_us / F.lit(_M4_BUCKET_US)).cast("bigint").alias("bkt"),
+        )
+        .agg(
+            F.sum("n").alias("n"),
+            F.min("v_min").alias("v_min"),
+            F.max("v_max").alias("v_max"),
+            F.min_by("v_first", "t_first").alias("v_first"),
+            F.max_by("v_last", "t_last").alias("v_last"),
+            F.min("t_first").alias("t_first"),
+            F.max("t_last").alias("t_last"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        F.timestamp_micros(F.col("bkt") * F.lit(_M4_BUCKET_US)).alias("bucket"),
+        "n",
+        "v_min",
+        "v_max",
+        "v_first",
+        "v_last",
+        "t_first",
+        "t_last",
     )
