@@ -272,3 +272,27 @@ def test_pagerank_deterministic_under_partitioning(spark):
     a = sorted(map(tuple, pagerank_fixed(pairs, iterations=4).collect()))
     b = sorted(map(tuple, pagerank_fixed(pairs.repartition(13), iterations=4).collect()))
     assert a == b
+
+
+# ------------------------------------------------------------------ HLL rollup
+def test_hll_rollup_identity_and_accuracy(spark, sf_smoke):
+    """Union of hourly HLL partials must equal the direct daily sketch
+    (register-wise max identity), and stay within 2% of exact distincts."""
+    e = load(spark, sf_smoke, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    direct = e.groupBy(F.date_trunc("day", "ts").alias("day"), "event_type").agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+        F.countDistinct("user_id").alias("exact"),
+    )
+    m = {(r["day"], r["event_type"]): r["est"] for r in merged.collect()}
+    rows = direct.collect()
+    assert m and len(m) == len(rows)
+    for r in rows:
+        est = m[(r["day"], r["event_type"])]
+        assert est == r["est"], "merged sketch != direct sketch"
+        assert abs(est - r["exact"]) / max(r["exact"], 1) < 0.02

@@ -530,3 +530,27 @@ def q_m4_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t_first",
         "t_last",
     )
+
+
+@register(
+    "q_hll_distinct_rollup",
+    oracle=None,  # sketch internals are engine-specific; identity + accuracy in pytest
+    doc=(
+        "Mergeable distinct-count rollup (Apache DataSketches HLL, built "
+        "into Spark 4): hourly hll_sketch_agg(user_id) partials union to "
+        "daily via hll_union_agg — register-wise max, so merged-from-partials "
+        "equals the direct daily sketch EXACTLY (asserted in pytest along "
+        "with <2% error vs exact counts). The sketch analog of q_m4_rollup: "
+        "distinct counts, normally non-additive, become hierarchically "
+        "rollup-able in O(4KB) per cell at 100 TB. Rows-only driver check."
+    ),
+    tags=("timeseries", "approx", "sketch", "rollup", "incremental-view"),
+)
+def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    return hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
+    )
