@@ -115,7 +115,23 @@ def test_exact_sum_invariant_under_repartition(spark, vals, n_parts):
     assert a == b  # bitwise, not approx
 
 
-@pytest.mark.parametrize("name", ["q01_pricing_summary", "q_stats_aggregates"])
+@pytest.mark.parametrize(
+    "name",
+    [
+        "q01_pricing_summary",
+        "q_stats_aggregates",
+        # round-3 families: every one must reproduce bit-identically under
+        # different shuffle widths (the 1000-executor == laptop property)
+        "q_m4_downsample",
+        "q_time_weighted_avg",
+        "q_sensor_correlation",
+        "q_vocab_heavy_hitters",
+        "q_neardup_pagerank",
+        "q_bigram_surprisal",
+        "q_embedding_rp_project",
+        "q_quality_expectations",
+    ],
+)
 def test_query_results_partition_invariant(spark, sf_smoke, name):
     """Whole-query determinism: the decimal/exact-moment aggregation queries
     return bit-identical results under different shuffle widths — the

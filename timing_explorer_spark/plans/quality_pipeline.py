@@ -289,3 +289,107 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         rate.alias("sample_rate"),
         (rate * F.col("n_tokens")).alias("expected_tokens"),
     )
+
+
+@register(
+    "q_quality_expectations",
+    oracle="""
+        SELECT 'orders_pk_unique' AS constraint_name,
+               (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders) AS violations,
+               (SELECT COUNT(*) FROM orders) AS total
+        UNION ALL
+        SELECT 'orders_custkey_complete',
+               (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+               (SELECT COUNT(*) FROM orders)
+        UNION ALL
+        SELECT 'lineitem_discount_domain',
+               (SELECT COUNT(*) FROM lineitem WHERE l_discount < 0 OR l_discount > 0.1),
+               (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'lineitem_quantity_positive',
+               (SELECT COUNT(*) FROM lineitem WHERE l_quantity <= 0),
+               (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'lineitem_orderkey_ri',
+               (SELECT COUNT(*) FROM lineitem l
+                WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)),
+               (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'orders_custkey_ri',
+               (SELECT COUNT(*) FROM orders o
+                WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)),
+               (SELECT COUNT(*) FROM orders)
+        UNION ALL
+        SELECT 'events_ts_freshness',
+               (SELECT COUNT(*) FROM events
+                WHERE ts < TIMESTAMP '2024-01-01 00:00:00'
+                   OR ts >= TIMESTAMP '2024-02-01 00:00:00'),
+               (SELECT COUNT(*) FROM events)
+    """,
+    doc=(
+        "Declarative data-quality expectations (Deequ-style ingest gate): "
+        "key uniqueness, completeness, value domains, referential integrity "
+        "(anti-join orphan counts), event freshness — one row per "
+        "constraint with violation/total counts. Per-table checks fuse into "
+        "single-pass conditional aggregates; each RI check is one "
+        "broadcast/shuffle anti-join on the key. The shape that gates a "
+        "100 TB ingest before it poisons downstream training data."
+    ),
+    tags=("quality", "expectations", "profile", "llm-pipeline"),
+)
+def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    c = load(spark, sf_dir, "customer")
+    e = load(spark, sf_dir, "events")
+
+    def one(name, violations, total):
+        return violations.alias("violations"), total.alias("total"), F.lit(name).alias(
+            "constraint_name"
+        )
+
+    # Per-table single-pass conditional aggregates (one scan each).
+    orders_checks = o.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dup"),
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("ck_null"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    li_checks = li.agg(
+        F.count(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)).alias(
+            "disc_bad"
+        ),
+        F.count(F.when(F.col("l_quantity") <= 0, 1)).alias("qty_bad"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    ev_checks = e.agg(
+        F.count(
+            F.when(
+                (F.col("ts") < F.lit("2024-01-01 00:00:00").cast("timestamp"))
+                | (F.col("ts") >= F.lit("2024-02-01 00:00:00").cast("timestamp")),
+                1,
+            )
+        ).alias("stale"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    li_orphans = li.join(o.select("o_orderkey"), li.l_orderkey == o.o_orderkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    o_orphans = o.join(c.select("c_custkey"), o.o_custkey == c.c_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    li_total = li.agg(F.count(F.lit(1)).alias("n"))
+    o_total = o.agg(F.count(F.lit(1)).alias("n"))
+
+    rows = [
+        orders_checks.select(*one("orders_pk_unique", F.col("pk_dup"), F.col("n"))),
+        orders_checks.select(*one("orders_custkey_complete", F.col("ck_null"), F.col("n"))),
+        li_checks.select(*one("lineitem_discount_domain", F.col("disc_bad"), F.col("n"))),
+        li_checks.select(*one("lineitem_quantity_positive", F.col("qty_bad"), F.col("n"))),
+        li_orphans.join(li_total).select(*one("lineitem_orderkey_ri", F.col("v"), F.col("n"))),
+        o_orphans.join(o_total).select(*one("orders_custkey_ri", F.col("v"), F.col("n"))),
+        ev_checks.select(*one("events_ts_freshness", F.col("stale"), F.col("n"))),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.select("constraint_name", "violations", "total")
