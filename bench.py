@@ -178,6 +178,28 @@ def main() -> None:
         pipe_runs.append(time.monotonic() - t0)
     pipeline = {"corpus_prep_sec": round(min(pipe_runs), 3)}
 
+    # Transparent comparator: the SAME oracle SQL each headline query is
+    # hash-verified against, timed hot in DuckDB (min of 3 after a warm-up
+    # pass) on the same parquet files — so the JSON carries both sides of
+    # the "within 2x of baseline" gate, not just ours.
+    duck = {}
+    try:
+        from timing_explorer_spark.testing import duckdb_connection
+
+        con = duckdb_connection(sf_dir)
+        for name, spec in sorted(specs.items()):
+            if not spec.oracle:
+                continue
+            con.execute(spec.oracle).fetchall()  # warm-up
+            runs = []
+            for _ in range(3):
+                t0 = time.monotonic()
+                con.execute(spec.oracle).fetchall()
+                runs.append(time.monotonic() - t0)
+            duck[name] = round(min(runs), 3)
+    except Exception:  # noqa: BLE001 — comparator is informational only
+        duck = {}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -191,6 +213,10 @@ def main() -> None:
                 "cold_queries": cold,
                 "streaming": streaming,
                 "pipeline": pipeline,
+                "duckdb_comparator": {
+                    "total": round(sum(duck.values()), 3),
+                    "queries": duck,
+                },
             }
         )
     )

@@ -275,3 +275,74 @@ def test_heavy_hitters_recount_broadcasts_candidates(spark, sf_smoke):
     plan = plan_of(spark, "q_vocab_heavy_hitters", sf_smoke)
     assert "BroadcastExchange" in plan
     assert "LeftSemi" in plan
+
+
+# Queries whose plans legitimately contain Python (Arrow-batched dense
+# algebra / MG candidate generation / media fingerprinting) — everything
+# else must be JVM-only.
+_SANCTIONED_PYTHON = {
+    "q_embedding_nn",
+    "q_embedding_topk",
+    "q_embedding_neardup",
+    "q_knn_classify",
+    "q_semantic_dedup_keep_best",
+    "q_ann_lsh_topk",
+    "q_ann_ivf_topk",
+    "q_vocab_heavy_hitters",
+    "q_media_fingerprints",
+    "q_media_features",
+    "q_media_exact_dedup",
+}
+
+# Queries whose only nested-loop/cartesian shape is a deliberate 1-row
+# scalar broadcast (thresholds, totals) or a broadcast band join.
+_SANCTIONED_NESTED_LOOP = {
+    "q11_top_revenue_suppliers",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q22_idle_customers",
+    "q_range_lookup_join",
+    "q_revenue_share",
+    # brute-force top-k: the BOUNDED query-vector set broadcasts against the
+    # corpus and scoring stays map-side — the deliberate small-queries shape
+    "q_embedding_topk",
+    "q_knn_classify",
+    "q_zscore_outliers",
+    "q_benchmark_contamination",
+    "q_rfm_segmentation",
+    "q_pareto_revenue",
+    "q_equidepth_histogram",
+    "q_weighted_sample",
+    "q_vocab_heavy_hitters",
+    "q_mixture_token_budget",
+    "q_quality_expectations",
+    "q_sequence_packing",
+    "q_concurrent_events",
+    "q_word_logfreq_score",
+    "q_tfidf_top_terms",
+}
+
+
+def test_plan_audit_all_queries(spark, sf_smoke):
+    """Whole-registry physical-plan audit — the sweeping scale guarantees:
+    no query ever plans a CartesianProduct; BroadcastNestedLoopJoin appears
+    only in sanctioned scalar/band-join shapes; row-wise Python appears only
+    in the sanctioned Arrow-batched operators. Covers every registered
+    query, not just the PLANS.md sample."""
+    failures = []
+    for name, spec in all_queries().items():
+        try:
+            plan = plan_of(spark, name, sf_smoke)
+        except Exception as exc:  # noqa: BLE001
+            failures.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _SANCTIONED_NESTED_LOOP:
+            failures.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
+        has_python = ("BatchEvalPython" in plan) or ("MapInPandas" in plan) or (
+            "ArrowEvalPython" in plan
+        )
+        if has_python and name not in _SANCTIONED_PYTHON:
+            failures.append(f"{name}: unsanctioned Python in plan")
+    assert not failures, "\n".join(failures)
