@@ -96,3 +96,40 @@ def test_json_preserves_embedded_json_string(spark, sf_smoke, tmp_path):
     want = {r["event_id"]: r["props"] for r in e.collect()}
     assert got == want
     assert any(v and v.startswith("{") for v in want.values())
+
+
+def test_orc_roundtrip(spark, sf_smoke, tmp_path):
+    """ORC round-trip with schema + value fidelity (the other columnar
+    format large estates actually hold; reader/writer are Spark-native)."""
+    out = str(tmp_path / "orc")
+    src = load(spark, sf_smoke, "orders")
+    src.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == src.schema
+    assert back.count() == src.count()
+    a = sorted(map(tuple, src.collect()))
+    b = sorted(map(tuple, back.collect()))
+    assert a == b
+
+
+def test_binaryfile_media_ingestion(spark, tmp_path):
+    """The real multimodal ingest path: opaque files on disk read via the
+    native binaryFile source (path/length/content columns), fingerprinted
+    through the same Arrow mapInPandas operator as the media table."""
+    import hashlib
+
+    from timing_explorer_spark.multimodal.binary_ops import media_fingerprints
+
+    blobs = {f"m{i}.bin": bytes([i]) * (100 + i) for i in range(8)}
+    for fname, payload in blobs.items():
+        (tmp_path / fname).write_bytes(payload)
+    raw = spark.read.format("binaryFile").load(str(tmp_path) + "/*.bin")
+    media = raw.select(
+        F.regexp_extract(F.input_file_name(), r"m(\d+)\.bin", 1).cast("long").alias("media_id"),
+        F.col("content").alias("payload"),
+    )
+    fps = {r["media_id"]: (r["n_bytes"], r["fp_md5"]) for r in media_fingerprints(media).collect()}
+    assert len(fps) == 8
+    for fname, payload in blobs.items():
+        mid = int(fname[1:-4])
+        assert fps[mid] == (len(payload), hashlib.md5(payload).hexdigest())

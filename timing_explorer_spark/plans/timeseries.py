@@ -895,3 +895,57 @@ def q_type_affinity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("type_a", "type_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "q_snapshot_upsert",
+    oracle="""
+        SELECT user_id, ts, event_type, value
+        FROM (
+            SELECT user_id, ts, event_type, value,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc=(
+        "SCD1 snapshot + CDC upsert (latest-wins MERGE without a table "
+        "format): the standing per-user state table (latest row before the "
+        "cutoff) full-outer-merged with the delta batch (latest row after), "
+        "delta winning on conflict. The oracle computes the same current "
+        "state directly over all events — the merge must be lossless. At "
+        "scale both sides reduce map-side to one row per key before the "
+        "merge join, and the standing side would be a bucketed table so the "
+        "merge is co-located."
+    ),
+    tags=("timeseries", "cdc", "upsert", "scd1"),
+)
+def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cut = F.lit("2024-01-20 00:00:00").cast("timestamp")
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+
+    def latest(df: DataFrame) -> DataFrame:
+        return (
+            df.select("user_id", "ts", "event_type", "value", F.row_number().over(w).alias("rn"))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    base = latest(e.where(F.col("ts") < cut))
+    delta = latest(e.where(F.col("ts") >= cut))
+    b, d = base.alias("b"), delta.alias("d")
+    merged = b.join(d, F.col("b.user_id") == F.col("d.user_id"), "full_outer")
+    # Switch on delta-row PRESENCE (its join key), not per-column coalesce:
+    # a delta row carrying a legitimately-NULL payload column must still win.
+    take_delta = F.col("d.user_id").isNotNull()
+
+    def pick(col: str):
+        return F.when(take_delta, F.col(f"d.{col}")).otherwise(F.col(f"b.{col}")).alias(col)
+
+    return merged.select(
+        F.coalesce(F.col("d.user_id"), F.col("b.user_id")).alias("user_id"),
+        pick("ts"),
+        pick("event_type"),
+        pick("value"),
+    )
