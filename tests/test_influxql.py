@@ -1,0 +1,106 @@
+"""InfluxQL translator tests: the reference's dashboard queries run VERBATIM
+(dashboard.json:86-111,189-216,295-331 — the panels' InfluxQL strings with
+$timeFilter expanded, as Grafana sends them), plus grammar edges.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timing_explorer_spark.functions.influxql import influxql
+from timing_explorer_spark.sources.generator import sensor_stream_batch
+
+
+@pytest.fixture(scope="module")
+def sensors(spark):
+    # 60s of the reference generator: keys temp/pressure, 100ms period.
+    return sensor_stream_batch(spark, n_events=600).cache()
+
+
+def test_dashboard_pressure_panel_verbatim(spark, sensors):
+    """dashboard.json:86-111 — SELECT "value" FROM "sensors" WHERE
+    key='pressure' AND $timeFilter."""
+    q = (
+        "SELECT \"value\" FROM \"sensors\" WHERE \"key\" = 'pressure' "
+        "AND time >= '2024-01-01 00:00:10' AND time < '2024-01-01 00:00:20'"
+    )
+    got = influxql(q, {"sensors": sensors})
+    assert got.columns == ["time", "value"]
+    expected = sensors.where(
+        (F.col("key") == "pressure")
+        & (F.col("ts") >= F.lit("2024-01-01 00:00:10").cast("timestamp"))
+        & (F.col("ts") < F.lit("2024-01-01 00:00:20").cast("timestamp"))
+    )
+    assert got.count() == expected.count() > 0
+    assert sorted(r["value"] for r in got.collect()) == sorted(
+        r["value"] for r in expected.collect()
+    )
+
+
+def test_dashboard_reaggregation_verbatim(spark, sensors):
+    """dashboard.json:295-331 — GROUP BY time($__interval) + mean + fill(null),
+    with $__interval=1s: mean of the sawtooth phase over each second must be
+    the exact 10-sample average, and every spine second must appear."""
+    q = (
+        "SELECT mean(\"value\") FROM \"sensors\" WHERE \"key\" = 'temp' "
+        "AND time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:00:29' "
+        "GROUP BY time(1s) fill(null) ORDER BY time ASC"
+    )
+    rows = influxql(q, {"sensors": sensors}).orderBy("time").collect()
+    assert len(rows) == 30
+    # Each FULL second holds phases 0.0..0.9 -> mean 0.45 exactly; the last
+    # bucket is cut by the <= 00:00:29 range to the single sample at 29.000s
+    # (InfluxQL bucket-edge semantics: the range trims the bucket contents).
+    assert all(abs(r["mean"] - 0.45) < 1e-12 for r in rows[:-1])
+    assert rows[-1]["mean"] == 0.0
+
+
+def test_groupby_tag_series(spark, sensors):
+    """GROUP BY time(10s), key — one series per tag, like multi-series panels."""
+    q = (
+        "SELECT count(\"value\") FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30' "
+        "GROUP BY time(10s), \"key\""
+    )
+    rows = influxql(q, {"sensors": sensors}).collect()
+    got = {(r["time"].second, r["key"]): r["count"] for r in rows}
+    # 10 samples/s * 10s = 100 per (bucket, key)
+    assert set(got.values()) == {100}
+    assert len(got) == 6  # 3 buckets x 2 keys
+
+
+def test_fill_linear(spark):
+    """fill(linear): a manufactured hole interpolates to the midpoint."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 10.0), ("2024-01-01 00:00:02", 30.0)], ["ts", "value"]
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    q = (
+        "SELECT mean(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:00:02' "
+        "GROUP BY time(1s) fill(linear)"
+    )
+    rows = influxql(q, {"m": df}).orderBy("time").collect()
+    assert [r["mean"] for r in rows] == [10.0, 20.0, 30.0]
+
+
+def test_scalar_aggregate_and_limit(spark, sensors):
+    q = "SELECT count(\"value\") FROM \"sensors\""
+    # n_events is PER KEY (two keyed generator instances, like the reference)
+    assert influxql(q, {"sensors": sensors}).collect()[0]["count"] == 1200
+    q2 = "SELECT \"value\" FROM \"sensors\" ORDER BY time DESC LIMIT 5"
+    assert influxql(q2, {"sensors": sensors}).count() == 5
+
+
+@pytest.mark.parametrize(
+    "bad",
+    [
+        "DROP MEASUREMENT sensors",
+        "SELECT value FROM nope",
+        "SELECT mean(\"value\") FROM \"sensors\" GROUP BY time(1s) fill(null)",  # fill w/o range
+        "SELECT \"value\" FROM \"sensors\" WHERE key != 'x'",
+    ],
+)
+def test_rejects_unsupported(spark, sensors, bad):
+    with pytest.raises(ValueError):
+        influxql(bad, {"sensors": sensors})

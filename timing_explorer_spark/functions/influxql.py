@@ -1,0 +1,212 @@
+"""InfluxQL-subset translator: the reference's END-USER query language.
+
+The reference's only external query surface is InfluxQL issued by its Grafana
+dashboards (SURVEY §2.1; docker/grafana_setup/dashboard.json:86-111,189-216,
+295-331). This module lets those queries run verbatim against the engine's
+DataFrames — closing the "a user of the reference could switch and run every
+query they run today" loop for the query *language*, not just the semantics.
+
+Supported grammar (everything the dashboards use, plus the obvious
+neighbors):
+
+    SELECT <proj> FROM <measurement>
+      [WHERE <tag> = '<v>' [AND ...] [AND time >= '<ts>'] [AND time < '<ts>']]
+      [GROUP BY time(<N><u>)[, <tag>] [fill(null | none | linear)]]
+      [ORDER BY time [ASC|DESC]]
+      [LIMIT <n>]
+
+    proj       := "<field>" | <agg>("<field>")
+    agg        := mean | sum | count | min | max
+    durations  := s, m, h, d
+
+Translation notes:
+  - `time` maps to the measurement's event-time column (``ts``).
+  - GROUP BY time(N) buckets via date_trunc-free epoch arithmetic (works for
+    any interval, not just calendar units) — same bucketing InfluxDB uses.
+  - fill(null) / fill(linear) join a generated time spine over the queried
+    range (the InfluxQL contract: fill requires an explicit time range) —
+    the spine is O(range/interval), independent of fact cardinality.
+  - mean() uses the engine's order-independent decimal aggregation, so
+    translated queries hash-match a DuckDB oracle like every other
+    registered query.
+
+This is deliberately a small, regex-driven parser for the dashboard
+dialect — not a general InfluxQL implementation.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .numeric import exact_avg, exact_sum
+
+_UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
+
+_RX = re.compile(
+    r"""^\s*SELECT\s+(?P<proj>.+?)\s+FROM\s+"?(?P<meas>\w+)"?
+        (?:\s+WHERE\s+(?P<where>.+?))?
+        (?:\s+GROUP\s+BY\s+(?P<group>time\(\d+[smhd]\)(?:\s*,\s*"?\w+"?)?)
+            (?:\s+fill\((?P<fill>null|none|linear)\))?)?
+        (?:\s+ORDER\s+BY\s+time(?:\s+(?P<dir>ASC|DESC))?)?
+        (?:\s+LIMIT\s+(?P<limit>\d+))?\s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+_RX_AGG = re.compile(r'^(?P<fn>mean|sum|count|min|max)\(\s*"?(?P<field>\w+)"?\s*\)$', re.IGNORECASE)
+_RX_FIELD = re.compile(r'^"?(?P<field>\w+)"?$')
+_RX_TAG = re.compile(r"""^"?(?P<tag>\w+)"?\s*=\s*'(?P<val>[^']*)'$""")
+_RX_TIME = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORECASE)
+_RX_BUCKET = re.compile(r'^time\((?P<n>\d+)(?P<u>[smhd])\)(?:\s*,\s*"?(?P<tag>\w+)"?)?$', re.IGNORECASE)
+
+
+def _agg_column(fn: str, field: str) -> Column:
+    fn = fn.lower()
+    col = F.col(field)
+    if fn == "mean":
+        return exact_avg(col, "decimal(27,8)")
+    if fn == "sum":
+        return exact_sum(col, "decimal(27,8)")
+    if fn == "count":
+        return F.count(col)
+    if fn == "min":
+        return F.min(col)
+    return F.max(col)
+
+
+def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> DataFrame:
+    """Translate one InfluxQL statement into a DataFrame plan.
+
+    ``tables`` maps measurement name -> DataFrame with an event-time column
+    ``time_col`` plus field/tag columns.
+    """
+    m = _RX.match(query.strip().rstrip(";"))
+    if not m:
+        raise ValueError(f"unsupported InfluxQL: {query!r}")
+    meas = m.group("meas")
+    if meas not in tables:
+        raise ValueError(f"unknown measurement {meas!r}")
+    df = tables[meas]
+
+    t_lo = t_hi = None
+    if m.group("where"):
+        for cond in re.split(r"\s+AND\s+", m.group("where"), flags=re.IGNORECASE):
+            cond = cond.strip()
+            mt = _RX_TIME.match(cond)
+            if mt:
+                ts = F.lit(mt.group("ts")).cast("timestamp")
+                op = mt.group("op")
+                df = df.where(
+                    F.col(time_col) >= ts
+                    if op == ">="
+                    else F.col(time_col) > ts
+                    if op == ">"
+                    else F.col(time_col) <= ts
+                    if op == "<="
+                    else F.col(time_col) < ts
+                )
+                if op in (">=", ">"):
+                    t_lo = mt.group("ts")
+                else:
+                    t_hi = mt.group("ts")
+                continue
+            mg = _RX_TAG.match(cond)
+            if not mg:
+                raise ValueError(f"unsupported WHERE clause: {cond!r}")
+            df = df.where(F.col(mg.group("tag")) == mg.group("val"))
+
+    proj = m.group("proj").strip()
+    magg = _RX_AGG.match(proj)
+    order_dir = (m.group("dir") or "ASC").upper()
+
+    if m.group("group"):
+        if not magg:
+            raise ValueError("GROUP BY time() requires an aggregate projection")
+        mb = _RX_BUCKET.match(m.group("group").strip())
+        if not mb:
+            raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
+        step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
+        tag = mb.group("tag")
+        bucket = F.timestamp_micros(
+            (F.floor(F.unix_micros(F.col(time_col)) / F.lit(step_us)) * F.lit(step_us)).cast(
+                "bigint"
+            )
+        ).alias("time")
+        alias = magg.group("fn").lower()
+        keys = ["time"] + ([tag] if tag else [])
+        out = (
+            df.select(bucket, *([tag] if tag else []), magg.group("field"))
+            .groupBy(*keys)
+            .agg(_agg_column(magg.group("fn"), magg.group("field")).alias(alias))
+        )
+        fill = (m.group("fill") or "none").lower()
+        if fill in ("null", "linear"):
+            if t_lo is None or t_hi is None:
+                raise ValueError("fill() requires an explicit time range in WHERE")
+            spark = df.sparkSession
+            spine = spark.range(1).select(
+                F.explode(
+                    F.sequence(
+                        F.timestamp_micros(
+                            (
+                                F.floor(
+                                    F.unix_micros(F.lit(t_lo).cast("timestamp")) / F.lit(step_us)
+                                )
+                                * F.lit(step_us)
+                            ).cast("bigint")
+                        ),
+                        F.lit(t_hi).cast("timestamp"),
+                        F.expr(f"INTERVAL {step_us} MICROSECOND"),
+                    )
+                ).alias("time")
+            )
+            if tag:
+                spine = F.broadcast(spine.join(df.select(tag).distinct()))
+            out = F.broadcast(spine).join(out, keys, "left")
+            if fill == "linear":
+                from pyspark.sql import Window
+
+                w_prev = (
+                    Window.partitionBy(*([tag] if tag else []))
+                    .orderBy("time")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                w_next = (
+                    Window.partitionBy(*([tag] if tag else []))
+                    .orderBy("time")
+                    .rowsBetween(0, Window.unboundedFollowing)
+                )
+                obs_t = F.when(F.col(alias).isNotNull(), F.col("time"))
+                out = out.select(
+                    *keys,
+                    F.col(alias),
+                    F.last(alias, ignorenulls=True).over(w_prev).alias("__pv"),
+                    F.last(obs_t, ignorenulls=True).over(w_prev).alias("__pb"),
+                    F.first(alias, ignorenulls=True).over(w_next).alias("__nv"),
+                    F.first(obs_t, ignorenulls=True).over(w_next).alias("__nb"),
+                )
+                frac = (F.unix_micros(F.col("time")) - F.unix_micros(F.col("__pb"))).cast(
+                    "double"
+                ) / (F.unix_micros(F.col("__nb")) - F.unix_micros(F.col("__pb"))).cast("double")
+                out = out.select(
+                    *keys,
+                    F.when(F.col(alias).isNotNull(), F.col(alias))
+                    .when(F.col("__pv").isNull() | F.col("__nv").isNull(), F.lit(None))
+                    .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
+                    .alias(alias),
+                )
+        result = out
+    elif magg:
+        result = df.agg(_agg_column(magg.group("fn"), magg.group("field")).alias(magg.group("fn").lower()))
+    else:
+        mf = _RX_FIELD.match(proj)
+        if not mf:
+            raise ValueError(f"unsupported projection: {proj!r}")
+        result = df.select(F.col(time_col).alias("time"), mf.group("field"))
+
+    if "time" in result.columns:
+        result = result.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
+    if m.group("limit"):
+        result = result.limit(int(m.group("limit")))
+    return result

@@ -949,3 +949,71 @@ def q_snapshot_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick("event_type"),
         pick("value"),
     )
+
+
+@register(
+    "q_influxql_raw_series",
+    oracle="""
+        SELECT ts AS time, value
+        FROM events
+        WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-12 00:00:00'
+    """,
+    doc=(
+        "The Grafana panel query (dashboard.json:86-111) run VERBATIM as "
+        "InfluxQL through functions/influxql.py — the reference's end-user "
+        "query language translated to a declarative plan (projection + tag "
+        "equality + time range, all pushed to the scan)."
+    ),
+    tags=("timeseries", "influxql", "reference-parity"),
+)
+def q_influxql_raw_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT \"value\" FROM \"events\" WHERE \"event_type\" = 'click' "
+        "AND time >= '2024-01-05 00:00:00' AND time < '2024-01-12 00:00:00' "
+        "ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_groupby_fill",
+    oracle="""
+        WITH spine AS (
+            SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                          TIMESTAMP '2024-01-30 23:00:00',
+                                          INTERVAL 6 HOUR)) AS time
+        ),
+        agg AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 21600000000) AS BIGINT)
+                                  * 21600000000) AS time,
+                   CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS mean
+            FROM events
+            WHERE event_type = 'error'
+              AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-30 23:00:00'
+            GROUP BY 1
+        )
+        SELECT s.time, a.mean FROM spine s LEFT JOIN agg a ON s.time = a.time
+    """,
+    doc=(
+        "The Grafana re-aggregation query (dashboard.json:295-331) as "
+        "verbatim InfluxQL: GROUP BY time(6h) + mean + fill(null), "
+        "translated to epoch bucketing + exact decimal mean + broadcast "
+        "time-spine left join."
+    ),
+    tags=("timeseries", "influxql", "gapfill", "reference-parity"),
+)
+def q_influxql_groupby_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT mean(\"value\") FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-30 23:00:00' "
+        "AND \"event_type\" = 'error' "
+        "GROUP BY time(6h) fill(null) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
