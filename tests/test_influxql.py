@@ -104,3 +104,23 @@ def test_scalar_aggregate_and_limit(spark, sensors):
 def test_rejects_unsupported(spark, sensors, bad):
     with pytest.raises(ValueError):
         influxql(bad, {"sensors": sensors})
+
+
+def test_groupby_tag_with_fill(spark, sensors):
+    """fill(null) with a tag grouping: the spine crosses with the distinct
+    tags, so silent series get explicit null rows per bucket."""
+    q = (
+        "SELECT mean(\"value\") FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:02:00' "
+        "GROUP BY time(30s), \"key\" fill(null)"
+    )
+    rows = influxql(q, {"sensors": sensors}).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r["mean"])
+    # 5 spine buckets (0,30,60,90,120s) x 2 keys; data covers 0-59.9s, so
+    # the 60/90/120s buckets are explicit nulls for BOTH series.
+    assert set(by_key) == {"temp", "pressure"}
+    for vals in by_key.values():
+        assert len(vals) == 5
+        assert sum(v is None for v in vals) == 3

@@ -301,3 +301,30 @@ def test_streaming_m4_matches_batch(spark, tmp_path):
     assert emitted, "no M4 windows emitted"
     assert emitted <= full, "streamed M4 disagrees with batch M4"
     assert len(emitted) >= 0.8 * len(full)
+
+
+def test_influxql_over_pipeline_sinks(spark, pipeline_run):
+    """The complete reference loop: generator -> streaming windows -> sink
+    measurement tables -> the dashboards' InfluxQL served over them. Panel 2
+    (dashboard.json:189-216) reads the event-time window measurement raw;
+    panel 1 reads the sensors measurement filtered by tag."""
+    from timing_explorer_spark.functions.influxql import influxql
+
+    sensors = spark.read.parquet(pipeline_run["out"]["sensors"])
+    windows = spark.read.parquet(pipeline_run["out"]["eventsPerSecond"]).withColumnRenamed(
+        "window_end_label", "ts"
+    )
+    tables = {"sensors": sensors, "eventsPerSecond": windows}
+
+    raw = influxql(
+        "SELECT \"value\" FROM \"eventsPerSecond\" ORDER BY time ASC", tables
+    ).collect()
+    assert raw and all(r["value"] == 10 for r in raw)  # the exactly-10 invariant
+
+    pressure = influxql(
+        "SELECT \"value\" FROM \"sensors\" WHERE \"key\" = 'pressure' ORDER BY time ASC LIMIT 100",
+        tables,
+    )
+    assert pressure.count() == 100
+    vals = [r["value"] for r in pressure.collect()]
+    assert all(-1.0 <= v <= 1.0 for v in vals)  # sine wave range
