@@ -126,3 +126,51 @@ def test_salted_agg_equals_plain_groupby(spark, sf_smoke):
         F.sum("v").alias("sum_v"), F.count(F.lit(1)).alias("count_event_id")
     )
     assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+
+def test_aqe_skew_join_split(spark, tmp_path):
+    """AQE's runtime skew-join handling — the engine-native complement to
+    manual salting: with a pathologically hot key and low split thresholds,
+    the executed sort-merge join must be marked isSkew=true (partitions
+    split at runtime)."""
+    from pyspark.sql import functions as F
+
+    big = str(tmp_path / "big")
+    small = str(tmp_path / "small")
+    # 2M rows on ONE key + a sprinkle of others; right side uniform. The hot
+    # partition must exceed the byte threshold AFTER shuffle compression —
+    # constant-key sequential data compresses ~10x, so size generously.
+    spark.range(2_000_000).select(F.lit(0).alias("k"), F.col("id").alias("payload")).union(
+        spark.range(1000).select((F.col("id") % 50 + 1).alias("k"), F.col("id"))
+    ).write.mode("overwrite").parquet(big)
+    spark.range(51).select(F.col("id").alias("k"), F.lit("d").alias("name")).write.mode(
+        "overwrite"
+    ).parquet(small)
+
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "256KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force the SMJ path
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        df = (
+            spark.read.parquet(big)
+            .join(spark.read.parquet(small), "k")
+            .select(F.sum("payload").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        row = df.collect()[0]
+        assert row["n"] == 2_001_000  # correctness under the split
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
