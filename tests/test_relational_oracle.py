@@ -151,3 +151,17 @@ def test_weighted_sample_biases_toward_weight(spark, sf_oracle):
     m_s = samp.join(d, ["doc_id"]).agg(F.avg("n_chars")).collect()[0][0]
     m_all = d.agg(F.avg("n_chars")).collect()[0][0]
     assert m_s > m_all * 1.02, (m_s, m_all)
+
+
+def test_driver_check_window_frozen():
+    """The driver verifies the FIRST 50 registry entries in iteration order;
+    that window is FROZEN (round-2 judge directive #3) so CORRECTNESS rows
+    stay regression-comparable round over round. Any reordering is a bug."""
+    from timing_explorer_spark.plans.registry import _PRIORITY
+
+    window = list(SPECS)[:50]
+    assert window == list(_PRIORITY)[:50]
+    # the exact frozen set, spot-anchored at the boundaries
+    assert window[0] == "q01_pricing_summary"
+    assert window[-1] == "q_conversion_latency"
+    assert "q_media_fingerprints" in window and "q_interval_join_close_events" in window
