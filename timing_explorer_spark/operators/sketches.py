@@ -64,3 +64,73 @@ def kmin_distinct_estimate(
         total = c if total is None else total + c
     est = (F.lit(float(k - 1)) / total).alias("distinct_est")
     return agg.select(*keys, "n_rows", est)
+
+
+def cms_build(
+    items: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) as a DataFrame:
+    (row, bucket, cnt) cells, row i bucketing by an independent seeded
+    xxhash64. depth*width longs regardless of stream size — THE bounded-
+    memory frequency summary for streams too hot to recount exactly.
+
+    Mergeable by construction: sketches over disjoint inputs combine by
+    cell-wise addition (same groupBy on (row, bucket)), so partial sketches
+    roll up across files/hours/days like any algebraic aggregate. Build cost
+    is one shuffle of depth x |distinct-per-partition| partial cells
+    (map-side combine collapses repeats before the exchange).
+    """
+    rows = [
+        items.select(
+            F.lit(i).alias("row"),
+            F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed + i)), F.lit(width)).alias(
+                "bucket"
+            ),
+        )
+        for i in range(depth)
+    ]
+    allrows = rows[0]
+    for r in rows[1:]:
+        allrows = allrows.unionByName(r)
+    return allrows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    key_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    seed: int = 7,
+) -> DataFrame:
+    """(key, est) point-frequency estimates: min over the depth rows of the
+    probed cells. Never underestimates; overestimates by <= e*N/width with
+    probability 1 - e^-depth. The probe set joins against the sketch cells
+    (broadcast whichever side is small)."""
+    exploded = probes.select(
+        F.col(key_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col).cast("string"), F.lit(seed + i)),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
+        ).alias("h"),
+    ).select(key_col, F.col("h.row").alias("row"), F.col("h.bucket").alias("bucket"))
+    return (
+        exploded.join(sketch, ["row", "bucket"], "left")
+        .select(key_col, F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt"))
+        .groupBy(key_col)
+        .agg(F.min("cnt").alias("est"))
+    )

@@ -654,3 +654,29 @@ def q_bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bigrams"),
         )
     )
+
+
+@register(
+    "q_cms_word_freq",
+    oracle=None,  # xxhash64-bucketed sketch — no DuckDB analog; bounds in pytest
+    doc=(
+        "Count-min sketch frequency estimates for the corpus's heavy-hitter "
+        "words: the 4x2048-cell bounded-memory summary answers point "
+        "frequencies with est >= true and bounded overestimate "
+        "(tests/test_sketches.py pins both plus cell-wise mergeability). "
+        "Composes with q_vocab_heavy_hitters: MG finds WHICH words are "
+        "heavy, CMS serves approximate counts for ANY probe without "
+        "rescanning. Rows-only driver check."
+    ),
+    tags=("text", "sketch", "cms", "approx", "llm-pipeline"),
+)
+def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.heavy_hitters import heavy_hitters
+    from ..operators.sketches import cms_build, cms_estimate
+
+    d = load(spark, sf_dir, "documents")
+    spread = spark.sparkContext.defaultParallelism
+    words = d.repartition(spread).select(F.explode(tokens(F.col("text"))).alias("word"))
+    sketch = cms_build(words, "word")
+    probes = heavy_hitters(words, phi=0.005, key_col="word").select("word")
+    return cms_estimate(sketch, probes, "word")
