@@ -554,3 +554,95 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hourly.groupBy(F.date_trunc("day", "h").alias("day"), "event_type").agg(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx_users")
     )
+
+
+@register(
+    "q_subsequence_search",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bkt,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS s
+            FROM events GROUP BY 1, 2
+        ),
+        win AS (
+            SELECT event_type, bkt,
+                   list(s) OVER (PARTITION BY event_type ORDER BY bkt
+                                 ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS xs,
+                   COUNT(*) OVER (PARTITION BY event_type ORDER BY bkt
+                                  ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS w
+            FROM hourly
+        ),
+        full_win AS (SELECT * FROM win WHERE w = 24),
+        pattern AS (
+            SELECT xs AS q FROM full_win
+            WHERE event_type = 'click'
+            ORDER BY bkt LIMIT 1
+        )
+        SELECT event_type,
+               make_timestamp(bkt * 3600000000) AS window_start,
+               CAST(list_sum(list_transform(range(24),
+                    i -> CAST(ROUND((xs[i+1] - q[i+1]) * 100) AS BIGINT)
+                         * CAST(ROUND((xs[i+1] - q[i+1]) * 100) AS BIGINT)
+               )) AS DOUBLE) / 10000.0 AS dist2
+        FROM full_win CROSS JOIN pattern
+        ORDER BY dist2, event_type, window_start
+        LIMIT 10
+    """,
+    doc=(
+        "Time-series subsequence similarity search (the EDBT'19 streaming "
+        "TS-similarity theme): find the 10 hourly 24-point windows, across "
+        "ALL series, closest in squared Euclidean distance to a query "
+        "pattern (the click series' first full day). Windows materialize "
+        "via a ROWS frame over the bucketed grain — O(buckets x W) work, "
+        "never touching raw events twice — and the distance is computed in "
+        "exact integer units (2-dp data x100), so ranking is deterministic "
+        "cross-engine. At 100 TB the bucketed series table is the small "
+        "derived artifact; a pattern probe is a broadcast, and candidate "
+        "pruning (Matrix-Profile-style lower bounds) would slot in above "
+        "this exact re-rank."
+    ),
+    tags=("timeseries", "similarity", "subsequence", "pattern-search"),
+)
+def q_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour_us = 3600 * 1_000_000
+    W = 24
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(hour_us)).cast("bigint").alias("bkt"),
+    ).agg((F.sum(F.rint(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("s"))
+    w = Window.partitionBy("event_type").orderBy("bkt").rowsBetween(0, W - 1)
+    win = hourly.select(
+        "event_type",
+        "bkt",
+        F.collect_list("s").over(w).alias("xs"),
+        F.count(F.lit(1)).over(w).alias("w"),
+    ).where(F.col("w") == W)
+    pattern = (
+        win.where(F.col("event_type") == "click")
+        .orderBy("bkt")
+        .limit(1)
+        .select(F.col("xs").alias("q"))
+    )
+    joined = win.join(F.broadcast(pattern))
+
+    def dist(acc, i):
+        d = F.rint((F.element_at(F.col("xs"), i + 1) - F.element_at(F.col("q"), i + 1)) * 100).cast(
+            "long"
+        )
+        return acc + d * d
+
+    dist2 = (
+        F.aggregate(F.sequence(F.lit(0), F.lit(W - 1)), F.lit(0).cast("long"), dist).cast("double")
+        / F.lit(10000.0)
+    ).alias("dist2")
+    return (
+        joined.select(
+            "event_type",
+            F.timestamp_micros(F.col("bkt") * F.lit(hour_us)).alias("window_start"),
+            dist2,
+        )
+        .orderBy("dist2", "event_type", "window_start")
+        .limit(10)
+    )
