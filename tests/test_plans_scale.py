@@ -289,6 +289,7 @@ _SANCTIONED_PYTHON = {
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
     "q_vocab_heavy_hitters",
+    "q_cms_word_freq",
     "q_media_fingerprints",
     "q_media_features",
     "q_media_exact_dedup",
@@ -314,6 +315,8 @@ _SANCTIONED_NESTED_LOOP = {
     "q_equidepth_histogram",
     "q_weighted_sample",
     "q_vocab_heavy_hitters",
+    "q_cms_word_freq",
+    "q_subsequence_search",
     "q_mixture_token_budget",
     "q_quality_expectations",
     "q_sequence_packing",

@@ -328,3 +328,43 @@ def test_influxql_over_pipeline_sinks(spark, pipeline_run):
     assert pressure.count() == 100
     vals = [r["value"] for r in pressure.collect()]
     assert all(-1.0 <= v <= 1.0 for v in vals)  # sine wave range
+
+
+def test_late_data_dropped_beyond_watermark(spark, tmp_path):
+    """Late-data semantics the reference cannot exhibit (its zero-lag
+    watermark + in-order source make lateness impossible by construction):
+    with a 0s watermark, an out-of-order replay file arriving a full batch
+    AFTER the stream has advanced past it is dropped from append-mode
+    windows — counts for its windows stay at the on-time values."""
+    from timing_explorer_spark.streaming.pipeline import (
+        event_time_windows,
+        sensor_stream_from_files,
+        write_generator_files,
+    )
+
+    data = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # On-time data: events 100..399 (10s-40s). Written first -> earlier file.
+    write_generator_files(spark, data, n_events=400, files=3, first_event=100)
+    # Late straggler: events 0..99 (0-10s), arriving in a LATER file.
+    write_generator_files(spark, data, n_events=100, files=1)
+    q = (
+        event_time_windows(sensor_stream_from_files(spark, data, max_files_per_trigger=1))
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    win = spark.read.parquet(out)
+    rows = win.collect()
+    assert rows
+    # No window may exceed 10 (a late merge would double-count), and the
+    # 0-10s windows (the straggler's range) must be absent or on-time-only.
+    assert all(r["value"] <= 10 for r in rows)
+    early = [r for r in rows if r["window_end_label"].second < 10 and r["window_end_label"].minute == 0]
+    # the straggler arrived after the watermark passed 10s -> dropped
+    assert not early
