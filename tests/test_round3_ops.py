@@ -296,3 +296,34 @@ def test_hll_rollup_identity_and_accuracy(spark, sf_smoke):
         est = m[(r["day"], r["event_type"])]
         assert est == r["est"], "merged sketch != direct sketch"
         assert abs(est - r["exact"]) / max(r["exact"], 1) < 0.02
+
+
+# ------------------------------------------------------------------------ BPE
+def test_bpe_merge_scan_semantics(spark):
+    """Exact BPE greedy-scan fusion: 'a a b' fuses the LAST two; 'a b a b'
+    fuses both; singletons and empties pass through."""
+    from timing_explorer_spark.operators.bpe import JOINER, apply_merge
+
+    df = spark.createDataFrame(
+        [("a a b",), ("a b a b",), ("b a b",), ("x",)], ["text"]
+    ).select(F.split("text", " ").alias("toks"))
+    out = [r["toks"] for r in apply_merge(df, "a", "b").collect()]
+    ab = f"a{JOINER}b"
+    assert out == [["a", ab], [ab, ab], ["b", ab], ["x"]]
+
+
+def test_bpe_training_compresses_and_is_deterministic(spark, sf_smoke):
+    from pyspark.sql import functions as F2
+
+    from timing_explorer_spark.operators.bpe import bpe_train
+
+    docs = load(spark, sf_smoke, "documents")
+    merges_a, toks = bpe_train(docs, 6)
+    merges_b, _ = bpe_train(docs.repartition(13), 6)
+    assert merges_a == merges_b  # bit-identical training on any layout
+    assert len(merges_a) == 6
+    assert all(m[3] >= 2 for m in merges_a)
+    n0 = docs.select(F2.sum(F2.size(F2.split("text", r"\s+")))).collect()[0][0]
+    n1 = toks.select(F2.sum(F2.size("toks"))).collect()[0][0]
+    # every merge occurrence removes one token
+    assert n1 == n0 - sum(m[3] for m in merges_a) or n1 < n0

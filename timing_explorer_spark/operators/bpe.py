@@ -1,0 +1,106 @@
+"""Distributed BPE-style vocabulary training (word-level pair merging).
+
+The tokenizer-training primitive of an LLM data pipeline (Sennrich et al.
+2016, "Neural Machine Translation of Rare Words with Subword Units"),
+expressed at the word level over the corpus: repeatedly find the most
+frequent ADJACENT token pair and fuse it into one token. Each round is pure
+dataflow —
+
+  pair counting   explode (tokens[i], tokens[i+1]) per doc, one groupBy —
+                  map-side combinable, the same shuffle shape as word counts;
+  argmax          deterministic (count DESC, pair ASC) — a 1-row result the
+                  DRIVER reads to decide the next merge (the standard
+                  iterative-algorithm control-flow pattern: the decision is
+                  O(1) data; the corpus never leaves the cluster);
+  merge           every doc's token array rewritten by one linear HOF pass
+                  (aggregate with (acc, pending) state), embarrassingly
+                  parallel, no shuffle.
+
+Token arrays stay arrays end to end (no string round-trip, no regex), so
+merged tokens are joined with '\\u2581' (the sentencepiece-style joiner) and
+any text is safe. Determinism: counts are exact integers and the tie-break
+is total, so training reproduces bit-for-bit on any cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+JOINER = "▁"
+
+
+def adjacent_pair_counts(toks: DataFrame, col: str = "toks") -> DataFrame:
+    """(a, b, cnt) counts of adjacent token pairs across all rows."""
+    # size >= 2 guard BEFORE the transform: sequence(0, -1) would descend.
+    pairs = toks.where(F.expr(f"size({col}) >= 2")).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size({col})-2),"
+                f" i -> struct({col}[i] as a, {col}[i+1] as b))"
+            )
+        ).alias("p")
+    )
+    return (
+        pairs.select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def top_pair(toks: DataFrame, col: str = "toks") -> DataFrame:
+    """The single most frequent adjacent pair (count DESC, a ASC, b ASC)."""
+    return adjacent_pair_counts(toks, col).orderBy(
+        F.desc("cnt"), F.asc("a"), F.asc("b")
+    ).limit(1)
+
+
+def apply_merge(toks: DataFrame, a: str, b: str, col: str = "toks") -> DataFrame:
+    """Fuse every left-to-right non-overlapping adjacent (a, b) into one
+    token a⁁b, in ONE linear pass per row: fold over the array carrying a
+    one-token lookbehind ('pending'); when pending==a and the next token==b,
+    emit the fused token and clear the pending slot (so 'a a b' fuses the
+    LAST two and 'a b a b' fuses both — exact BPE scan semantics)."""
+    def q(s: str) -> str:
+        return s.replace("\\", "\\\\").replace("'", "\\'")
+
+    merged = f"{a}{JOINER}{b}"
+    expr = f"""
+        aggregate(
+          {col},
+          struct(cast(array() as array<string>) as acc, cast(null as string) as pending),
+          (s, t) -> CASE
+              WHEN s.pending = '{q(a)}' AND t = '{q(b)}'
+                  THEN struct(array_append(s.acc, '{q(merged)}') as acc,
+                              cast(null as string) as pending)
+              WHEN s.pending IS NULL
+                  THEN struct(s.acc as acc, t as pending)
+              ELSE struct(array_append(s.acc, s.pending) as acc, t as pending)
+          END,
+          s -> CASE WHEN s.pending IS NULL THEN s.acc
+                    ELSE array_append(s.acc, s.pending) END
+        )
+    """
+    return toks.withColumn(col, F.expr(expr))
+
+
+def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text") -> tuple[list, DataFrame]:
+    """Run ``n_merges`` rounds; returns (merge table, final tokenized corpus).
+
+    merge table rows: (rank, a, b, cnt) in merge order — the artifact a
+    tokenizer ships. Each round re-counts pairs on the merged corpus; the
+    corpus DataFrame is iteratively persisted so round i+1 reads round i's
+    arrays, not the raw text re-derived (the PageRank/components pattern).
+    """
+    from .dedup import track_cache
+
+    toks = track_cache(docs.select(F.split(F.col(text_col), r"\s+").alias("toks")))
+    merges: list = []
+    for rank in range(n_merges):
+        row = top_pair(toks).collect()
+        if not row or row[0]["cnt"] < 2:
+            break
+        a, b, cnt = row[0]["a"], row[0]["b"], row[0]["cnt"]
+        merges.append((rank, a, b, int(cnt)))
+        toks = track_cache(apply_merge(toks, a, b))
+    return merges, toks

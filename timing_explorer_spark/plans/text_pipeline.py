@@ -680,3 +680,55 @@ def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     sketch = cms_build(words, "word")
     probes = heavy_hitters(words, phi=0.005, key_col="word").select("word")
     return cms_estimate(sketch, probes, "word")
+
+
+@register(
+    "q_bpe_top_pairs",
+    oracle="""
+        WITH toks AS (SELECT string_split(text, ' ') AS w FROM documents),
+        pairs AS (
+            SELECT UNNEST(list_transform(range(greatest(len(w) - 1, 0)),
+                          i -> {'a': w[i+1], 'b': w[i+2]})) AS p
+            FROM toks
+        )
+        SELECT p.a AS a, p.b AS b, COUNT(*) AS cnt
+        FROM pairs
+        GROUP BY p.a, p.b
+        ORDER BY cnt DESC, a, b
+        LIMIT 20
+    """,
+    doc=(
+        "The BPE-training inner query: adjacent-token-pair counts with the "
+        "deterministic (cnt DESC, a, b) ranking whose head is the next "
+        "merge. One explode + one groupBy — the word-count shuffle shape, "
+        "map-side combinable at any corpus size (operators/bpe.py)."
+    ),
+    tags=("text", "bpe", "tokenizer", "llm-pipeline"),
+)
+def q_bpe_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import adjacent_pair_counts
+
+    d = load(spark, sf_dir, "documents")
+    toks = d.select(F.split(F.col("text"), r"\s+").alias("toks"))
+    return adjacent_pair_counts(toks).orderBy(F.desc("cnt"), F.asc("a"), F.asc("b")).limit(20)
+
+
+@register(
+    "q_bpe_merge_table",
+    oracle=None,  # iterative merge loop — no closed-form SQL; determinism in pytest
+    doc=(
+        "Distributed BPE-style vocabulary training (Sennrich 2016), 6 merge "
+        "rounds: per round, count adjacent pairs (one shuffle), take the "
+        "deterministic argmax, fuse every occurrence with a linear HOF pass "
+        "(no shuffle), repeat on the merged corpus. Output is the ranked "
+        "merge table a tokenizer ships. Rows-only driver check; pytest pins "
+        "exact scan semantics, corpus compression, and bit-identical merges "
+        "under repartitioning."
+    ),
+    tags=("text", "bpe", "tokenizer", "iterative", "llm-pipeline"),
+)
+def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.bpe import bpe_train
+
+    merges, _ = bpe_train(load(spark, sf_dir, "documents"), n_merges=6)
+    return spark.createDataFrame(merges, ["rank", "a", "b", "cnt"])
