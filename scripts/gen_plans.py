@@ -80,6 +80,7 @@ def main() -> None:
         "q_vocab_heavy_hitters",
         "q_embedding_rp_project",
         "q_bigram_surprisal",
+        "q_subsequence_search",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}
