@@ -327,3 +327,17 @@ def test_bpe_training_compresses_and_is_deterministic(spark, sf_smoke):
     n1 = toks.select(F2.sum(F2.size("toks"))).collect()[0][0]
     # every merge occurrence removes one token
     assert n1 == n0 - sum(m[3] for m in merges_a) or n1 < n0
+
+
+def test_bpe_encode_reproduces_training_state(spark, sf_smoke):
+    """Applying the trained merge table to raw text must reproduce the
+    training loop's final corpus tokenization exactly (the artifact is
+    sufficient — no hidden training state)."""
+    from timing_explorer_spark.operators.bpe import bpe_encode, bpe_train
+
+    docs = load(spark, sf_smoke, "documents")
+    merges, trained = bpe_train(docs, 5)
+    encoded = bpe_encode(docs, merges)
+    a = [tuple(r["toks"]) for r in trained.collect()]
+    b = [tuple(r["toks"]) for r in encoded.collect()]
+    assert sorted(a) == sorted(b)

@@ -104,3 +104,15 @@ def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text") -> tuple[l
         merges.append((rank, a, b, int(cnt)))
         toks = track_cache(apply_merge(toks, a, b))
     return merges, toks
+
+
+def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text") -> DataFrame:
+    """Tokenization INFERENCE: apply a trained merge table (rank order) to
+    new text — the other half of the tokenizer artifact. Each merge is one
+    shuffle-free linear pass; K merges chain into one codegen'd projection
+    pipeline. Invariant (tested): re-encoding the training corpus from raw
+    text reproduces the training loop's final token arrays exactly."""
+    toks = docs.select(F.split(F.col(text_col), r"\s+").alias("toks"))
+    for _, a, b, _ in sorted(merges):
+        toks = apply_merge(toks, a, b)
+    return toks
