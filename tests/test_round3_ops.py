@@ -341,3 +341,16 @@ def test_bpe_encode_reproduces_training_state(spark, sf_smoke):
     a = [tuple(r["toks"]) for r in trained.collect()]
     b = [tuple(r["toks"]) for r in encoded.collect()]
     assert sorted(a) == sorted(b)
+
+
+def test_containment_dominates_jaccard(spark, sf_smoke):
+    """Mathematical invariant: C(A,B) = |A∩B|/min(|A|,|B|) >= J(A,B) for
+    every pair, so the containment threshold can never be LESS selective
+    than the same Jaccard threshold on identical candidates."""
+    from timing_explorer_spark.operators.dedup import containment_pairs, jaccard_pairs
+
+    docs = load(spark, sf_smoke, "documents")
+    j = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in jaccard_pairs(docs, threshold=0.0, n=3).collect()}
+    c = {(r["doc_a"], r["doc_b"]): r["containment"] for r in containment_pairs(docs, threshold=0.0, n=3).collect()}
+    assert set(j) == set(c) and j  # same candidate pairs (shared index)
+    assert all(c[k] >= j[k] - 1e-12 for k in j)
