@@ -646,3 +646,299 @@ def q_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist2", "event_type", "window_start")
         .limit(10)
     )
+
+
+@register(
+    "q_cusum_changepoints",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS units
+            FROM events GROUP BY 1, 2
+        ),
+        dev AS (
+            SELECT event_type, day, units,
+                   COUNT(*)   OVER (PARTITION BY event_type) AS n,
+                   SUM(units) OVER (PARTITION BY event_type) AS tot
+            FROM daily
+        ),
+        pref AS (
+            SELECT event_type, day, units, n,
+                   SUM(n * units - tot) OVER (PARTITION BY event_type ORDER BY day
+                                              ROWS UNBOUNDED PRECEDING) AS p
+            FROM dev
+        ),
+        cus AS (
+            SELECT event_type, day, units, n,
+                   p - MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                                    ROWS UNBOUNDED PRECEDING) AS cpos,
+                   MAX(p) OVER (PARTITION BY event_type ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) - p AS cneg
+            FROM pref
+        )
+        SELECT event_type, day,
+               CAST(units AS DOUBLE) / 100.0                 AS daily_sum,
+               CAST(cpos AS DOUBLE) / (n * 100.0)            AS cusum_pos,
+               CAST(cneg AS DOUBLE) / (n * 100.0)            AS cusum_neg,
+               2 * cpos > MAX(cpos) OVER (PARTITION BY event_type) AS is_shift
+        FROM cus
+    """,
+    doc=(
+        "CUSUM change-point detection over the per-(series, day) grain (Page "
+        "1954). The sequential recurrence S_i = max(0, S_{i-1} + d_i) is "
+        "NOT computed as a recurrence: it equals P_i - min_{j<=i} P_j for "
+        "prefix sums P of the deviations, so the whole detector is two "
+        "running windows (prefix sum + running min/max) on one (series) "
+        "partitioning — fully declarative, no iteration, scale-bound by the "
+        "bucketed grain, not the raw events. Deviations are centered on the "
+        "series mean without division: d_i = n*units_i - total_units keeps "
+        "everything in exact integer units, so both engines agree bit-for-bit "
+        "on every S_i and on the shift flag (worst-half-of-max rule). "
+        "Upward and downward drifts are tracked symmetrically."
+    ),
+    tags=("timeseries", "changepoint", "cusum", "window"),
+)
+def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.rint(F.col("value") * 100).cast("long")).alias("units"))
+    w_all = Window.partitionBy("event_type")
+    w_run = Window.partitionBy("event_type").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    dev = daily.select(
+        "event_type",
+        "day",
+        "units",
+        F.count(F.lit(1)).over(w_all).alias("n"),
+        F.sum("units").over(w_all).alias("tot"),
+    )
+    pref = dev.withColumn(
+        "p", F.sum(F.col("n") * F.col("units") - F.col("tot")).over(w_run)
+    )
+    cus = pref.select(
+        "event_type",
+        "day",
+        "units",
+        "n",
+        (F.col("p") - F.min("p").over(w_run)).alias("cpos"),
+        (F.max("p").over(w_run) - F.col("p")).alias("cneg"),
+    )
+    return cus.select(
+        "event_type",
+        "day",
+        (F.col("units").cast("double") / F.lit(100.0)).alias("daily_sum"),
+        (F.col("cpos").cast("double") / (F.col("n") * F.lit(100.0))).alias("cusum_pos"),
+        (F.col("cneg").cast("double") / (F.col("n") * F.lit(100.0))).alias("cusum_neg"),
+        (F.lit(2) * F.col("cpos") > F.max("cpos").over(w_all)).alias("is_shift"),
+    )
+
+
+@register(
+    "q_lttb_downsample",
+    oracle="""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) AS bkt,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS units
+            FROM events GROUP BY 1, 2
+        ),
+        ep AS (
+            SELECT event_type,
+                   CAST(MIN(bkt) AS DOUBLE) AS fx,
+                   CAST(arg_min(units, bkt) AS DOUBLE) / 100.0 AS fy,
+                   CAST(MAX(bkt) AS DOUBLE) AS lx,
+                   CAST(arg_max(units, bkt) AS DOUBLE) / 100.0 AS ly
+            FROM hourly GROUP BY event_type
+        ),
+        bm AS (
+            SELECT event_type, bkt // 24 AS pb,
+                   CAST(SUM(bkt) AS DOUBLE) / COUNT(*) AS ax,
+                   CAST(SUM(units) AS DOUBLE) / (100.0 * COUNT(*)) AS ay
+            FROM hourly GROUP BY 1, 2
+        ),
+        anch AS (
+            SELECT b.event_type, b.pb,
+                   COALESCE(LAG(ax)  OVER w, e.fx) AS pax,
+                   COALESCE(LAG(ay)  OVER w, e.fy) AS pay,
+                   COALESCE(LEAD(ax) OVER w, e.lx) AS nax,
+                   COALESCE(LEAD(ay) OVER w, e.ly) AS nay
+            FROM bm b JOIN ep e USING (event_type)
+            WINDOW w AS (PARTITION BY b.event_type ORDER BY b.pb)
+        ),
+        scored AS (
+            SELECT h.event_type, h.bkt, a.pb,
+                   CAST(h.units AS DOUBLE) / 100.0 AS s,
+                   ABS((a.pax - a.nax) * (CAST(h.units AS DOUBLE) / 100.0 - a.pay)
+                       - (a.pax - CAST(h.bkt AS DOUBLE)) * (a.pay - a.nay)) AS area
+            FROM hourly h JOIN anch a
+              ON h.event_type = a.event_type AND h.bkt // 24 = a.pb
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type, pb
+                                         ORDER BY area DESC, bkt) AS rn
+            FROM scored
+        )
+        SELECT event_type,
+               make_timestamp(pb * 86400000000)  AS bucket,
+               make_timestamp(bkt * 3600000000)  AS point_ts,
+               s                                  AS value,
+               area
+        FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "LTTB downsampling (Steinarsson 2013), bucket-mean-anchor variant: "
+        "per (series, 24h pixel bucket) keep the ONE point of the hourly "
+        "grain maximizing the triangle area spanned with the neighboring "
+        "buckets' mean points — the visually-dominant point, vs M4's "
+        "extremes. Canonical LTTB is sequential (each choice anchors the "
+        "next bucket's triangle); anchoring on the neighbor bucket MEANS "
+        "instead makes every bucket independent — embarrassingly parallel, "
+        "the standard distributed relaxation. Anchor means stay exact "
+        "(integer unit/index sums divided once), endpoint buckets anchor on "
+        "the series' raw first/last points (arg-min/max, unique bkt ⇒ no "
+        "ties), and the argmax is a (area DESC, bkt) row_number so the "
+        "selection is bit-deterministic cross-engine. Cost: one shuffle to "
+        "the hourly grain; the bucket-mean/anchor tables are "
+        "O(buckets/24 × series) and broadcast."
+    ),
+    tags=("timeseries", "downsample", "lttb", "window"),
+)
+def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hour_us = 3600 * 1_000_000
+    e = load(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_micros(F.col("ts")) / F.lit(hour_us)).cast("bigint").alias("bkt"),
+    ).agg(F.sum(F.rint(F.col("value") * 100).cast("long")).alias("units"))
+    ep = hourly.groupBy("event_type").agg(
+        F.min("bkt").cast("double").alias("fx"),
+        (F.min_by("units", "bkt").cast("double") / F.lit(100.0)).alias("fy"),
+        F.max("bkt").cast("double").alias("lx"),
+        (F.max_by("units", "bkt").cast("double") / F.lit(100.0)).alias("ly"),
+    )
+    bm = hourly.groupBy("event_type", F.expr("bkt DIV 24").alias("pb")).agg(
+        (F.sum("bkt").cast("double") / F.count(F.lit(1))).alias("ax"),
+        (F.sum("units").cast("double") / (F.lit(100.0) * F.count(F.lit(1)))).alias("ay"),
+    )
+    w = Window.partitionBy("event_type").orderBy("pb")
+    anch = (
+        bm.join(F.broadcast(ep), "event_type")
+        .select(
+            "event_type",
+            "pb",
+            F.coalesce(F.lag("ax").over(w), F.col("fx")).alias("pax"),
+            F.coalesce(F.lag("ay").over(w), F.col("fy")).alias("pay"),
+            F.coalesce(F.lead("ax").over(w), F.col("lx")).alias("nax"),
+            F.coalesce(F.lead("ay").over(w), F.col("ly")).alias("nay"),
+        )
+    )
+    s = F.col("units").cast("double") / F.lit(100.0)
+    scored = (
+        hourly.withColumn("pb", F.expr("bkt DIV 24"))
+        .join(F.broadcast(anch), ["event_type", "pb"])
+        .select(
+            "event_type",
+            "bkt",
+            "pb",
+            s.alias("s"),
+            F.abs(
+                (F.col("pax") - F.col("nax")) * (s - F.col("pay"))
+                - (F.col("pax") - F.col("bkt").cast("double")) * (F.col("pay") - F.col("nay"))
+            ).alias("area"),
+        )
+    )
+    w_sel = Window.partitionBy("event_type", "pb").orderBy(F.desc("area"), "bkt")
+    return (
+        scored.withColumn("rn", F.row_number().over(w_sel))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.timestamp_micros(F.col("pb") * F.lit(24 * hour_us)).alias("bucket"),
+            F.timestamp_micros(F.col("bkt") * F.lit(hour_us)).alias("point_ts"),
+            F.col("s").alias("value"),
+            "area",
+        )
+    )
+
+
+@register(
+    "q_theil_sen_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(epoch_us(DATE_TRUNC('day', ts)) / 86400000000 AS BIGINT) AS d,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE) / 100.0 AS y
+            FROM events GROUP BY 1, 2
+        ),
+        slopes AS (
+            SELECT a.event_type, (b.y - a.y) / CAST(b.d - a.d AS DOUBLE) AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+                   COUNT(*)    OVER (PARTITION BY event_type)                 AS n_pairs
+            FROM slopes
+        ),
+        sen AS (
+            SELECT event_type, MAX(n_pairs) AS n_pairs, MAX(slope) AS sen_slope
+            FROM ranked WHERE rn = (n_pairs + 1) // 2 GROUP BY event_type
+        )
+        SELECT s.event_type, d.n_days, s.n_pairs, s.sen_slope
+        FROM sen s JOIN (SELECT event_type, COUNT(*) AS n_days
+                         FROM daily GROUP BY event_type) d
+          ON s.event_type = d.event_type
+    """,
+    doc=(
+        "Theil-Sen robust trend estimator per series: the median of all "
+        "pairwise slopes between daily sums — 29.3%-breakdown-point trend, "
+        "immune to the outliers that wreck least-squares. The O(n²) pair "
+        "join runs on the BUCKETED daily grain (O(days²) pairs per series, "
+        "independent of raw-event cardinality — the same contract as the "
+        "subsequence search), never on the facts. Daily sums are exact "
+        "integer units; each slope is one IEEE division of deterministic "
+        "inputs, and the median is the exact lower ELEMENT (row_number "
+        "selection, value-identical under slope ties), so both engines "
+        "agree bit-for-bit. At 100 TB the daily table is the small derived "
+        "artifact; for very long series the drop-in is the repeated-median "
+        "or sampled-pairs estimator on the same shape."
+    ),
+    tags=("timeseries", "stats", "robust", "trend"),
+)
+def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    day_us = 86_400_000_000
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        (F.unix_micros(F.date_trunc("day", "ts")) / F.lit(day_us)).cast("bigint").alias("d"),
+    ).agg((F.sum(F.rint(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(
+        F.broadcast(b),
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        ((F.col("b.y") - F.col("a.y")) / (F.col("b.d") - F.col("a.d")).cast("double")).alias(
+            "slope"
+        ),
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("slope")
+    w_all = Window.partitionBy("event_type")
+    ranked = slopes.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n_pairs"),
+    )
+    sen = (
+        ranked.where(F.col("rn") == F.floor((F.col("n_pairs") + 1) / 2))
+        .groupBy("event_type")
+        .agg(F.max("n_pairs").alias("n_pairs"), F.max("slope").alias("sen_slope"))
+    )
+    n_days = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return sen.join(F.broadcast(n_days), "event_type").select(
+        "event_type", "n_days", "n_pairs", "sen_slope"
+    )
