@@ -81,6 +81,10 @@ def main() -> None:
         "q_embedding_rp_project",
         "q_bigram_surprisal",
         "q_subsequence_search",
+        "q_cusum_changepoints",
+        "q_lttb_downsample",
+        "q_boilerplate_span_coverage",
+        "q_int8_embedding_topk",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

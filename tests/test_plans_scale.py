@@ -317,6 +317,8 @@ _SANCTIONED_NESTED_LOOP = {
     "q_vocab_heavy_hitters",
     "q_cms_word_freq",
     "q_subsequence_search",
+    # 1-row max-abs scale broadcast + bounded query-set broadcast
+    "q_int8_embedding_topk",
     "q_mixture_token_budget",
     "q_quality_expectations",
     "q_sequence_packing",

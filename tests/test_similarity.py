@@ -114,3 +114,41 @@ def test_tile_rows_requires_path(spark, sf_smoke):
     emb = load(spark, sf_smoke, "embeddings")
     with _pytest.raises(ValueError):
         nearest_neighbor_all(emb, tile_rows=10)
+
+
+def test_int8_topk_recall_vs_float(spark, sf_oracle):
+    """INT8 scalar quantization must preserve the float dot-product ranking
+    almost perfectly (SQ8 loses <1% recall in practice; the quantized score
+    itself is exact-integer and oracle-checked — this asserts the RANKING
+    survives quantization)."""
+    from pyspark.sql import Window
+
+    from timing_explorer_spark.functions.vectors import as_double, dot
+    from timing_explorer_spark.plans import all_queries
+
+    emb = load(spark, sf_oracle, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    qs = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(emb, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            dot(F.col("qv"), F.col("v")).alias("fdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("fdot"), "neighbor_id")
+    exact = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .collect()
+    )
+    approx = all_queries()["q_int8_embedding_topk"].build(spark, sf_oracle).collect()
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.9, f"int8 top-10 recall vs float ranking too low: {recall:.2f}"

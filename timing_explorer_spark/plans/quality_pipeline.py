@@ -393,3 +393,206 @@ def q_quality_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.select("constraint_name", "violations", "total")
+
+
+@register(
+    "q_boilerplate_span_coverage",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sp AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, GREATEST(LEN(toks) - 3, 1)),
+                       i -> struct_pack(
+                           pos := i,
+                           span := array_to_string(list_slice(toks, i, i + 4), ' ')
+                       ))) AS s
+            FROM w
+        ),
+        spans AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM sp),
+        boiler AS (
+            SELECT span FROM spans GROUP BY span
+            HAVING COUNT(DISTINCT doc_id) >= 3
+        ),
+        hits AS (
+            SELECT s.doc_id, s.pos FROM spans s JOIN boiler b USING (span)
+        ),
+        swe AS (
+            SELECT doc_id, pos, pos + 4 AS e,
+                   MAX(pos + 4) OVER (PARTITION BY doc_id ORDER BY pos
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                               AND 1 PRECEDING) AS prev_e
+            FROM hits
+        ),
+        cov AS (
+            SELECT doc_id,
+                   CAST(SUM(GREATEST(0, e - GREATEST(pos - 1, COALESCE(prev_e, 0))))
+                        AS BIGINT) AS covered
+            FROM swe GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               LEN(w.toks)                               AS n_tokens,
+               COALESCE(cov.covered, 0)                  AS covered_tokens,
+               CAST(COALESCE(cov.covered, 0) AS DOUBLE) / LEN(w.toks)
+                                                         AS boilerplate_frac
+        FROM w LEFT JOIN cov ON w.doc_id = cov.doc_id
+    """,
+    doc=(
+        "Boilerplate span coverage (the Lee et al. 2022 'Deduplicating "
+        "Training Data' repeated-substring theme at the token-window grain): "
+        "for every document, the fraction of token positions covered by at "
+        "least one 5-token span that also appears in >= 3 distinct "
+        "documents. Three stages, all declarative: (1) explode token windows "
+        "to (doc, pos, span) — O(tokens) rows; (2) the span document-"
+        "frequency table, one hash shuffle on the span, threshold-filtered "
+        "to the small boilerplate set and broadcast back (map-side "
+        "semi-join, same shape as the contamination check); (3) interval "
+        "UNION per document via the classic sweep — running max of span "
+        "ends over a (doc, pos) window, so overlapping spans are never "
+        "double-counted. Everything is integer arithmetic — bit-exact "
+        "cross-engine. At 100 TB spans would be grouped on xxhash64(span) "
+        "instead of the string (8-byte shuffle keys, 2^-64 collision on the "
+        "DF count only); the string form keeps the oracle exact here."
+    ),
+    tags=("quality", "dedup", "boilerplate", "window"),
+)
+def q_boilerplate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    K = 5
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    n = F.size("w")
+    idx = F.when(n >= K, F.sequence(F.lit(1), n - K + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    from ..operators.dedup import track_cache
+
+    # The span table feeds both the DF count and the hit join; persist it so
+    # the tokenizer/explode pass runs once. (At 100 TB you'd either write the
+    # span table to storage or accept the recompute — one extra map-only
+    # tokenizer pass — rather than pin O(tokens) rows in executor memory.)
+    spans = track_cache(
+        d.select("doc_id", "w", F.explode(idx).alias("pos")).select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.slice("w", F.col("pos"), K)).alias("span"),
+        )
+    )
+    boiler = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 3)
+        .select("span")
+    )
+    hits = spans.join(F.broadcast(boiler), "span").select("doc_id", "pos")
+    w_doc = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    e = F.col("pos") + (K - 1)
+    swe = hits.select(
+        "doc_id", "pos", e.alias("e"), F.max(e).over(w_doc).alias("prev_e")
+    )
+    contrib = F.greatest(
+        F.lit(0),
+        F.col("e") - F.greatest(F.col("pos") - 1, F.coalesce(F.col("prev_e"), F.lit(0))),
+    )
+    cov = swe.groupBy("doc_id").agg(F.sum(contrib).cast("long").alias("covered"))
+    covered = F.coalesce(F.col("covered"), F.lit(0).cast("long"))
+    return (
+        d.select("doc_id", n.alias("n_tokens"))
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            covered.alias("covered_tokens"),
+            (covered.cast("double") / F.col("n_tokens")).alias("boilerplate_frac"),
+        )
+    )
+
+
+@register(
+    "q_quality_logit",
+    oracle="""
+        WITH f AS (
+            SELECT doc_id, source,
+                   LEN(string_split(text, ' ')) AS n_tokens,
+                   CAST(LEN(list_filter(string_split(text, ' '),
+                            x -> x IN ('the','a','of','and','to'))) AS DOUBLE)
+                       / LEN(string_split(text, ' ')) AS stop_r,
+                   CAST(LEN(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                       / LEN(string_split(text, ' ')) AS ttr,
+                   CAST(LENGTH(text) AS DOUBLE)
+                       / LEN(string_split(text, ' ')) AS cpt
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, source, n_tokens, stop_r, ttr, cpt,
+                   -2.0 + 3.0 * stop_r + 2.5 * ttr + 0.002 * n_tokens
+                        - 0.3 * ABS(cpt - 5.0) AS score
+            FROM f
+        )
+        SELECT doc_id, source, n_tokens, stop_r, ttr, cpt, score,
+               1.0 / (1.0 + EXP(-score)) AS p_keep,
+               CASE WHEN 1.0 / (1.0 + EXP(-score)) >= 0.6 THEN 'high'
+                    WHEN 1.0 / (1.0 + EXP(-score)) >= 0.4 THEN 'medium'
+                    ELSE 'low' END AS tier
+        FROM s
+    """,
+    doc=(
+        "Model-based quality filtering with FROZEN weights — the fastText/"
+        "logistic-classifier inference step of the LLM curation recipes "
+        "(CCNet / DataComp-style), expressed as pure column arithmetic: "
+        "features (stopword ratio, type-token ratio, chars/token, length) "
+        "are exact rationals of integer counts, the linear score is a fixed "
+        "dot product, and p_keep = sigmoid(score) feeds a deterministic "
+        "tier CASE. Inference over N docs is embarrassingly parallel, "
+        "zero-shuffle, and stays in WholeStageCodegen — at 100 TB this is "
+        "a map-only pass, exactly how a frozen quality model (weights "
+        "broadcast) deploys over a corpus. Training the weights is an "
+        "offline step outside the engine (the reference for the shape: "
+        "any linear model's coefficients arrive as literals/broadcast)."
+    ),
+    tags=("quality", "classifier", "scoring"),
+)
+def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    n = F.size(w)
+    stop_r = F.size(F.filter(w, lambda x: x.isin("the", "a", "of", "and", "to"))).cast(
+        "double"
+    ) / n
+    ttr = F.size(F.array_distinct(w)).cast("double") / n
+    cpt = F.length("text").cast("double") / n
+    f = d.select(
+        "doc_id",
+        "source",
+        n.alias("n_tokens"),
+        stop_r.alias("stop_r"),
+        ttr.alias("ttr"),
+        cpt.alias("cpt"),
+    )
+    score = (
+        F.lit(-2.0)
+        + F.lit(3.0) * F.col("stop_r")
+        + F.lit(2.5) * F.col("ttr")
+        + F.lit(0.002) * F.col("n_tokens")
+        - F.lit(0.3) * F.abs(F.col("cpt") - F.lit(5.0))
+    )
+    s = f.withColumn("score", score)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("score")))
+    return s.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "stop_r",
+        "ttr",
+        "cpt",
+        "score",
+        p.alias("p_keep"),
+        F.when(p >= 0.6, F.lit("high"))
+        .when(p >= 0.4, F.lit("medium"))
+        .otherwise(F.lit("low"))
+        .alias("tier"),
+    )

@@ -174,3 +174,93 @@ def q_embedding_rp_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import random_projection
 
     return random_projection(load(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "q_int8_embedding_topk",
+    oracle="""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        mx AS (SELECT MAX(list_max(list_transform(v, x -> ABS(x)))) AS m FROM e),
+        q8 AS (
+            SELECT vec_id,
+                   list_transform(v, x -> CAST(ROUND(x * (127.0 / m)) AS INTEGER)) AS q
+            FROM e, mx
+        ),
+        qs AS (SELECT * FROM q8 WHERE vec_id < 5),
+        scored AS (
+            SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   CAST(list_sum(list_transform(range(1, LEN(a.q) + 1),
+                        i -> CAST(a.q[i] AS BIGINT) * b.q[i])) AS BIGINT) AS qdot
+            FROM qs a JOIN q8 b ON a.vec_id <> b.vec_id
+        ),
+        ranked AS (
+            SELECT query_id, neighbor_id, qdot,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY qdot DESC, neighbor_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, neighbor_id, qdot, rank FROM ranked WHERE rank <= 10
+    """,
+    doc=(
+        "Top-k retrieval in INT8-quantized space: symmetric scalar "
+        "quantization (one corpus-wide max-abs scalar -> scale = 127/max, "
+        "q = round(x*scale); no clamp needed since |x| <= max by "
+        "construction), then exact INTEGER dot products rank the neighbors. "
+        "The memory-bandwidth play of every production vector store "
+        "(FAISS SQ8): 4x fewer bytes per vector than float32, and the "
+        "integer accumulation makes the score — and therefore the ranking — "
+        "bit-exact cross-engine, which float dot products cannot promise. "
+        "Plan shape: the max-abs scalar is a 1-row broadcast (sanctioned "
+        "nested-loop), quantization is a map-only pass, and the bounded "
+        "query set (vec_id < 5) broadcasts against the corpus — scoring "
+        "never shuffles the corpus. At 100 TB the same scale constant ships "
+        "to every executor and the quantized corpus is the 4x-smaller "
+        "artifact the ANN index (IVF/LSH, registered separately) is built "
+        "over; recall vs the float ranking is asserted in pytest."
+    ),
+    tags=("similarity", "quantization", "int8", "topk"),
+)
+def q_int8_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import as_double
+
+    e = load(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    mx = e.agg(F.max(F.array_max(F.transform(F.col("v"), F.abs))).alias("m"))
+    from ..operators.dedup import track_cache
+
+    # The quantized corpus is read by both the query side and the scoring
+    # side; persist it — it is also the artifact that would be WRITTEN once
+    # and served many times in production (4x smaller than float32).
+    q8 = track_cache(
+        e.crossJoin(F.broadcast(mx)).select(
+            "vec_id",
+            F.transform(
+                F.col("v"), lambda x: F.round(x * (F.lit(127.0) / F.col("m"))).cast("int")
+            ).alias("q"),
+        )
+    )
+    qs = q8.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("q").alias("qa")
+    )
+    scored = (
+        F.broadcast(qs)
+        .join(q8, F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.aggregate(
+                F.zip_with(F.col("qa"), F.col("q"), lambda x, y: (x * y).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("qdot"), "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+        .select("query_id", "neighbor_id", "qdot", "rank")
+    )

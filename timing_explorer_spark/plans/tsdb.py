@@ -806,12 +806,20 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "downsample", "lttb", "window"),
 )
 def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import track_cache
+
     hour_us = 3600 * 1_000_000
     e = load(spark, sf_dir, "events")
-    hourly = e.groupBy(
-        "event_type",
-        F.floor(F.unix_micros(F.col("ts")) / F.lit(hour_us)).cast("bigint").alias("bkt"),
-    ).agg(F.sum(F.rint(F.col("value") * 100).cast("long")).alias("units"))
+    # The hourly grain feeds three consumers (endpoints, bucket means, the
+    # scored points); persist it so raw events are scanned ONCE — the same
+    # role the materialized continuous aggregate plays in production
+    # (q_m4_rollup), where this table would already exist.
+    hourly = track_cache(
+        e.groupBy(
+            "event_type",
+            F.floor(F.unix_micros(F.col("ts")) / F.lit(hour_us)).cast("bigint").alias("bkt"),
+        ).agg(F.sum(F.rint(F.col("value") * 100).cast("long")).alias("units"))
+    )
     ep = hourly.groupBy("event_type").agg(
         F.min("bkt").cast("double").alias("fx"),
         (F.min_by("units", "bkt").cast("double") / F.lit(100.0)).alias("fy"),
@@ -909,12 +917,22 @@ def q_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("timeseries", "stats", "robust", "trend"),
 )
 def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import track_cache
+
     day_us = 86_400_000_000
     e = load(spark, sf_dir, "events")
-    daily = e.groupBy(
-        "event_type",
-        (F.unix_micros(F.date_trunc("day", "ts")) / F.lit(day_us)).cast("bigint").alias("d"),
-    ).agg((F.sum(F.rint(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias("y"))
+    # Both join legs and the n_days count read the daily grain; persist it so
+    # raw events are scanned once (the materialized-aggregate contract).
+    daily = track_cache(
+        e.groupBy(
+            "event_type",
+            (F.unix_micros(F.date_trunc("day", "ts")) / F.lit(day_us)).cast("bigint").alias("d"),
+        ).agg(
+            (F.sum(F.rint(F.col("value") * 100).cast("long")).cast("double") / F.lit(100.0)).alias(
+                "y"
+            )
+        )
+    )
     a, b = daily.alias("a"), daily.alias("b")
     slopes = a.join(
         F.broadcast(b),
