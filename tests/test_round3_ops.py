@@ -354,3 +354,40 @@ def test_containment_dominates_jaccard(spark, sf_smoke):
     c = {(r["doc_a"], r["doc_b"]): r["containment"] for r in containment_pairs(docs, threshold=0.0, n=3).collect()}
     assert set(j) == set(c) and j  # same candidate pairs (shared index)
     assert all(c[k] >= j[k] - 1e-12 for k in j)
+
+
+def test_cusum_closed_form_equals_recurrence(spark):
+    """q_cusum_changepoints computes S_i = max(0, S_{i-1} + d_i) WITHOUT a
+    recurrence, as P_i - min_{j<=i} P_j over prefix sums P. Pin the identity
+    against the literal sequential recurrence on randomized deviations."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(7)
+    for _ in range(10):
+        devs = [rng.randint(-50, 50) for _ in range(rng.randint(1, 60))]
+        # literal recurrence (both directions)
+        s_pos, s_neg, exp_pos, exp_neg = 0, 0, [], []
+        for d in devs:
+            s_pos = max(0, s_pos + d)
+            s_neg = max(0, s_neg - d)
+            exp_pos.append(s_pos)
+            exp_neg.append(s_neg)
+        df = spark.createDataFrame(
+            [(i, d) for i, d in enumerate(devs)], "i: long, d: long"
+        )
+        w = Window.orderBy("i").rowsBetween(Window.unboundedPreceding, 0)
+        zero = F.lit(0).cast("long")
+        got = (
+            df.withColumn("p", F.sum("d").over(w))
+            .select(
+                "i",
+                (F.col("p") - F.least(F.min("p").over(w), zero)).alias("cpos"),
+                (F.greatest(F.max("p").over(w), zero) - F.col("p")).alias("cneg"),
+            )
+            .orderBy("i")
+            .collect()
+        )
+        assert [r.cpos for r in got] == exp_pos
+        assert [r.cneg for r in got] == exp_neg

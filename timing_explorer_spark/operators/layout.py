@@ -1,0 +1,70 @@
+"""Multi-dimensional data layout: Z-order (Morton) clustering keys.
+
+The 100 TB problem this solves: partition pruning (tests/test_plans_scale.py::
+test_partitioned_layout_prunes) only skips data along ONE directory dimension.
+Queries that filter on TWO dimensions (user AND time, id AND date) need the
+file layout itself to co-locate rows that are close in BOTH — which is what
+Delta/Iceberg ``OPTIMIZE ZORDER BY`` does: sort the table by the bit-interleave
+of the dimensions' bucket codes, so every output file covers a small rectangle
+of the dim space and its parquet min/max footers prune on either predicate.
+
+This module computes the Morton key as a closed-form column expression —
+five shift/mask rounds per dimension (the standard bit-spreading identity),
+pure JVM integer arithmetic, zero shuffle, reproducible on any engine. The
+reference has no layout surface (single-node Flink demo, SURVEY §2); this is
+part of the driver-mandated scale surface alongside bucketing and salting
+(operators/skew.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Bit-spreading masks for interleaving two 16-bit codes into a 32-bit Morton
+# key (the classic magic-number sequence, e.g. Hacker's Delight §7-2 /
+# graphics.stanford.edu bithacks "Interleave bits by Binary Magic Numbers").
+# Spark longs are signed 64-bit; 2x16 bits stays far below the sign bit.
+_SPREAD: tuple[tuple[int, int], ...] = (
+    (8, 0x00FF00FF),
+    (4, 0x0F0F0F0F),
+    (2, 0x33333333),
+    (1, 0x55555555),
+)
+
+MORTON_BITS = 16  # per-dimension code width
+
+
+def spread_bits(code: Column) -> Column:
+    """Spread a 16-bit integer's bits to even positions (b_i -> bit 2i)."""
+    x = code.cast("long").bitwiseAND(F.lit(0xFFFF))
+    for shift, mask in _SPREAD:
+        x = x.bitwiseOR(F.shiftleft(x, shift)).bitwiseAND(F.lit(mask))
+    return x
+
+
+def morton_key(x_code: Column, y_code: Column) -> Column:
+    """Interleave two 16-bit bucket codes into one Z-order key.
+
+    Callers produce the codes however fits the data: modulo buckets for IDs,
+    range buckets for time, rank buckets for skewed continuous values. Equal
+    code widths keep the curve balanced between the dimensions.
+    """
+    return spread_bits(x_code).bitwiseOR(F.shiftleft(spread_bits(y_code), 1))
+
+
+def morton_sql(x_expr: str, y_expr: str) -> str:
+    """The identical Morton key as ANSI SQL (the DuckDB oracle side).
+
+    Generated from the same _SPREAD table so the two engines can never
+    drift: ``morton_sql`` IS the specification ``morton_key`` is tested
+    against.
+    """
+
+    def spread(e: str) -> str:
+        x = f"(CAST({e} AS BIGINT) & 65535)"
+        for shift, mask in _SPREAD:
+            x = f"(({x} | ({x} << {shift})) & {mask})"
+        return x
+
+    return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"

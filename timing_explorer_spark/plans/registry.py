@@ -147,6 +147,7 @@ def _load_modules() -> None:
     from . import tpch_suite  # noqa: F401
     from . import multimodal_pipeline  # noqa: F401
     from . import tsdb  # noqa: F401
+    from . import layout_pipeline  # noqa: F401
 
     _LOADED = True
 

@@ -670,10 +670,10 @@ def q_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cus AS (
             SELECT event_type, day, units, n,
-                   p - MIN(p) OVER (PARTITION BY event_type ORDER BY day
-                                    ROWS UNBOUNDED PRECEDING) AS cpos,
-                   MAX(p) OVER (PARTITION BY event_type ORDER BY day
-                                ROWS UNBOUNDED PRECEDING) - p AS cneg
+                   p - LEAST(MIN(p) OVER (PARTITION BY event_type ORDER BY day
+                                          ROWS UNBOUNDED PRECEDING), 0) AS cpos,
+                   GREATEST(MAX(p) OVER (PARTITION BY event_type ORDER BY day
+                                         ROWS UNBOUNDED PRECEDING), 0) - p AS cneg
             FROM pref
         )
         SELECT event_type, day,
@@ -686,8 +686,11 @@ def q_subsequence_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "CUSUM change-point detection over the per-(series, day) grain (Page "
         "1954). The sequential recurrence S_i = max(0, S_{i-1} + d_i) is "
-        "NOT computed as a recurrence: it equals P_i - min_{j<=i} P_j for "
-        "prefix sums P of the deviations, so the whole detector is two "
+        "NOT computed as a recurrence: it equals P_i - min(0, min_{j<=i} P_j) "
+        "for prefix sums P of the deviations (the 0 bound is the EMPTY "
+        "prefix — dropping it truncates the statistic until the running "
+        "min first crosses zero; pinned by the recurrence-identity property "
+        "test in tests/test_round3_ops.py), so the whole detector is two "
         "running windows (prefix sum + running min/max) on one (series) "
         "partitioning — fully declarative, no iteration, scale-bound by the "
         "bucketed grain, not the raw events. Deviations are centered on the "
@@ -717,13 +720,14 @@ def q_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     pref = dev.withColumn(
         "p", F.sum(F.col("n") * F.col("units") - F.col("tot")).over(w_run)
     )
+    zero = F.lit(0).cast("long")
     cus = pref.select(
         "event_type",
         "day",
         "units",
         "n",
-        (F.col("p") - F.min("p").over(w_run)).alias("cpos"),
-        (F.max("p").over(w_run) - F.col("p")).alias("cneg"),
+        (F.col("p") - F.least(F.min("p").over(w_run), zero)).alias("cpos"),
+        (F.greatest(F.max("p").over(w_run), zero) - F.col("p")).alias("cneg"),
     )
     return cus.select(
         "event_type",
