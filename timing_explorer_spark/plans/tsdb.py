@@ -964,3 +964,205 @@ def q_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sen.join(F.broadcast(n_days), "event_type").select(
         "event_type", "n_days", "n_pairs", "sen_slope"
     )
+
+
+@register(
+    "q_sax_symbols",
+    oracle="""
+        WITH seg AS (
+            SELECT event_type, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day,
+                   (CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT) % 24) // 3 AS seg_idx,
+                   SUM(CAST(ROUND(value * 100) AS BIGINT)) AS s
+            FROM events GROUP BY 1, 2, 3
+        ),
+        mom AS (
+            SELECT event_type, day, seg_idx, s,
+                   COUNT(*)                       OVER (PARTITION BY event_type, day) AS w,
+                   SUM(CAST(s AS DOUBLE))         OVER (PARTITION BY event_type, day) AS s1,
+                   SUM(CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                                                  OVER (PARTITION BY event_type, day) AS s2
+            FROM seg
+        ),
+        z AS (
+            SELECT event_type, day, seg_idx, w,
+                   CASE WHEN s2 - s1 * s1 / w <= 0.0 THEN 0.0
+                        ELSE (CAST(s AS DOUBLE) - s1 / w)
+                             / SQRT((s2 - s1 * s1 / w) / w) END AS zval
+            FROM mom
+        ),
+        sym AS (
+            SELECT event_type, day, seg_idx, w,
+                   CASE WHEN zval < -0.6745 THEN 'a'
+                        WHEN zval < 0.0     THEN 'b'
+                        WHEN zval < 0.6745  THEN 'c'
+                        ELSE 'd' END AS c
+            FROM z
+        )
+        SELECT event_type, day,
+               string_agg(c, '' ORDER BY seg_idx) AS sax_word,
+               COUNT(*) AS w
+        FROM sym
+        GROUP BY event_type, day
+        HAVING COUNT(*) = 8
+    """,
+    doc=(
+        "SAX symbolic representation (Lin et al. 2003): per (series, day), "
+        "the 24 hours fold to an 8-segment PAA (3h integer unit sums — no "
+        "division, no fp), each segment z-normalizes against the day's "
+        "exact moments, and the 4-letter Gaussian breakpoints "
+        "(±0.6745, 0) yield an 8-char word — the indexable alphabet form "
+        "that motif discovery / anomaly grammars (HOT SAX) build on. "
+        "Constant days (zero variance) define z=0 -> 'cccccccc' rather "
+        "than NaN. One shuffle to the segment grain; the moment windows "
+        "and the word rollup share the (series, day) partitioning. "
+        "Determinism: segment sums are integers, the moment formula is "
+        "the same double expression both engines evaluate, and the word "
+        "assembles in explicit seg_idx order. Segment squares stay exact "
+        "below 2^53 units² — at larger magnitudes swap in decimal moments "
+        "as q_stats_aggregates does."
+    ),
+    tags=("timeseries", "sax", "symbolic", "paa"),
+)
+def q_sax_symbols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    seg = e.groupBy(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr("(CAST(FLOOR(unix_micros(ts) / 3600000000) AS BIGINT) % 24) DIV 3").alias(
+            "seg_idx"
+        ),
+    ).agg(F.sum(F.rint(F.col("value") * 100).cast("long")).alias("s"))
+    w_day = Window.partitionBy("event_type", "day")
+    sd = F.col("s").cast("double")
+    mom = seg.select(
+        "event_type",
+        "day",
+        "seg_idx",
+        "s",
+        F.count(F.lit(1)).over(w_day).alias("w"),
+        F.sum(sd).over(w_day).alias("s1"),
+        F.sum(sd * sd).over(w_day).alias("s2"),
+    )
+    var_num = F.col("s2") - F.col("s1") * F.col("s1") / F.col("w")
+    zval = F.when(var_num <= 0.0, F.lit(0.0)).otherwise(
+        (F.col("s").cast("double") - F.col("s1") / F.col("w"))
+        / F.sqrt(var_num / F.col("w"))
+    )
+    sym = mom.select(
+        "event_type",
+        "day",
+        "seg_idx",
+        "w",
+        F.when(zval < -0.6745, F.lit("a"))
+        .when(zval < 0.0, F.lit("b"))
+        .when(zval < 0.6745, F.lit("c"))
+        .otherwise(F.lit("d"))
+        .alias("c"),
+    )
+    return (
+        sym.groupBy("event_type", "day")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "c"))),
+                    lambda x: x["c"],
+                ),
+            ).alias("sax_word"),
+            F.count(F.lit(1)).alias("w"),
+        )
+        .where(F.col("w") == 8)
+    )
+
+
+@register(
+    "q_winsorized_stats",
+    oracle="""
+        WITH u AS (
+            SELECT event_type, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS units
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, units,
+                   ROW_NUMBER() OVER (PARTITION BY event_type
+                                      ORDER BY units, event_id) AS rn,
+                   COUNT(*)    OVER (PARTITION BY event_type)   AS n
+            FROM u
+        ),
+        agg AS (
+            SELECT event_type,
+                   MAX(n)                                            AS n,
+                   MAX(n // 20)                                      AS k,
+                   CAST(SUM(units) AS BIGINT)                        AS total,
+                   CAST(SUM(CASE WHEN rn > n // 20 AND rn <= n - n // 20
+                                 THEN units END) AS BIGINT)          AS mid_sum,
+                   MAX(CASE WHEN rn = n // 20 + 1     THEN units END) AS lo_units,
+                   MAX(CASE WHEN rn = n - n // 20     THEN units END) AS hi_units
+            FROM ranked GROUP BY event_type
+        )
+        SELECT event_type, n, k,
+               CAST(lo_units AS DOUBLE) / 100.0 AS p05_value,
+               CAST(hi_units AS DOUBLE) / 100.0 AS p95_value,
+               CAST(total AS DOUBLE) / (100.0 * n) AS mean,
+               CAST(mid_sum + k * lo_units + k * hi_units AS DOUBLE)
+                   / (100.0 * n)                   AS winsorized_mean,
+               CAST(mid_sum AS DOUBLE) / (100.0 * (n - 2 * k)) AS trimmed_mean
+        FROM agg
+    """,
+    doc=(
+        "Winsorized and trimmed means per series (5% each tail): the robust "
+        "location estimators between the mean (0% trim) and the median "
+        "(50% trim) — standard for metrics polluted by tail outliers. "
+        "Single ranking window + one aggregation on the same (series) "
+        "partitioning; the winsorized sum never materializes clamped rows — "
+        "it is mid_sum + k*lo + k*hi from the boundary ORDER STATISTICS "
+        "(exact element selection on a (units, event_id) total order, so "
+        "duplicate values tie-break identically cross-engine). All sums in "
+        "exact integer units; the three means are single double divisions. "
+        "At 100 TB the exact rank pass is the same distributed-ranking "
+        "shape as q_equidepth_histogram; the sketch drop-in is "
+        "approx_percentile clamping."
+    ),
+    tags=("timeseries", "stats", "robust", "winsorize"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    u = e.select(
+        "event_type", "event_id", F.rint(F.col("value") * 100).cast("long").alias("units")
+    )
+    w_rank = Window.partitionBy("event_type").orderBy("units", "event_id")
+    w_all = Window.partitionBy("event_type")
+    ranked = u.select(
+        "event_type",
+        "units",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    k = F.floor(F.col("n") / 20).cast("long")
+    mid = F.when((F.col("rn") > k) & (F.col("rn") <= F.col("n") - k), F.col("units"))
+    agg = ranked.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.max(k).alias("k"),
+        F.sum("units").alias("total"),
+        F.sum(mid).alias("mid_sum"),
+        F.max(F.when(F.col("rn") == k + 1, F.col("units"))).alias("lo_units"),
+        F.max(F.when(F.col("rn") == F.col("n") - k, F.col("units"))).alias("hi_units"),
+    )
+    return agg.select(
+        "event_type",
+        "n",
+        "k",
+        (F.col("lo_units").cast("double") / F.lit(100.0)).alias("p05_value"),
+        (F.col("hi_units").cast("double") / F.lit(100.0)).alias("p95_value"),
+        (F.col("total").cast("double") / (F.lit(100.0) * F.col("n"))).alias("mean"),
+        (
+            (F.col("mid_sum") + F.col("k") * F.col("lo_units") + F.col("k") * F.col("hi_units"))
+            .cast("double")
+            / (F.lit(100.0) * F.col("n"))
+        ).alias("winsorized_mean"),
+        (
+            F.col("mid_sum").cast("double")
+            / (F.lit(100.0) * (F.col("n") - F.lit(2) * F.col("k")))
+        ).alias("trimmed_mean"),
+    )
