@@ -130,6 +130,18 @@ def test_exact_sum_invariant_under_repartition(spark, vals, n_parts):
         "q_bigram_surprisal",
         "q_embedding_rp_project",
         "q_quality_expectations",
+        # session additions: closed-form CUSUM, argmax LTTB selection,
+        # slope-median Theil-Sen, SAX words, order-statistic winsorization,
+        # Morton layout, span coverage, int8 ranking — all claim bit-exact
+        # determinism; hold them to it
+        "q_cusum_changepoints",
+        "q_lttb_downsample",
+        "q_theil_sen_trend",
+        "q_sax_symbols",
+        "q_winsorized_stats",
+        "q_zorder_layout",
+        "q_boilerplate_span_coverage",
+        "q_int8_embedding_topk",
     ],
 )
 def test_query_results_partition_invariant(spark, sf_smoke, name):
