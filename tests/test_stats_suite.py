@@ -1,0 +1,154 @@
+"""Semantic properties of the statistics suite (plans/stats_suite.py).
+
+The DuckDB hash-equivalence of every query is covered by the generic
+test_relational_oracle matrix; these tests pin the MATH — closed-form answers
+on synthetic inputs where the right value is known a priori, and hard
+analytic bounds on the real fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from pyspark.sql import functions as F
+
+from timing_explorer_spark.plans import all_queries
+
+SPECS = all_queries()
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows, "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{path}/documents.parquet")
+
+
+def test_ols_recovers_exact_linear_trend(spark, tmp_path):
+    """A noiseless daily series y = 7 + 3·day must come back with slope
+    exactly 3, intercept exactly 7, R² exactly 1 — the closed form is exact
+    integer arithmetic, so no tolerance is needed."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (d, base + dt.timedelta(days=d), 1, "lin", 7.0 + 3.0 * d, "{}")
+        for d in range(10)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = SPECS["q_ols_trend"].build(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_days"] == 10
+    assert r["slope_per_day"] == 3.0
+    assert r["intercept"] == 7.0
+    assert r["r2"] == 1.0
+
+
+def test_acf_perfectly_periodic_series(spark, tmp_path):
+    """A series with an exact period of 24 hours has lag-24 autocorrelation
+    exactly 1 (every pair is (x, x) of a non-constant signal)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24 * 10):  # 10 full days
+        # hour-of-day-dependent count: hod % 4 + 1 events in hour h
+        for _ in range((h % 24) % 4 + 1):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=1), 1, "per", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    out = {r["lag_h"]: r for r in SPECS["q_acf_hourly"].build(spark, str(tmp_path)).collect()}
+    assert out[24]["acf"] == 1.0
+    assert abs(out[1]["acf"]) <= 1.0
+
+
+def test_acf_bounds_on_fixture(spark, sf_smoke):
+    for r in SPECS["q_acf_hourly"].build(spark, sf_smoke).collect():
+        assert -1.0 - 1e-12 <= r["acf"] <= 1.0 + 1e-12
+
+
+def test_seasonal_anomaly_bounds(spark, sf_smoke):
+    """Chebyshev: at most 1/4 of hours can sit beyond 2σ of their own
+    profile; counts are also trivially bounded by the group size."""
+    for r in SPECS["q_seasonal_hod_anomaly"].build(spark, sf_smoke).collect():
+        assert 0 <= r["n_anomalous"] <= r["n_hours"]
+        assert r["n_anomalous"] <= r["n_hours"] / 4 + 1
+        assert r["std_cnt"] >= 0.0
+
+
+def test_entropy_uniform_and_bounds(spark, tmp_path):
+    """All-distinct tokens → H = ln(n) exactly (up to the 8-decimal log
+    rounding); repeated single token → H = 0. Real docs obey
+    0 ≤ H ≤ ln(n_types)."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "a b c d e f g h", "en", "s", 15),
+            (2, "x x x x", "en", "s", 7),
+        ],
+    )
+    out = {r["doc_id"]: r for r in SPECS["q_token_entropy"].build(spark, str(tmp_path)).collect()}
+    assert abs(out[1]["entropy_nats"] - math.log(8)) < 1e-7
+    assert out[1]["ttr"] == 1.0
+    assert out[2]["entropy_nats"] == 0.0
+    assert out[2]["n_types"] == 1
+
+
+def test_entropy_bounds_on_fixture(spark, sf_smoke):
+    rows = SPECS["q_token_entropy"].build(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r["entropy_nats"] <= math.log(r["n_types"]) + 1e-7
+
+
+def test_zipf_slope_negative(spark, sf_smoke):
+    r = SPECS["q_zipf_slope"].build(spark, sf_smoke).collect()[0]
+    assert r["n_words"] > 10  # sf0.001's synthetic vocabulary is ~31 words
+    assert r["slope"] < 0.0  # frequency decreases with rank by construction
+
+
+def test_kl_nonnegative_and_zero_for_identical(spark, tmp_path, sf_smoke):
+    """Gibbs' inequality: KL ≥ 0 always; a source whose distribution equals
+    the corpus distribution (single source) has KL exactly 0."""
+    _write_docs(spark, tmp_path, [(1, "a a b c", "en", "only", 7), (2, "a b c c", "en", "only", 7)])
+    out = SPECS["q_kl_source_divergence"].build(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["kl_nats"] == 0.0
+    for r in SPECS["q_kl_source_divergence"].build(spark, sf_smoke).collect():
+        assert r["kl_nats"] >= -1e-7  # 8-decimal log rounding can dip ~1e-8
+
+
+def test_gini_closed_forms(spark, tmp_path):
+    """Equal lengths → G = 0. The two-value case {1×a, (n-1)×b} has a closed
+    form; check 900×100 vs 100×10000 explicitly. Real data stays in [0, 1)."""
+    rows = [(i, "t", "en", "eq", 500) for i in range(10)]
+    rows += [(100 + i, "t", "en", "skew", 100 if i < 9 else 91 * 100) for i in range(10)]
+    _write_docs(spark, tmp_path, rows)
+    out = {r["source"]: r for r in SPECS["q_doclen_gini"].build(spark, str(tmp_path)).collect()}
+    assert out["eq"]["gini"] == 0.0
+    # skew: 9 docs of 100 chars + 1 doc of 9100 chars, total 10000.
+    # G = 2*T/(n*S) - (n+1)/n with T = sum i*x_(i) = 100*(1+..+9) + 9100*10
+    t = 100 * sum(range(1, 10)) + 9100 * 10
+    expected = 2 * t / (10 * 10000) - 11 / 10
+    assert abs(out["skew"]["gini"] - expected) < 1e-12
+
+
+def test_gini_bounds_on_fixture(spark, sf_smoke):
+    for r in SPECS["q_doclen_gini"].build(spark, sf_smoke).collect():
+        assert -1e-12 <= r["gini"] < 1.0
+
+
+def test_ols_trend_partitioning_invariant(spark, sf_smoke):
+    """Exact-moment aggregation ⇒ identical bits under hostile partitioning."""
+    a = sorted(map(tuple, SPECS["q_ols_trend"].build(spark, sf_smoke).collect()))
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(map(tuple, SPECS["q_ols_trend"].build(spark, sf_smoke).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b
