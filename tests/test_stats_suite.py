@@ -152,3 +152,64 @@ def test_ols_trend_partitioning_invariant(spark, sf_smoke):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b
+
+
+def test_interarrival_percentiles_ordered(spark, sf_smoke):
+    rows = SPECS["q_interarrival_profile"].build(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["p50_us"] <= r["p90_us"] <= r["p99_us"]
+        assert r["n_gaps"] > 0
+
+
+def test_burstiness_bounds(spark, sf_smoke):
+    for r in SPECS["q_burstiness"].build(spark, sf_smoke).collect():
+        assert r["fano"] >= 0.0
+        assert -1.0 < r["burstiness"] < 1.0
+        assert r["mean_per_hour"] > 0.0
+
+
+def test_burstiness_constant_series_is_minimal(spark, tmp_path):
+    """A perfectly regular series (same count every hour) has zero variance:
+    Fano = 0 and burstiness = -1 exactly (σ = 0)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (h * 2 + k, base + dt.timedelta(hours=h, minutes=k), 1, "flat", 1.0, "{}")
+        for h in range(48)
+        for k in range(2)
+    ]
+    _write_events(spark, tmp_path, rows)
+    r = SPECS["q_burstiness"].build(spark, str(tmp_path)).collect()[0]
+    assert r["fano"] == 0.0
+    assert r["burstiness"] == -1.0
+    assert r["mean_per_hour"] == 2.0
+
+
+def test_cross_source_dup_canonical_pairs(spark, sf_smoke):
+    rows = SPECS["q_cross_source_dup"].build(spark, sf_smoke).collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_shared_docs"] >= 1
+
+
+def test_cross_source_dup_synthetic(spark, tmp_path):
+    """Two sources sharing exactly one identical text (after whitespace
+    normalization) → one pair row with count 1; a third source with unique
+    content appears in no pair."""
+    _write_docs(
+        spark,
+        tmp_path,
+        [
+            (1, "shared doc body", "en", "alpha", 15),
+            (2, "  shared   doc body ", "en", "beta", 20),  # same after norm
+            (3, "only in alpha", "en", "alpha", 13),
+            (4, "unique gamma", "en", "gamma", 12),
+        ],
+    )
+    rows = SPECS["q_cross_source_dup"].build(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    assert (rows[0]["source_a"], rows[0]["source_b"], rows[0]["n_shared_docs"]) == (
+        "alpha",
+        "beta",
+        1,
+    )

@@ -466,3 +466,43 @@ def q_neardup_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, n=3)
     return pagerank_fixed(pairs, iterations=5)
+
+
+@register(
+    "q_cross_source_dup",
+    oracle="""
+        WITH fp AS (
+            SELECT DISTINCT
+                   MD5(LOWER(regexp_replace(TRIM(text), '\\s+', ' ', 'g'))) AS fp,
+                   source
+            FROM documents
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared_docs
+        FROM fp a JOIN fp b ON a.fp = b.fp AND a.source < b.source
+        GROUP BY a.source, b.source
+    """,
+    doc=(
+        "Cross-source duplication matrix: for every source pair, how many "
+        "distinct document contents both carry — the provenance-leak / "
+        "mirror-site detector a corpus curator runs before setting mixture "
+        "weights (a pair sharing most of its docs is one source, not two). "
+        "Shape: the (fingerprint, source) DISTINCT projection is one "
+        "shuffle; the pair join is an inverted-index self-join keyed on the "
+        "16-byte fingerprint whose per-key width is bounded by #sources "
+        "(not corpus size), so the blow-up of a generic self-join cannot "
+        "occur. Cites the exact-dedup design (operators/dedup.py: "
+        "fingerprint hash-groupBy, no pairwise content compare)."
+    ),
+    tags=("dedup", "provenance", "llm-pipeline"),
+)
+def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    fp = d.select(fingerprint(F.col("text")).alias("fp"), "source").distinct()
+    a = fp.select(F.col("fp"), F.col("source").alias("source_a"))
+    b = fp.select(F.col("fp").alias("fp_b"), F.col("source").alias("source_b"))
+    return (
+        a.join(b, (F.col("fp") == F.col("fp_b")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_docs"))
+    )

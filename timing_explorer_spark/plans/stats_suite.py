@@ -21,6 +21,10 @@ top, each declarative, one-or-two-shuffle, and DuckDB-oracle-checked:
                          vs the corpus distribution (domain-shift score).
   q_doclen_gini          per-source Gini coefficient of document lengths,
                          computed on the VALUE grain (no per-row ranking).
+  q_interarrival_profile per-series exact p50/p90/p99 of user-level
+                         inter-arrival gaps (cadence/bot signature).
+  q_burstiness           Fano factor + Goh-Barabási burstiness of the
+                         hourly-count signal (Poisson-ness test).
 
 Determinism: every aggregate is either an exact integer/decimal sum (ordering
 cannot change the bits) or a per-term decimal-rounded logarithm (the
@@ -606,4 +610,110 @@ def q_doclen_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(2.0) * F.col("t").cast("double")) / (n_d * F.col("s").cast("double"))
             - ((F.col("n") + 1).cast("double") / n_d)
         ).alias("gini"),
+    )
+
+
+@register(
+    "q_interarrival_profile",
+    oracle="""
+        WITH d AS (
+            SELECT event_type,
+                   epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                       PARTITION BY user_id, event_type
+                       ORDER BY ts, event_id)) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               COUNT(gap_us) AS n_gaps,
+               quantile_cont(gap_us, 0.50) AS p50_us,
+               quantile_cont(gap_us, 0.90) AS p90_us,
+               quantile_cont(gap_us, 0.99) AS p99_us
+        FROM d
+        WHERE gap_us IS NOT NULL
+        GROUP BY event_type
+    """,
+    doc=(
+        "Inter-arrival-time profile: per series, exact p50/p90/p99 of the "
+        "gap between a user's consecutive events of that type — the hazard/"
+        "cadence signature (bot traffic shows collapsed percentiles; organic "
+        "traffic heavy tails). The lag window partitions on (user, type) — "
+        "millions of small partitions, never a global sort — and gaps are "
+        "exact integer micros, so Spark's `percentile` and DuckDB's "
+        "quantile_cont interpolate identical doubles (the q_percentile_bands "
+        "precedent). At 100 TB the drop-in is approx_percentile, mergeable "
+        "map-side (q_approx_percentile pattern)."
+    ),
+    tags=("timeseries", "interarrival", "percentile", "stats"),
+)
+def q_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_type",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.percentile("gap_us", 0.5).alias("p50_us"),
+        F.percentile("gap_us", 0.9).alias("p90_us"),
+        F.percentile("gap_us", 0.99).alias("p99_us"),
+    )
+
+
+@register(
+    "q_burstiness",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch_us(ts) / {_HOUR_US}) AS BIGINT) AS b,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        m AS (
+            SELECT event_type,
+                   COUNT(*)                        AS n,
+                   SUM(CAST(cnt AS HUGEINT))       AS sa,
+                   SUM(CAST(cnt AS HUGEINT) * cnt) AS saa
+            FROM h GROUP BY event_type
+        )
+        SELECT event_type,
+               n AS n_hours,
+               CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS mean_per_hour,
+               CAST(n * saa - sa * sa AS DOUBLE)
+                   / (CAST(n AS DOUBLE) * CAST(sa AS DOUBLE)) AS fano,
+               (SQRT(CAST(n * saa - sa * sa AS DOUBLE)) - CAST(sa AS DOUBLE))
+                   / (SQRT(CAST(n * saa - sa * sa AS DOUBLE)) + CAST(sa AS DOUBLE))
+                   AS burstiness
+        FROM m
+    """,
+    doc=(
+        "Burstiness metrics of each series' hourly-count signal: the Fano "
+        "factor (variance/mean — 1 for a Poisson process, >1 over-dispersed) "
+        "and the Goh-Barabási burstiness B = (σ−μ)/(σ+μ) ∈ (−1, 1). Both "
+        "derive from the same two exact integer moments over the O(range) "
+        "hourly grain (note nσ² = (nΣx²−(Σx)²)/n and nμ = Σx share the 1/n, "
+        "so Fano = (nΣx²−(Σx)²)/(n·Σx) needs no explicit division by n² — "
+        "fewer floating ops to mirror). One fact shuffle; bit-deterministic."
+    ),
+    tags=("timeseries", "burstiness", "stats"),
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    b = F.floor(F.unix_micros(F.col("ts")) / F.lit(_HOUR_US)).cast("long")
+    h = e.groupBy("event_type", b.alias("b")).agg(F.count(F.lit(1)).alias("cnt"))
+    m = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("cnt").cast(_DEC)).alias("sa"),
+        F.sum(F.col("cnt").cast(_DEC) * F.col("cnt")).alias("saa"),
+    )
+    n_d = F.col("n").cast("double")
+    sa_d = F.col("sa").cast("double")
+    var_n2 = (F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")).cast("double")
+    sig_n = F.sqrt(var_n2)  # n·σ — the shared 1/n cancels in both ratios
+    return m.select(
+        "event_type",
+        F.col("n").alias("n_hours"),
+        (sa_d / n_d).alias("mean_per_hour"),
+        (var_n2 / (n_d * sa_d)).alias("fano"),
+        ((sig_n - sa_d) / (sig_n + sa_d)).alias("burstiness"),
     )
