@@ -85,6 +85,12 @@ def main() -> None:
         "q_lttb_downsample",
         "q_boilerplate_span_coverage",
         "q_int8_embedding_topk",
+        # Statistical suite members with scale-load-bearing shapes.
+        "q_kl_source_divergence",
+        "q_doclen_gini",
+        "q_acf_hourly",
+        "q_interarrival_profile",
+        "q_cross_source_dup",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

@@ -205,6 +205,16 @@ _ACF_ORACLE = f"""
 def q_acf_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     b = F.floor(F.unix_micros(F.col("ts")) / F.lit(_HOUR_US)).cast("long")
+    # Pre-apply the join's not-null constraints BEFORE the aggregation: the
+    # self-join otherwise pushes different IsNotNull filters into each side's
+    # scan, the subplans stop being identical, and ReuseExchange can't kick
+    # in — planning TWO full fact scans. With the filter below both sides
+    # share one scan+aggregate subtree (ReusedExchange; verified in
+    # PLANS.md), so the fact table is read once and only the O(range)
+    # hourly grain is duplicated.
+    e = e.where(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull() & b.isNotNull()
+    )
     h = e.groupBy("event_type", b.alias("b")).agg(F.count(F.lit(1)).alias("cnt"))
     lagged = h.select(
         "event_type",
