@@ -1,0 +1,97 @@
+"""Semantic properties of the behavioral-analytics queries (plans/behavior.py).
+
+Oracle hash-equivalence is covered by the generic test_relational_oracle
+matrix; these pin closed-form answers on synthetic streams and analytic
+bounds on the fixtures.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from timing_explorer_spark.plans import all_queries
+
+SPECS = all_queries()
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string",
+    ).write.mode("overwrite").parquet(f"{path}/events.parquet")
+
+
+def test_trigrams_synthetic_sequence(spark, tmp_path):
+    """A user repeating view->click->buy 5 times yields the cyclic trigrams;
+    the dominant in-phase trigram appears exactly as often as the scan
+    admits (13 windows over 15 events: 5,4,4 across the three phases)."""
+    base = dt.datetime(2024, 1, 1)
+    seq = ["view", "click", "buy"] * 5
+    rows = [
+        (i, base + dt.timedelta(minutes=i), 7, t, 1.0, "{}") for i, t in enumerate(seq)
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        (r["e1"], r["e2"], r["e3"]): r["cnt"]
+        for r in SPECS["q_event_trigrams"].build(spark, str(tmp_path)).collect()
+    }
+    assert out[("view", "click", "buy")] == 5
+    assert out[("click", "buy", "view")] == 4
+    assert out[("buy", "view", "click")] == 4
+    assert sum(out.values()) == 13  # n - 2 windows total
+
+
+def test_wau_single_user_every_day(spark, tmp_path):
+    """One user active daily: DAU = WAU = 1 → stickiness exactly 1 every day."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [(d, base + dt.timedelta(days=d, hours=3), 1, "view", 1.0, "{}") for d in range(10)]
+    _write_events(spark, tmp_path, rows)
+    out = SPECS["q_wau_stickiness"].build(spark, str(tmp_path)).collect()
+    assert len(out) == 10
+    for r in out:
+        assert (r["dau"], r["wau"], r["stickiness"]) == (1, 1, 1.0)
+
+
+def test_wau_bounds_on_fixture(spark, sf_smoke):
+    """DAU ≤ WAU always (the day is inside its own window) → stickiness in
+    (0, 1]; WAU ≤ sum of the 7 contributing DAUs."""
+    rows = SPECS["q_wau_stickiness"].build(spark, sf_smoke).collect()
+    assert rows
+    by_day = {r["day"]: r for r in rows}
+    for r in rows:
+        assert r["dau"] <= r["wau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+        window_dau = sum(
+            by_day[d]["dau"]
+            for off in range(7)
+            if (d := r["day"] - dt.timedelta(days=off)) in by_day
+        )
+        assert r["wau"] <= window_dau
+
+
+def test_audience_overlap_jaccard_bounds(spark, sf_smoke):
+    rows = SPECS["q_audience_overlap"].build(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["type_a"] < r["type_b"]
+        assert 0 < r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 < r["jaccard"] <= 1.0
+
+
+def test_audience_overlap_disjoint_and_identical(spark, tmp_path):
+    """Types with identical audiences → Jaccard 1; disjoint audiences emit
+    no pair row at all (inner join on shared users)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2, 3):  # 'a' and 'b' share all three users
+        rows.append((len(rows), base, u, "a", 1.0, "{}"))
+        rows.append((len(rows), base, u, "b", 1.0, "{}"))
+    for u in (8, 9):  # 'z' has a disjoint audience
+        rows.append((len(rows), base, u, "z", 1.0, "{}"))
+    _write_events(spark, tmp_path, rows)
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in SPECS["q_audience_overlap"].build(spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {("a", "b")}
+    assert out[("a", "b")]["jaccard"] == 1.0

@@ -1,0 +1,192 @@
+"""Behavioral / audience analytics over the events stream.
+
+Builds on the event-analytics family (plans/timeseries.py: funnel, cohort
+retention, Markov transitions) with the session-sequence and audience-level
+queries a product-analytics stack runs, each declarative and oracle-checked:
+
+  q_event_trigrams   most common 3-step event-type sequences within a user's
+                     stream (the order-2 extension of the Markov transition
+                     matrix q_event_transitions).
+  q_wau_stickiness   rolling 7-day active users per day + DAU/WAU stickiness
+                     — the distinct-users-over-a-sliding-window shape Spark
+                     has no native window aggregate for, built as a bounded
+                     contribution explode over the (user, day) grain.
+  q_audience_overlap pairwise Jaccard overlap of the user audiences of each
+                     event type (cross-feature cannibalization report).
+
+Scale notes: trigrams window on (user) — millions of small partitions, no
+global sort; WAU explodes the (user, day) DISTINCT grain ×7 (grain-sized,
+not fact-sized) and never keeps per-window user sets in one task; audience
+overlap self-joins the (type, user) distinct grain on user_id, where per-key
+width is bounded by #event-types, so the pair blow-up of a generic self-join
+cannot occur. All counts are integers; the two ratios are single mirrored
+double divisions — bit-deterministic everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load
+from .registry import register
+
+
+@register(
+    "q_event_trigrams",
+    oracle="""
+        WITH t AS (
+            SELECT user_id,
+                   LAG(event_type, 2) OVER w AS e1,
+                   LAG(event_type, 1) OVER w AS e2,
+                   event_type AS e3
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT e1, e2, e3, COUNT(*) AS cnt
+        FROM t WHERE e1 IS NOT NULL
+        GROUP BY e1, e2, e3
+        ORDER BY cnt DESC, e1, e2, e3
+        LIMIT 25
+    """,
+    doc=(
+        "Top 3-step event sequences across all user streams — the order-2 "
+        "sequence-mining extension of q_event_transitions (order-1 Markov). "
+        "One (user)-partitioned lag window (total order (ts, event_id) — "
+        "deterministic under duplicate timestamps), one hash agg on the "
+        "trigram key, TakeOrderedAndProject for the deterministic "
+        "(cnt DESC, lexicographic) top-25 — no global sort of the counts."
+    ),
+    tags=("events", "sequence", "behavior"),
+)
+def q_event_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = e.select(
+        F.lag("event_type", 2).over(w).alias("e1"),
+        F.lag("event_type", 1).over(w).alias("e2"),
+        F.col("event_type").alias("e3"),
+    ).where(F.col("e1").isNotNull())
+    return (
+        t.groupBy("e1", "e2", "e3")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), "e1", "e2", "e3")
+        .limit(25)
+    )
+
+
+@register(
+    "q_wau_stickiness",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        dau AS (SELECT day, COUNT(*) AS dau FROM ud GROUP BY day),
+        contrib AS (
+            SELECT user_id,
+                   UNNEST(generate_series(day, day + INTERVAL 6 DAY,
+                                          INTERVAL 1 DAY)) AS wday
+            FROM ud
+        ),
+        wau AS (SELECT wday, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY wday)
+        SELECT d.day, d.dau, w.wau,
+               CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+        FROM dau d JOIN wau w ON d.day = w.wday
+    """,
+    doc=(
+        "Rolling 7-day active users and DAU/WAU stickiness per day. "
+        "COUNT(DISTINCT user) over a sliding window has no mergeable window "
+        "aggregate (distinct is not algebraic); the scalable form explodes "
+        "each (user, day) of the DISTINCT activity grain into the 7 window "
+        "ends it contributes to, then counts distinct per end-day — the "
+        "explode is grain-sized ×7, never fact-sized, and no task ever "
+        "holds a window's full user set. Inner join to DAU keeps only "
+        "observed days (windows past the last activity day drop out). The "
+        "HLL-sketch drop-in for approximate WAU at extreme user counts is "
+        "q_hll_distinct_rollup's union pattern."
+    ),
+    tags=("events", "retention", "behavior", "window"),
+)
+def q_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("day"),
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("wday"),
+    )
+    wau = contrib.groupBy("wday").agg(F.count_distinct("user_id").alias("wau"))
+    return dau.join(wau, dau.day == wau.wday).select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias("stickiness"),
+    )
+
+
+@register(
+    "q_audience_overlap",
+    oracle="""
+        WITH ut AS (SELECT DISTINCT event_type, user_id FROM events),
+        sizes AS (SELECT event_type, COUNT(*) AS n FROM ut GROUP BY event_type),
+        inter AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   COUNT(*) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY a.event_type, b.event_type
+        )
+        SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_both,
+               CAST(i.n_both AS DOUBLE)
+                   / CAST(sa.n + sb.n - i.n_both AS DOUBLE) AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.event_type = i.type_a
+        JOIN sizes sb ON sb.event_type = i.type_b
+    """,
+    doc=(
+        "Audience-overlap matrix: for every pair of event types, the Jaccard "
+        "similarity of their user sets — the cross-feature cannibalization / "
+        "co-engagement report. The (type, user) DISTINCT grain self-joins on "
+        "user_id, where per-user width is bounded by #event-types (single "
+        "digits), so candidate pairs grow linearly with users — the same "
+        "bounded-inverted-index argument as q_cross_source_dup. Audience "
+        "sizes are a tiny broadcast. Exact integer counts; one mirrored "
+        "double division."
+    ),
+    tags=("events", "similarity", "behavior"),
+)
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ut = e.select("event_type", "user_id").distinct()
+    sizes = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    a = ut.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ut.select(F.col("event_type").alias("type_b"), F.col("user_id").alias("uid_b"))
+    inter = (
+        a.join(b, (F.col("user_id") == F.col("uid_b")) & (F.col("type_a") < F.col("type_b")))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            (
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
