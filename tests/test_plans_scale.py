@@ -308,6 +308,7 @@ _SANCTIONED_NESTED_LOOP = {
     # corpus and scoring stays map-side — the deliberate small-queries shape
     "q_embedding_topk",
     "q_knn_classify",
+    "q_hard_negatives",
     "q_zscore_outliers",
     "q_benchmark_contamination",
     "q_rfm_segmentation",

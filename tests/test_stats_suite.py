@@ -213,3 +213,34 @@ def test_cross_source_dup_synthetic(spark, tmp_path):
         "beta",
         1,
     )
+
+
+def test_hard_negatives_label_mismatch(spark, sf_smoke):
+    rows = SPECS["q_hard_negatives"].build(spark, sf_smoke).collect()
+    assert rows
+    per_query = {}
+    for r in rows:
+        assert r["neighbor_label"] != r["query_label"]
+        assert -1.0 - 1e-12 <= r["cos"] <= 1.0 + 1e-12
+        assert 1 <= r["rank"] <= 5
+        per_query.setdefault(r["query_id"], []).append(r)
+    for q, rs in per_query.items():
+        # ranks are dense from 1 and cosine is non-increasing along them
+        ranks = sorted(r["rank"] for r in rs)
+        assert ranks == list(range(1, len(ranks) + 1))
+        ordered = sorted(rs, key=lambda r: r["rank"])
+        assert all(a["cos"] >= b["cos"] for a, b in zip(ordered, ordered[1:]))
+
+
+def test_label_centroids_bounds_and_self_similarity(spark, sf_smoke, tmp_path):
+    for r in SPECS["q_label_centroids"].build(spark, sf_smoke).collect():
+        assert r["label_a"] < r["label_b"]
+        assert -1.0 - 1e-12 <= r["cos_centroid"] <= 1.0 + 1e-12
+    # two labels whose members are identical vectors -> centroid cosine 1
+    rows = [(i, [0.5, -0.25, 0.125, 1.0], 1) for i in range(3)]
+    rows += [(10 + i, [0.5, -0.25, 0.125, 1.0], 2) for i in range(5)]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
+    out = SPECS["q_label_centroids"].build(spark, str(tmp_path)).collect()
+    assert len(out) == 1 and out[0]["cos_centroid"] == 1.0

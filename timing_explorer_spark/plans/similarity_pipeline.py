@@ -264,3 +264,150 @@ def q_int8_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rank") <= 10)
         .select("query_id", "neighbor_id", "qdot", "rank")
     )
+
+
+@register(
+    "q_hard_negatives",
+    oracle=f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+        q AS (SELECT * FROM e WHERE vec_id < 20),
+        scored AS (
+            SELECT a.vec_id AS query_id, a.label AS query_label,
+                   b.vec_id AS neighbor_id, b.label AS neighbor_label,
+                   {_COS} AS cos
+            FROM q a JOIN e b
+              ON a.vec_id <> b.vec_id AND a.label <> b.label
+        )
+        SELECT query_id, query_label, neighbor_id, neighbor_label, cos, rank
+        FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cos DESC, neighbor_id) AS rank
+            FROM scored)
+        WHERE rank <= 5
+    """,
+    doc=(
+        "Hard-negative mining for contrastive training: per query vector, "
+        "the 5 most-similar corpus vectors carrying a DIFFERENT label — the "
+        "near-miss negatives that make embedding models learn boundaries "
+        "(in-batch random negatives are too easy). Same "
+        "broadcast-queries-vs-scan-corpus shape as q_embedding_topk with the "
+        "label-mismatch predicate fused into the join, so rejected "
+        "candidates never rank. Linear in corpus size; per-query state is "
+        "one top-5 heap inside the window."
+    ),
+    tags=("similarity", "topk", "llm-pipeline", "training"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.vectors import cosine
+
+    emb = load(spark, sf_dir, "embeddings")
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+        F.col("embedding").alias("cvec"),
+    )
+    q = emb.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qvec"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("query_id") != F.col("neighbor_id"))
+        & (F.col("query_label") != F.col("neighbor_label")),
+    ).select(
+        "query_id",
+        "query_label",
+        "neighbor_id",
+        "neighbor_label",
+        cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= 5)
+
+
+@register(
+    "q_label_centroids",
+    oracle="""
+        WITH comp AS (
+            SELECT e.label, u.i AS dim,
+                   CAST(FLOOR(u.comp_v * 16777216) AS BIGINT) AS um
+            FROM (SELECT label, embedding::DOUBLE[] AS vv FROM embeddings) e,
+                 LATERAL (SELECT UNNEST(e.vv) AS comp_v,
+                                 UNNEST(generate_series(0, len(e.vv) - 1)) AS i) u
+        ),
+        cent AS (
+            SELECT label, dim, SUM(CAST(um AS HUGEINT)) AS su
+            FROM comp GROUP BY label, dim
+        ),
+        pair AS (
+            SELECT a.label AS label_a, b.label AS label_b,
+                   SUM(a.su * b.su)          AS sab,
+                   SUM(a.su * a.su)          AS saa,
+                   SUM(b.su * b.su)          AS sbb
+            FROM cent a JOIN cent b
+              ON a.dim = b.dim AND a.label < b.label
+            GROUP BY a.label, b.label
+        )
+        SELECT label_a, label_b,
+               CAST(sab AS DOUBLE)
+                   / (SQRT(CAST(saa AS DOUBLE)) * SQRT(CAST(sbb AS DOUBLE)))
+                   AS cos_centroid
+        FROM pair
+    """,
+    doc=(
+        "Inter-label centroid cosine matrix — the class-separability report "
+        "an embedding-quality audit runs (labels whose centroids nearly "
+        "coincide are candidates for merging or relabeling). Components are "
+        "summed as exact 1e-7-unit integers per (label, dim) — one "
+        "fact-table shuffle onto a 64×#labels grain — and the cosine "
+        "identity cancels both the unit scale and the per-label counts "
+        "(cos of mean = cos of sum), so the whole matrix derives from "
+        "exact integer moments: bit-deterministic, no floating "
+        "accumulation anywhere. The pair join runs on the tiny grain."
+    ),
+    tags=("similarity", "centroid", "llm-pipeline", "stats"),
+)
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select(
+        "label",
+        "dim",
+        # floor at a 2^24 scale, not rint at 1e7: float components widened to
+        # double are dyadic rationals, so v*1e7 CAN land exactly on .5 where
+        # Spark rint (half-even) and DuckDB ROUND (half-away) disagree —
+        # observed at sf0.01. floor has no tie case, and 2^24 ≥ the float
+        # mantissa keeps the quantization error below the format's own
+        # resolution (the q_embedding_rp_project floor-quantization rule).
+        F.floor(F.col("v").cast("double") * F.lit(16777216)).cast("long").alias("um"),
+    )
+    cent = comp.groupBy("label", "dim").agg(
+        F.sum(F.col("um").cast("decimal(38,0)")).alias("su")
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("dim").alias("dim_a"), F.col("su").alias("sua")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("dim").alias("dim_b"), F.col("su").alias("sub")
+    )
+    pair = (
+        a.join(b, (F.col("dim_a") == F.col("dim_b")) & (F.col("label_a") < F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sua") * F.col("sub")).alias("sab"),
+            F.sum(F.col("sua") * F.col("sua")).alias("saa"),
+            F.sum(F.col("sub") * F.col("sub")).alias("sbb"),
+        )
+    )
+    return pair.select(
+        "label_a",
+        "label_b",
+        (
+            F.col("sab").cast("double")
+            / (F.sqrt(F.col("saa").cast("double")) * F.sqrt(F.col("sbb").cast("double")))
+        ).alias("cos_centroid"),
+    )
