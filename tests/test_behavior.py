@@ -95,3 +95,25 @@ def test_audience_overlap_disjoint_and_identical(spark, tmp_path):
     }
     assert set(out) == {("a", "b")}
     assert out[("a", "b")]["jaccard"] == 1.0
+
+
+def test_pit_state_is_latest_preceding(spark, tmp_path):
+    """Synthetic stream: view@t1, click@t3, purchases at t2 and t4 → the t2
+    purchase sees 'view', the t4 purchase sees 'click'; a purchase before
+    any state event keeps NULL."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (0, base + dt.timedelta(minutes=0), 1, "purchase", 5.0, "{}"),   # before any state
+        (1, base + dt.timedelta(minutes=1), 1, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=2), 1, "purchase", 6.0, "{}"),
+        (3, base + dt.timedelta(minutes=3), 1, "click", 1.0, "{}"),
+        (4, base + dt.timedelta(minutes=4), 1, "purchase", 7.0, "{}"),
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = {
+        r["event_id"]: r
+        for r in SPECS["q_pit_activity_state"].build(spark, str(tmp_path)).collect()
+    }
+    assert out[0]["asof_state"] is None
+    assert out[2]["asof_state"] == "view"
+    assert out[4]["asof_state"] == "click"

@@ -190,3 +190,40 @@ def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "q_pit_activity_state",
+    oracle="""
+        SELECT p.event_id, p.user_id, p.ts, p.value,
+               s.ts AS asof_ts, s.event_type AS asof_state
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events
+                        WHERE event_type IN ('view', 'click', 'error')) s
+          ON p.user_id = s.user_id AND p.ts >= s.ts
+    """,
+    doc=(
+        "Point-in-time (temporal dimension) join: each purchase is enriched "
+        "with the user's activity state AS OF the purchase instant — the "
+        "warehouse PIT-lookup against an SCD2-style state history, where "
+        "each state event opens a validity interval the next one closes. "
+        "Rather than materializing intervals and running a range join, the "
+        "lookup IS a backward as-of join against the state-change stream "
+        "(operators/joins.py: union + one carry-forward window — single "
+        "shuffle, no pair blow-up); DuckDB's native ASOF JOIN is the "
+        "oracle. Composes q_scd2_intervals' history model with "
+        "q_asof_join_last_click's join machinery."
+    ),
+    tags=("join", "asof", "temporal", "behavior", "scd2"),
+)
+def q_pit_activity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    states = e.where(F.col("event_type").isin("view", "click", "error")).select(
+        "user_id", "ts", F.col("event_type").alias("state")
+    )
+    return asof_join(purchases, states, on="user_id", right_cols=("state",))
