@@ -117,3 +117,31 @@ def test_pit_state_is_latest_preceding(spark, tmp_path):
     assert out[0]["asof_state"] is None
     assert out[2]["asof_state"] == "view"
     assert out[4]["asof_state"] == "click"
+
+
+def test_cumulative_distinct_users_properties(spark, sf_smoke):
+    """Monotone non-decreasing; final value equals the true distinct count;
+    per-day increments equal the new-user counts."""
+    from timing_explorer_spark.sources.tables import load
+
+    rows = sorted(
+        SPECS["q_cumulative_distinct_users"].build(spark, sf_smoke).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows
+    assert rows[0]["cum_users"] == rows[0]["n_new"]
+    for a, b in zip(rows, rows[1:]):
+        assert b["cum_users"] == a["cum_users"] + b["n_new"]
+    true_distinct = (
+        load(spark, sf_smoke, "events").select("user_id").distinct().count()
+    )
+    assert rows[-1]["cum_users"] == true_distinct
+
+
+def test_benford_shares_sum_to_one(spark, sf_smoke):
+    rows = SPECS["q_benford_order_totals"].build(spark, sf_smoke).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r["n_obs"] > 0

@@ -227,3 +227,50 @@ def q_pit_activity_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "ts", F.col("event_type").alias("state")
     )
     return asof_join(purchases, states, on="user_id", right_cols=("state",))
+
+
+@register(
+    "q_cumulative_distinct_users",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id,
+                   MIN(CAST(DATE_TRUNC('day', ts) AS TIMESTAMP)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        days AS (
+            SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        new_per_day AS (
+            SELECT first_day AS day, COUNT(*) AS n_new FROM firsts GROUP BY first_day
+        )
+        SELECT d.day,
+               COALESCE(n.n_new, 0) AS n_new,
+               CAST(SUM(COALESCE(n.n_new, 0)) OVER (ORDER BY d.day
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        FROM days d LEFT JOIN new_per_day n ON d.day = n.day
+    """,
+    doc=(
+        "Cumulative distinct users to date, per day — COUNT(DISTINCT) over "
+        "an unbounded window, which no engine can merge incrementally, "
+        "replaced by the first-seen identity: a user adds to exactly one "
+        "day's 'new' count (their first activity day), so the cumulative "
+        "distinct is a plain prefix sum of new-user counts over the "
+        "O(#days) day grain. One shuffle to per-user first days, one "
+        "grain-sized rollup — no per-day user-set state anywhere. The same "
+        "identity is how a streaming job serves 'total users to date' from "
+        "a tiny daily aggregate."
+    ),
+    tags=("events", "retention", "behavior", "window"),
+)
+def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("first_day"))
+    days = e.select(day.alias("day")).distinct()
+    new_per_day = firsts.groupBy("first_day").agg(F.count(F.lit(1)).alias("n_new"))
+    j = days.join(new_per_day, days.day == new_per_day.first_day, "left").select(
+        "day", F.coalesce(F.col("n_new"), F.lit(0)).alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return j.select("day", "n_new", F.sum("n_new").over(w).alias("cum_users"))

@@ -596,3 +596,55 @@ def q_quality_logit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("low"))
         .alias("tier"),
     )
+
+
+@register(
+    "q_benford_order_totals",
+    oracle="""
+        WITH u AS (
+            SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+            FROM orders WHERE o_totalprice > 0
+        ),
+        d AS (
+            SELECT CAST(SUBSTR(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+            FROM u
+        ),
+        agg AS (SELECT digit, COUNT(*) AS n_obs FROM d GROUP BY digit),
+        tot AS (SELECT digit, n_obs, SUM(n_obs) OVER () AS n FROM agg)
+        SELECT digit, n_obs,
+               CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
+               CAST(CAST(LN(1.0 + 1.0 / CAST(digit AS DOUBLE)) AS DECIMAL(27,8)) AS DOUBLE)
+                   / CAST(CAST(LN(10.0) AS DECIMAL(27,8)) AS DOUBLE) AS benford_share
+        FROM tot
+    """,
+    doc=(
+        "Benford's-law first-digit audit of order totals — the classic "
+        "fabricated-data / fraud screen (natural multiplicative amounts "
+        "follow P(d) = log10(1+1/d); synthetic-uniform data deviates "
+        "sharply, which THIS fixture deliberately demonstrates). The "
+        "leading digit comes from the exact integer cents via string head "
+        "— no log10/pow floating derivation to disagree on — and the "
+        "expected share uses the decimal-rounded-log pattern. One hash agg "
+        "onto a 9-row grain; the total attaches via an unpartitioned "
+        "window over those 9 rows."
+    ),
+    tags=("quality", "profiling", "benford"),
+)
+def q_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    cents = F.rint(F.col("o_totalprice") * 100).cast("long")
+    d = o.where(F.col("o_totalprice") > 0).select(
+        F.substring(cents.cast("string"), 1, 1).cast("long").alias("digit")
+    )
+    agg = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = agg.withColumn("n", F.sum("n_obs").over(Window.partitionBy()))
+    dd = F.col("digit").cast("double")
+    return tot.select(
+        "digit",
+        "n_obs",
+        (F.col("n_obs").cast("double") / F.col("n").cast("double")).alias("obs_share"),
+        (
+            F.log(F.lit(1.0) + F.lit(1.0) / dd).cast("decimal(27,8)").cast("double")
+            / F.log(F.lit(10.0)).cast("decimal(27,8)").cast("double")
+        ).alias("benford_share"),
+    )
