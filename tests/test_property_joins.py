@@ -142,6 +142,22 @@ def test_exact_sum_invariant_under_repartition(spark, vals, n_parts):
         "q_zorder_layout",
         "q_boilerplate_span_coverage",
         "q_int8_embedding_topk",
+        # statistical/behavioral suite: exact-moment regressions and
+        # correlation, decimal-rounded-log information metrics, value-grain
+        # Gini, integer-moment centroid cosines, first-seen prefix sums —
+        # every one claims bit-exact determinism; hold them to it
+        "q_ols_trend",
+        "q_acf_hourly",
+        "q_seasonal_hod_anomaly",
+        "q_token_entropy",
+        "q_kl_source_divergence",
+        "q_doclen_gini",
+        "q_zipf_slope",
+        "q_burstiness",
+        "q_label_centroids",
+        "q_wau_stickiness",
+        "q_cumulative_distinct_users",
+        "q_benford_order_totals",
     ],
 )
 def test_query_results_partition_invariant(spark, sf_smoke, name):
