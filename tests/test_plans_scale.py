@@ -326,6 +326,9 @@ _SANCTIONED_NESTED_LOOP = {
     "q_concurrent_events",
     "q_word_logfreq_score",
     "q_tfidf_top_terms",
+    # KS grid: deliberate #sources x #distinct-values broadcast cross join
+    # (both sides are bounded grains) + 1-row corpus-total broadcast
+    "q_ks_source_drift",
 }
 
 

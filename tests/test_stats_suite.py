@@ -244,3 +244,51 @@ def test_label_centroids_bounds_and_self_similarity(spark, sf_smoke, tmp_path):
     ).write.mode("overwrite").parquet(f"{tmp_path}/embeddings.parquet")
     out = SPECS["q_label_centroids"].build(spark, str(tmp_path)).collect()
     assert len(out) == 1 and out[0]["cos_centroid"] == 1.0
+
+
+def test_weighted_median_properties(spark, sf_smoke):
+    """The weighted median must satisfy the defining inequalities: weight at
+    or below it ≥ W/2, and weight strictly below it < W/2... (lower median
+    convention). Verified against a direct computation."""
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.sources.tables import load
+
+    out = {
+        r["l_returnflag"]: r
+        for r in SPECS["q_weighted_median_price"].build(spark, sf_smoke).collect()
+    }
+    li = load(spark, sf_smoke, "lineitem")
+    rows = li.select(
+        "l_returnflag",
+        F.rint(F.col("l_extendedprice") * 100).cast("long").alias("pu"),
+        F.rint(F.col("l_quantity")).cast("long").alias("w"),
+    ).collect()
+    import collections
+
+    by_flag = collections.defaultdict(list)
+    for r in rows:
+        by_flag[r["l_returnflag"]].append((r["pu"], r["w"]))
+    for flag, pairs in by_flag.items():
+        big_w = sum(w for _, w in pairs)
+        med_u = round(out[flag]["weighted_median_price"] * 100)
+        at_or_below = sum(w for p, w in pairs if p <= med_u)
+        below = sum(w for p, w in pairs if p < med_u)
+        assert 2 * at_or_below >= big_w
+        assert 2 * below < big_w
+        assert out[flag]["total_weight"] == big_w
+
+
+def test_ks_drift_bounds_and_shifted_source(spark, sf_smoke, tmp_path):
+    """D ∈ [0, 1]; a source whose lengths are shifted far from the rest has
+    D = 1 (disjoint supports)."""
+    for r in SPECS["q_ks_source_drift"].build(spark, sf_smoke).collect():
+        assert 0.0 <= r["d_stat"] <= 1.0
+    rows = [(i, "t", "en", "low", 100 + i) for i in range(20)]
+    rows += [(50 + i, "t", "en", "high", 9000 + i) for i in range(20)]
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r["source"]: r for r in SPECS["q_ks_source_drift"].build(spark, str(tmp_path)).collect()}
+    assert out["low"]["d_stat"] == 1.0
+    assert out["high"]["d_stat"] == 1.0

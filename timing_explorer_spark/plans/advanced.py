@@ -752,3 +752,75 @@ def q_asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.unix_micros("asof_ts") - F.unix_micros("ts")).cast("double") / F.lit(1_000_000.0)
         ).alias("latency_s"),
     )
+
+
+@register(
+    "q_weighted_median_price",
+    oracle="""
+        WITH g AS (
+            SELECT l_returnflag AS flag,
+                   CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS pu,
+                   SUM(CAST(ROUND(l_quantity) AS BIGINT)) AS w
+            FROM lineitem GROUP BY 1, 2
+        ),
+        cums AS (
+            SELECT flag, pu, w,
+                   SUM(w) OVER (PARTITION BY flag ORDER BY pu
+                                ROWS UNBOUNDED PRECEDING) AS cum,
+                   SUM(w) OVER (PARTITION BY flag) AS big_w
+            FROM g
+        )
+        SELECT flag AS l_returnflag,
+               CAST(MIN(pu) AS DOUBLE) / 100.0 AS weighted_median_price,
+               CAST(MAX(big_w) AS BIGINT) AS total_weight
+        FROM cums
+        WHERE 2 * cum >= big_w
+        GROUP BY flag
+    """,
+    doc=(
+        "Exact quantity-weighted median price per return flag — the order "
+        "statistic where every row votes with its weight (plain median "
+        "over-counts single-unit lines). Weights collapse onto the "
+        "(flag, price) VALUE grain first — 2-dp prices in a bounded range "
+        "cap the grain at ~1e7 rows at ANY fact cardinality — then one "
+        "grain-sized cumulative window finds the lower weighted median as "
+        "MIN(price : 2·cumw ≥ W). Exact integer cents/units throughout; "
+        "the full-frame total rides the same per-flag partitioning as the "
+        "cumsum (one shuffle after the grain). For value domains without a "
+        "range bound, the drop-in is the distributed two-phase prefix scan "
+        "(operators/prefix.py, as used by q_equidepth_histogram)."
+    ),
+    tags=("aggregation", "median", "weighted", "window"),
+)
+def q_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    g = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.rint(F.col("l_extendedprice") * 100).cast("long").alias("pu"),
+            F.rint(F.col("l_quantity")).cast("long").alias("wq"),
+        )
+        .groupBy("flag", "pu")
+        .agg(F.sum("wq").alias("w"))
+    )
+    w_cum = (
+        Window.partitionBy("flag").orderBy("pu").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy("flag")
+    cums = g.select(
+        "flag",
+        "pu",
+        F.sum("w").over(w_cum).alias("cum"),
+        F.sum("w").over(w_tot).alias("big_w"),
+    )
+    return (
+        cums.where(2 * F.col("cum") >= F.col("big_w"))
+        .groupBy("flag")
+        .agg(
+            (F.min("pu").cast("double") / F.lit(100.0)).alias("weighted_median_price"),
+            F.max("big_w").alias("total_weight"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"), "weighted_median_price", "total_weight"
+        )
+    )

@@ -727,3 +727,91 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         (var_n2 / (n_d * sa_d)).alias("fano"),
         ((sig_n - sa_d) / (sig_n + sa_d)).alias("burstiness"),
     )
+
+
+@register(
+    "q_ks_source_drift",
+    oracle="""
+        WITH g AS (
+            SELECT source, n_chars, COUNT(*) AS c
+            FROM documents GROUP BY source, n_chars
+        ),
+        vals AS (SELECT DISTINCT n_chars FROM documents),
+        srcs AS (SELECT source, SUM(c) AS n_s FROM g GROUP BY source),
+        tcum AS (
+            SELECT n_chars,
+                   SUM(t) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS t_cum
+            FROM (SELECT n_chars, SUM(c) AS t FROM g GROUP BY n_chars)
+        ),
+        grid AS (
+            SELECT s.source, s.n_s, v.n_chars FROM srcs s CROSS JOIN vals v
+        ),
+        scum AS (
+            SELECT gr.source, gr.n_s, gr.n_chars,
+                   SUM(COALESCE(g.c, 0)) OVER (PARTITION BY gr.source
+                                               ORDER BY gr.n_chars
+                                               ROWS UNBOUNDED PRECEDING) AS s_cum
+            FROM grid gr LEFT JOIN g
+              ON g.source = gr.source AND g.n_chars = gr.n_chars
+        ),
+        terms AS (
+            SELECT sc.source, sc.n_s,
+                   ABS(CAST(sc.s_cum AS DOUBLE) / CAST(sc.n_s AS DOUBLE)
+                       - CAST(tc.t_cum - sc.s_cum AS DOUBLE)
+                         / CAST((SELECT SUM(n_s) FROM srcs) - sc.n_s AS DOUBLE)) AS d
+            FROM scum sc JOIN tcum tc ON sc.n_chars = tc.n_chars
+        )
+        SELECT source, CAST(n_s AS BIGINT) AS n_docs, MAX(d) AS d_stat
+        FROM terms GROUP BY source, n_s
+    """,
+    doc=(
+        "Two-sample Kolmogorov-Smirnov drift statistic per source: "
+        "D_s = max_x |F_source(x) − F_rest(x)| over the document-length "
+        "distribution — the distribution-shift screen a corpus monitor runs "
+        "per ingest batch (a source whose shape departs from the rest of "
+        "the corpus gets a large D). Both empirical CDFs live on the VALUE "
+        "grain (#sources × #distinct-lengths rows — bounded by the value "
+        "range, never the corpus), with the evaluation grid a deliberate "
+        "#sources × #values broadcast cross join. Cumulatives are exact "
+        "integers; each |·| term is one mirrored double expression, and "
+        "max over identical double sets is engine-independent."
+    ),
+    tags=("text", "ks", "drift", "llm-pipeline", "stats"),
+)
+def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    g = d.groupBy("source", "n_chars").agg(F.count(F.lit(1)).alias("c"))
+    vals = d.select("n_chars").distinct()
+    srcs = g.groupBy("source").agg(F.sum("c").alias("n_s"))
+    t = g.groupBy("n_chars").agg(F.sum("c").alias("t"))
+    w_t = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    tcum = t.select("n_chars", F.sum("t").over(w_t).alias("t_cum"))
+    grid = srcs.crossJoin(F.broadcast(vals))
+    j = grid.join(g, ["source", "n_chars"], "left").select(
+        "source", "n_s", "n_chars", F.coalesce(F.col("c"), F.lit(0)).alias("c0")
+    )
+    w_s = (
+        Window.partitionBy("source").orderBy("n_chars").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+    )
+    scum = j.select(
+        "source", "n_s", "n_chars", F.sum("c0").over(w_s).alias("s_cum")
+    )
+    big_n = srcs.agg(F.sum("n_s").alias("big_n"))
+    terms = (
+        scum.join(tcum, "n_chars")
+        .crossJoin(F.broadcast(big_n))
+        .select(
+            "source",
+            "n_s",
+            F.abs(
+                F.col("s_cum").cast("double") / F.col("n_s").cast("double")
+                - (F.col("t_cum") - F.col("s_cum")).cast("double")
+                / (F.col("big_n") - F.col("n_s")).cast("double")
+            ).alias("d"),
+        )
+    )
+    return terms.groupBy("source", "n_s").agg(F.max("d").alias("d_stat")).select(
+        "source", F.col("n_s").alias("n_docs"), "d_stat"
+    )
