@@ -124,3 +124,36 @@ def test_groupby_tag_with_fill(spark, sensors):
     for vals in by_key.values():
         assert len(vals) == 5
         assert sum(v is None for v in vals) == 3
+
+
+def test_fill_previous_locf(spark):
+    """fill(previous): a hole carries the last observed value forward; a
+    leading hole (nothing to carry) stays NULL — InfluxDB semantics."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:01", 10.0), ("2024-01-01 00:00:03", 30.0)], ["ts", "value"]
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    q = (
+        "SELECT mean(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:00:03' "
+        "GROUP BY time(1s) fill(previous)"
+    )
+    rows = influxql(q, {"m": df}).orderBy("time").collect()
+    assert [r["mean"] for r in rows] == [None, 10.0, 10.0, 30.0]
+
+
+def test_fill_constant_number(spark):
+    """fill(0): holes take the literal constant; count stays integral."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 10.0), ("2024-01-01 00:00:02", 30.0)], ["ts", "value"]
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    q = (
+        "SELECT count(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:00:02' "
+        "GROUP BY time(1s) fill(0)"
+    )
+    rows = influxql(q, {"m": df}).orderBy("time").collect()
+    assert [r["count"] for r in rows] == [1, 0, 1]
+    assert dict(influxql(q, {"m": df}).dtypes)["count"] == "bigint"
+    q2 = q.replace("count", "mean").replace("fill(0)", "fill(-1.5)")
+    rows2 = influxql(q2, {"m": df}).orderBy("time").collect()
+    assert [r["mean"] for r in rows2] == [10.0, -1.5, 30.0]

@@ -11,7 +11,7 @@ neighbors):
 
     SELECT <proj> FROM <measurement>
       [WHERE <tag> = '<v>' [AND ...] [AND time >= '<ts>'] [AND time < '<ts>']]
-      [GROUP BY time(<N><u>)[, <tag>] [fill(null | none | linear)]]
+      [GROUP BY time(<N><u>)[, <tag>] [fill(null | none | linear | previous | <number>)]]
       [ORDER BY time [ASC|DESC]]
       [LIMIT <n>]
 
@@ -49,7 +49,7 @@ _RX = re.compile(
     r"""^\s*SELECT\s+(?P<proj>.+?)\s+FROM\s+"?(?P<meas>\w+)"?
         (?:\s+WHERE\s+(?P<where>.+?))?
         (?:\s+GROUP\s+BY\s+(?P<group>time\(\d+[smhd]\)(?:\s*,\s*"?\w+"?)?)
-            (?:\s+fill\((?P<fill>null|none|linear)\))?)?
+            (?:\s+fill\((?P<fill>null|none|linear|previous|[-+]?\d+(?:\.\d+)?)\))?)?
         (?:\s+ORDER\s+BY\s+time(?:\s+(?P<dir>ASC|DESC))?)?
         (?:\s+LIMIT\s+(?P<limit>\d+))?\s*$""",
     re.IGNORECASE | re.VERBOSE,
@@ -141,7 +141,7 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             .agg(_agg_column(magg.group("fn"), magg.group("field")).alias(alias))
         )
         fill = (m.group("fill") or "none").lower()
-        if fill in ("null", "linear"):
+        if fill != "none":
             if t_lo is None or t_hi is None:
                 raise ValueError("fill() requires an explicit time range in WHERE")
             spark = df.sparkSession
@@ -164,6 +164,23 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             if tag:
                 spine = F.broadcast(spine.join(df.select(tag).distinct()))
             out = F.broadcast(spine).join(out, keys, "left")
+            if fill == "previous":
+                from pyspark.sql import Window
+
+                w_prev = (
+                    Window.partitionBy(*([tag] if tag else []))
+                    .orderBy("time")
+                    .rowsBetween(Window.unboundedPreceding, 0)
+                )
+                out = out.select(
+                    *keys, F.last(alias, ignorenulls=True).over(w_prev).alias(alias)
+                )
+            elif fill not in ("null", "linear"):  # fill(<number>): constant
+                # Cast the constant to the aggregate's own type so fill(0) on
+                # a count stays integral (InfluxDB semantics), instead of
+                # coalesce promoting the whole column to double.
+                const = F.lit(float(fill)).cast(out.schema[alias].dataType)
+                out = out.select(*keys, F.coalesce(F.col(alias), const).alias(alias))
             if fill == "linear":
                 from pyspark.sql import Window
 
