@@ -157,3 +157,44 @@ def test_fill_constant_number(spark):
     q2 = q.replace("count", "mean").replace("fill(0)", "fill(-1.5)")
     rows2 = influxql(q2, {"m": df}).orderBy("time").collect()
     assert [r["mean"] for r in rows2] == [10.0, -1.5, 30.0]
+
+
+def test_selector_and_spread_aggregates(spark):
+    """first()/last() select by event time; median averages even counts;
+    spread = max - min; stddev is the sample deviation."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 40.0),
+            ("2024-01-01 00:00:01", 10.0),
+            ("2024-01-01 00:00:02", 20.0),
+            ("2024-01-01 00:00:03", 30.0),
+        ],
+        ["ts", "value"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    t = {"m": df}
+    assert influxql('SELECT first("value") FROM "m"', t).collect()[0]["first"] == 40.0
+    assert influxql('SELECT last("value") FROM "m"', t).collect()[0]["last"] == 30.0
+    assert influxql('SELECT median("value") FROM "m"', t).collect()[0]["median"] == 25.0
+    assert influxql('SELECT spread("value") FROM "m"', t).collect()[0]["spread"] == 30.0
+    sd = influxql('SELECT stddev("value") FROM "m"', t).collect()[0]["stddev"]
+    assert abs(sd - 12.909944487358056) < 1e-12  # sample stddev of {10,20,30,40}
+
+
+def test_selector_aggregates_bucketed(spark):
+    """first() inside GROUP BY time(): earliest value per bucket."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00.100", 1.0),
+            ("2024-01-01 00:00:00.900", 2.0),
+            ("2024-01-01 00:00:01.200", 3.0),
+            ("2024-01-01 00:00:01.800", 4.0),
+        ],
+        ["ts", "value"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    q = (
+        "SELECT first(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:02' "
+        "GROUP BY time(1s)"
+    )
+    rows = influxql(q, {"m": df}).orderBy("time").collect()
+    assert [r["first"] for r in rows] == [1.0, 3.0]

@@ -16,7 +16,8 @@ neighbors):
       [LIMIT <n>]
 
     proj       := "<field>" | <agg>("<field>")
-    agg        := mean | sum | count | min | max
+    agg        := mean | sum | count | min | max | first | last | median
+                  | stddev | spread
     durations  := s, m, h, d
 
 Translation notes:
@@ -54,14 +55,18 @@ _RX = re.compile(
         (?:\s+LIMIT\s+(?P<limit>\d+))?\s*$""",
     re.IGNORECASE | re.VERBOSE,
 )
-_RX_AGG = re.compile(r'^(?P<fn>mean|sum|count|min|max)\(\s*"?(?P<field>\w+)"?\s*\)$', re.IGNORECASE)
+_RX_AGG = re.compile(
+    r'^(?P<fn>mean|sum|count|min|max|first|last|median|stddev|spread)'
+    r'\(\s*"?(?P<field>\w+)"?\s*\)$',
+    re.IGNORECASE,
+)
 _RX_FIELD = re.compile(r'^"?(?P<field>\w+)"?$')
 _RX_TAG = re.compile(r"""^"?(?P<tag>\w+)"?\s*=\s*'(?P<val>[^']*)'$""")
 _RX_TIME = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORECASE)
 _RX_BUCKET = re.compile(r'^time\((?P<n>\d+)(?P<u>[smhd])\)(?:\s*,\s*"?(?P<tag>\w+)"?)?$', re.IGNORECASE)
 
 
-def _agg_column(fn: str, field: str) -> Column:
+def _agg_column(fn: str, field: str, time_col: str = "ts") -> Column:
     fn = fn.lower()
     col = F.col(field)
     if fn == "mean":
@@ -72,7 +77,17 @@ def _agg_column(fn: str, field: str) -> Column:
         return F.count(col)
     if fn == "min":
         return F.min(col)
-    return F.max(col)
+    if fn == "max":
+        return F.max(col)
+    if fn == "first":  # earliest value by event time (InfluxDB FIRST())
+        return F.min_by(col, F.col(time_col))
+    if fn == "last":  # latest value by event time (InfluxDB LAST())
+        return F.max_by(col, F.col(time_col))
+    if fn == "median":  # middle value; even counts average the two middles
+        return F.percentile(col, F.lit(0.5))
+    if fn == "stddev":  # sample stddev (InfluxDB STDDEV())
+        return F.stddev_samp(col)
+    return F.max(col) - F.min(col)  # spread = max − min
 
 
 def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> DataFrame:
@@ -136,9 +151,9 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
         alias = magg.group("fn").lower()
         keys = ["time"] + ([tag] if tag else [])
         out = (
-            df.select(bucket, *([tag] if tag else []), magg.group("field"))
+            df.select(bucket, *([tag] if tag else []), magg.group("field"), F.col(time_col))
             .groupBy(*keys)
-            .agg(_agg_column(magg.group("fn"), magg.group("field")).alias(alias))
+            .agg(_agg_column(magg.group("fn"), magg.group("field"), time_col).alias(alias))
         )
         fill = (m.group("fill") or "none").lower()
         if fill != "none":
@@ -215,7 +230,11 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
                 )
         result = out
     elif magg:
-        result = df.agg(_agg_column(magg.group("fn"), magg.group("field")).alias(magg.group("fn").lower()))
+        result = df.agg(
+            _agg_column(magg.group("fn"), magg.group("field"), time_col).alias(
+                magg.group("fn").lower()
+            )
+        )
     else:
         mf = _RX_FIELD.match(proj)
         if not mf:
