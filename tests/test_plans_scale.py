@@ -329,6 +329,9 @@ _SANCTIONED_NESTED_LOOP = {
     # KS grid: deliberate #sources x #distinct-values broadcast cross join
     # (both sides are bounded grains) + 1-row corpus-total broadcast
     "q_ks_source_drift",
+    # InfluxQL fill spine crossed with the distinct tag set: O(days x #tags)
+    # broadcast — the translator's multi-series gap-fill contract
+    "q_influxql_spread_series",
 }
 
 

@@ -1017,3 +1017,49 @@ def q_influxql_groupby_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY time(6h) fill(null) ORDER BY time ASC"
     )
     return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_spread_series",
+    oracle="""
+        WITH spine AS (
+            SELECT s.time, t.event_type
+            FROM (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                                TIMESTAMP '2024-01-30 23:59:59',
+                                                INTERVAL 1 DAY)) AS time) s
+            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        ),
+        agg AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                                  * 86400000000) AS time,
+                   event_type,
+                   MAX(value) - MIN(value) AS spread
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-30 23:59:59'
+            GROUP BY 1, 2
+        )
+        SELECT s.time, s.event_type, COALESCE(a.spread, 0.0) AS spread
+        FROM spine s LEFT JOIN agg a
+          ON s.time = a.time AND s.event_type = a.event_type
+    """,
+    doc=(
+        "InfluxQL dispersion series: SELECT spread(value) GROUP BY "
+        "time(1d), tag fill(0) — a multi-series daily range chart with "
+        "constant-filled holes, run VERBATIM through the translator "
+        "(functions/influxql.py). spread = max − min of 2-dp values is "
+        "exactly representable, and the tag-crossed spine is an O(days × "
+        "#tags) broadcast — fully deterministic, unlike selector "
+        "aggregates whose engine tie-breaks on equal timestamps differ."
+    ),
+    tags=("timeseries", "influxql", "reference-parity"),
+)
+def q_influxql_spread_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT spread(\"value\") FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-30 23:59:59' "
+        "GROUP BY time(1d), \"event_type\" fill(0) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
