@@ -198,3 +198,36 @@ def test_selector_aggregates_bucketed(spark):
     )
     rows = influxql(q, {"m": df}).orderBy("time").collect()
     assert [r["first"] for r in rows] == [1.0, 3.0]
+
+
+def test_derivative_rate(spark):
+    """derivative(count) per bucket: counts 1,3,2 → rates +2, -1; the first
+    point has no predecessor and is dropped; non_negative_ drops the -1."""
+    rows = [("2024-01-01 00:00:00.500", 1.0)]
+    rows += [(f"2024-01-01 00:00:01.{i}00", 1.0) for i in range(3)]
+    rows += [(f"2024-01-01 00:00:02.{i}00", 1.0) for i in range(2)]
+    df = spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    base = (
+        "SELECT {proj} FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:03' "
+        "GROUP BY time(1s)"
+    )
+    q = base.format(proj='derivative(count("value"))')
+    out = influxql(q, {"m": df}).orderBy("time").collect()
+    assert [r["derivative"] for r in out] == [2.0, -1.0]
+    qn = base.format(proj='non_negative_derivative(count("value"))')
+    outn = influxql(qn, {"m": df}).orderBy("time").collect()
+    assert [r["non_negative_derivative"] for r in outn] == [2.0]
+    # explicit unit: per-2s rate doubles the per-1s rate
+    q2 = base.format(proj='derivative(count("value"), 2s)')
+    out2 = influxql(q2, {"m": df}).orderBy("time").collect()
+    assert [r["derivative"] for r in out2] == [4.0, -2.0]
+
+
+def test_derivative_requires_group(spark, sensors):
+    import pytest
+
+    with pytest.raises(ValueError):
+        influxql('SELECT derivative(mean("value")) FROM "sensors"', {"sensors": sensors})

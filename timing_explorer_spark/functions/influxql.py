@@ -16,6 +16,8 @@ neighbors):
       [LIMIT <n>]
 
     proj       := "<field>" | <agg>("<field>")
+                | derivative(<agg>("<field>")[, <N><u>])
+                | non_negative_derivative(<agg>("<field>")[, <N><u>])
     agg        := mean | sum | count | min | max | first | last | median
                   | stddev | spread
     durations  := s, m, h, d
@@ -61,6 +63,11 @@ _RX_AGG = re.compile(
     re.IGNORECASE,
 )
 _RX_FIELD = re.compile(r'^"?(?P<field>\w+)"?$')
+_RX_DERIV = re.compile(
+    r"^(?P<nn>non_negative_)?derivative\(\s*(?P<inner>.+?)"
+    r"(?:\s*,\s*(?P<n>\d+)(?P<u>[smhd]))?\s*\)$",
+    re.IGNORECASE,
+)
 _RX_TAG = re.compile(r"""^"?(?P<tag>\w+)"?\s*=\s*'(?P<val>[^']*)'$""")
 _RX_TIME = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORECASE)
 _RX_BUCKET = re.compile(r'^time\((?P<n>\d+)(?P<u>[smhd])\)(?:\s*,\s*"?(?P<tag>\w+)"?)?$', re.IGNORECASE)
@@ -132,8 +139,13 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             df = df.where(F.col(mg.group("tag")) == mg.group("val"))
 
     proj = m.group("proj").strip()
+    mder = _RX_DERIV.match(proj)
+    if mder:
+        proj = mder.group("inner").strip()
     magg = _RX_AGG.match(proj)
     order_dir = (m.group("dir") or "ASC").upper()
+    if mder and not m.group("group"):
+        raise ValueError("derivative() requires GROUP BY time()")
 
     if m.group("group"):
         if not magg:
@@ -228,6 +240,30 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
                     .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
                     .alias(alias),
                 )
+        if mder:
+            # InfluxDB derivative: (vₜ − vₜ₋₁) · unit / (tₜ − tₜ₋₁), default
+            # unit = the GROUP BY interval; the first point of each series
+            # has no predecessor and is dropped, and the non_negative_
+            # variant additionally drops negative rates.
+            from pyspark.sql import Window
+
+            unit_us = (
+                int(mder.group("n")) * _UNIT_US[mder.group("u")]
+                if mder.group("n")
+                else step_us
+            )
+            w_d = Window.partitionBy(*([tag] if tag else [])).orderBy("time")
+            prev_v = F.lag(alias).over(w_d)
+            prev_t = F.lag("time").over(w_d)
+            rate = (
+                (F.col(alias) - prev_v).cast("double")
+                * F.lit(float(unit_us))
+                / (F.unix_micros(F.col("time")) - F.unix_micros(prev_t)).cast("double")
+            )
+            name = "non_negative_derivative" if mder.group("nn") else "derivative"
+            out = out.select(*keys, rate.alias(name)).where(F.col(name).isNotNull())
+            if mder.group("nn"):
+                out = out.where(F.col(name) >= 0)
         result = out
     elif magg:
         result = df.agg(
