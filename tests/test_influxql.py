@@ -231,3 +231,20 @@ def test_derivative_requires_group(spark, sensors):
 
     with pytest.raises(ValueError):
         influxql('SELECT derivative(mean("value")) FROM "sensors"', {"sensors": sensors})
+
+
+def test_show_metadata_commands(spark, sensors):
+    """SHOW MEASUREMENTS / TAG KEYS / FIELD KEYS / TAG VALUES — the queries
+    Grafana template-variable dropdowns issue."""
+    t = {"sensors": sensors}
+    assert [r["name"] for r in influxql("SHOW MEASUREMENTS", t).collect()] == ["sensors"]
+    tags = influxql('SHOW TAG KEYS FROM "sensors"', t).collect()
+    assert [(r["measurement"], r["key"]) for r in tags] == [("sensors", "key")]
+    fields = influxql('SHOW FIELD KEYS FROM "sensors"', t).collect()
+    assert ("sensors", "value") in [(r["measurement"], r["key"]) for r in fields]
+    assert all(r["key"] != "ts" for r in fields)
+    vals = influxql('SHOW TAG VALUES FROM "sensors" WITH KEY = "key"', t).collect()
+    assert [(r["key"], r["value"]) for r in vals] == [
+        ("key", "pressure"),
+        ("key", "temp"),
+    ]

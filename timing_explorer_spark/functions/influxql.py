@@ -15,6 +15,9 @@ neighbors):
       [ORDER BY time [ASC|DESC]]
       [LIMIT <n>]
 
+    SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
+      | SHOW TAG VALUES FROM m WITH KEY = "k"     (Grafana template variables)
+
     proj       := "<field>" | <agg>("<field>")
                 | derivative(<agg>("<field>")[, <N><u>])
                 | non_negative_derivative(<agg>("<field>")[, <N><u>])
@@ -97,12 +100,71 @@ def _agg_column(fn: str, field: str, time_col: str = "ts") -> Column:
     return F.max(col) - F.min(col)  # spread = max − min
 
 
+_RX_SHOW = re.compile(
+    r"""^\s*SHOW\s+(?:(?P<what>MEASUREMENTS|FIELD\s+KEYS|TAG\s+KEYS)
+        (?:\s+FROM\s+"?(?P<meas>\w+)"?)?
+        |TAG\s+VALUES\s+FROM\s+"?(?P<meas2>\w+)"?\s+WITH\s+KEY\s*=\s*"?(?P<key>\w+)"?)
+        \s*$""",
+    re.IGNORECASE | re.VERBOSE,
+)
+
+
+def _show(m: re.Match, tables: dict[str, DataFrame], time_col: str) -> DataFrame:
+    """Metadata commands — the queries Grafana template variables issue.
+    Tag keys = string-typed columns (InfluxDB tags are always strings);
+    field keys = every other non-time column."""
+    import functools
+
+    some_df = next(iter(tables.values()))
+    spark = some_df.sparkSession
+
+    def _cols(meas: str | None, want_tags: bool) -> DataFrame:
+        names = [meas] if meas else sorted(tables)
+        frames = []
+        for name in names:
+            df = tables[name]
+            keys = [
+                c
+                for c, t in df.dtypes
+                if c != time_col and ((t == "string") == want_tags)
+            ]
+            frames.append(
+                spark.createDataFrame(
+                    [(name, k) for k in sorted(keys)], "measurement string, key string"
+                )
+            )
+        return functools.reduce(lambda a, b: a.unionByName(b), frames)
+
+    what = (m.group("what") or "").upper().replace(" ", "")
+    if what == "MEASUREMENTS":
+        return spark.createDataFrame(
+            [(n,) for n in sorted(tables)], "name string"
+        )
+    if what == "TAGKEYS":
+        return _cols(m.group("meas"), want_tags=True)
+    if what == "FIELDKEYS":
+        return _cols(m.group("meas"), want_tags=False)
+    meas, key = m.group("meas2"), m.group("key")
+    if meas not in tables:
+        raise ValueError(f"unknown measurement {meas!r}")
+    return (
+        tables[meas]
+        .select(F.col(key).alias("value"))
+        .distinct()
+        .orderBy("value")
+        .select(F.lit(key).alias("key"), "value")
+    )
+
+
 def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> DataFrame:
     """Translate one InfluxQL statement into a DataFrame plan.
 
     ``tables`` maps measurement name -> DataFrame with an event-time column
     ``time_col`` plus field/tag columns.
     """
+    ms = _RX_SHOW.match(query.strip().rstrip(";"))
+    if ms:
+        return _show(ms, tables, time_col)
     m = _RX.match(query.strip().rstrip(";"))
     if not m:
         raise ValueError(f"unsupported InfluxQL: {query!r}")
