@@ -248,3 +248,29 @@ def test_show_metadata_commands(spark, sensors):
         ("key", "pressure"),
         ("key", "temp"),
     ]
+
+
+def test_parser_fuzz_never_crashes_unhelpfully(spark, sensors):
+    """Property: any input either translates or raises ValueError — the
+    parser must never leak an AttributeError/KeyError/regex explosion to
+    callers (Grafana sends arbitrary user-typed strings)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    tokens = st.sampled_from(
+        ["SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER", "LIMIT", "SHOW",
+         "time(1s)", "fill(null)", "fill(bogus)", '"value"', '"sensors"',
+         'mean("value")', "derivative(", ")", "AND", "time >= '2024-01-01'",
+         "key = 'temp'", ",", "*", "'", '"', "1e9", ";", "--", "𝕊"]
+    )
+    text = st.lists(tokens, min_size=0, max_size=8).map(" ".join)
+
+    @settings(max_examples=200, deadline=None)
+    @given(text)
+    def run(q):
+        try:
+            influxql(q, {"sensors": sensors})
+        except ValueError:
+            pass  # the contract: unsupported input -> ValueError
+
+    run()
