@@ -145,3 +145,38 @@ def test_benford_shares_sum_to_one(spark, sf_smoke):
     assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-6
     for r in rows:
         assert r["n_obs"] > 0
+
+
+def test_kaplan_meier_textbook_cohort(spark, tmp_path):
+    """4-user cohort with hand-computed KM: churns at t=0,1,2 drop S to
+    3/4, 1/2, 1/4; the censored max-horizon user leaves S unchanged."""
+    base = dt.datetime(2024, 1, 1)
+
+    def active(uid, days):
+        return [
+            (uid * 100 + d, base + dt.timedelta(days=d, hours=1), uid, "view", 1.0, "{}")
+            for d in days
+        ]
+
+    rows = active(1, [0]) + active(2, [0, 1, 2]) + active(3, [0, 2, 4]) + active(4, [0, 1])
+    _write_events(spark, tmp_path, rows)
+    out = {r["duration_days"]: r for r in SPECS["q_kaplan_meier"].build(spark, str(tmp_path)).collect()}
+    assert out[0]["n_at_risk"] == 4 and out[0]["churned"] == 1
+    assert out[0]["survival"] == 0.75
+    assert out[1]["n_at_risk"] == 3 and out[1]["survival"] == 0.5
+    assert out[2]["n_at_risk"] == 2 and out[2]["survival"] == 0.25
+    assert out[4]["n_at_risk"] == 1 and out[4]["churned"] == 0 and out[4]["censored"] == 1
+    assert out[4]["survival"] == 0.25  # censoring leaves the curve flat
+
+
+def test_kaplan_meier_monotone_on_fixture(spark, sf_smoke):
+    rows = sorted(
+        SPECS["q_kaplan_meier"].build(spark, sf_smoke).collect(),
+        key=lambda r: r["duration_days"],
+    )
+    assert rows
+    last = 1.0
+    for r in rows:
+        assert 0.0 <= r["survival"] <= last + 1e-12  # non-increasing
+        last = r["survival"]
+        assert r["n_at_risk"] >= r["churned"] + r["censored"]

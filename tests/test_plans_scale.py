@@ -332,6 +332,8 @@ _SANCTIONED_NESTED_LOOP = {
     # InfluxQL fill spine crossed with the distinct tag set: O(days x #tags)
     # broadcast — the translator's multi-series gap-fill contract
     "q_influxql_spread_series",
+    # observation horizon + cohort total: two deliberate 1-row broadcasts
+    "q_kaplan_meier",
 }
 
 

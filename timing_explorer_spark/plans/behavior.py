@@ -274,3 +274,117 @@ def q_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
     return j.select("day", "n_new", F.sum("n_new").over(w).alias("cum_users"))
+
+
+@register(
+    "q_kaplan_meier",
+    oracle="""
+        WITH ud AS (
+            SELECT DISTINCT user_id, CAST(DATE_TRUNC('day', ts) AS TIMESTAMP) AS day
+            FROM events
+        ),
+        us AS (
+            SELECT user_id, MIN(day) AS first_day, MAX(day) AS last_day
+            FROM ud GROUP BY user_id
+        ),
+        dur AS (
+            SELECT DATEDIFF('day', first_day, last_day) AS t,
+                   CASE WHEN last_day < (SELECT MAX(last_day) FROM us)
+                        THEN 1 ELSE 0 END AS churn
+            FROM us
+        ),
+        g AS (
+            SELECT t, SUM(churn) AS d, COUNT(*) - SUM(churn) AS c
+            FROM dur GROUP BY t
+        ),
+        r AS (
+            SELECT t, d, c,
+                   (SELECT COUNT(*) FROM dur)
+                       - COALESCE(SUM(d + c) OVER (ORDER BY t
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                       AS n_risk
+            FROM g
+        ),
+        s AS (
+            SELECT t, d, c, n_risk,
+                   SUM(CASE WHEN d = 0 THEN CAST(0 AS DECIMAL(27,8))
+                            WHEN d < n_risk THEN
+                                CAST(LN(n_risk - d) AS DECIMAL(27,8))
+                                - CAST(LN(n_risk) AS DECIMAL(27,8))
+                            ELSE CAST(-1000000 AS DECIMAL(27,8)) END)
+                       OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lns
+            FROM r
+        )
+        SELECT t AS duration_days,
+               CAST(n_risk AS BIGINT) AS n_at_risk,
+               CAST(d AS BIGINT) AS churned,
+               CAST(c AS BIGINT) AS censored,
+               CAST(lns AS DOUBLE) AS ln_survival,
+               ROUND(EXP(CAST(lns AS DOUBLE)), 6) AS survival
+        FROM s
+    """,
+    doc=(
+        "Kaplan-Meier retention curve with right-censoring: each user's "
+        "lifetime runs from first to last activity day; users still active "
+        "on the corpus's final observed day are CENSORED, not churned — "
+        "the correction naive 'retention = active/total' curves get wrong. "
+        "S(t) = Π(1 − dᵢ/nᵢ) is computed in log space as a cumulative sum "
+        "of per-step decimal-rounded log terms over the O(#durations) "
+        "grain, so the product is order-independent (Spark has no product "
+        "aggregate, and chained floating multiplies would be "
+        "partition-order-sensitive anyway); an all-at-risk-churn step "
+        "contributes a −1e6 sentinel whose exp underflows to exactly 0 in "
+        "both engines. One shuffle to per-user lifetimes; everything after "
+        "runs on the duration grain. The observation horizon attaches as a "
+        "1-row broadcast."
+    ),
+    tags=("events", "retention", "survival", "behavior", "stats"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", F.col("ts")).alias("day")).distinct()
+    us = ud.groupBy("user_id").agg(
+        F.min("day").alias("first_day"), F.max("day").alias("last_day")
+    )
+    dmax = us.agg(F.max("last_day").alias("dmax"))
+    dur = us.crossJoin(F.broadcast(dmax)).select(
+        F.datediff(F.col("last_day"), F.col("first_day")).alias("t"),
+        F.when(F.col("last_day") < F.col("dmax"), F.lit(1)).otherwise(F.lit(0)).alias(
+            "churn"
+        ),
+    )
+    g = dur.groupBy("t").agg(
+        F.sum("churn").alias("d"),
+        (F.count(F.lit(1)) - F.sum("churn")).alias("c"),
+    )
+    total = dur.agg(F.count(F.lit(1)).alias("n_total"))
+    w_prev = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.crossJoin(F.broadcast(total)).select(
+        "t",
+        "d",
+        "c",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("d") + F.col("c")).over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    zero = F.lit(0).cast("decimal(27,8)")
+    term = (
+        F.when(F.col("d") == 0, zero)
+        .when(
+            F.col("d") < F.col("n_risk"),
+            F.log(F.col("n_risk") - F.col("d")).cast("decimal(27,8)")
+            - F.log(F.col("n_risk")).cast("decimal(27,8)"),
+        )
+        .otherwise(F.lit(-1000000).cast("decimal(27,8)"))
+    )
+    w_cum = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    s = r.withColumn("lns", F.sum(term).over(w_cum))
+    return s.select(
+        F.col("t").alias("duration_days"),
+        F.col("n_risk").alias("n_at_risk"),
+        F.col("d").alias("churned"),
+        F.col("c").alias("censored"),
+        F.col("lns").cast("double").alias("ln_survival"),
+        F.round(F.exp(F.col("lns").cast("double")), 6).alias("survival"),
+    )
