@@ -292,3 +292,28 @@ def test_ks_drift_bounds_and_shifted_source(spark, sf_smoke, tmp_path):
     out = {r["source"]: r for r in SPECS["q_ks_source_drift"].build(spark, str(tmp_path)).collect()}
     assert out["low"]["d_stat"] == 1.0
     assert out["high"]["d_stat"] == 1.0
+
+
+def test_mase_zero_for_perfectly_periodic(spark, tmp_path):
+    """A series with exact 24h periodicity: the seasonal-naive forecast is
+    perfect (MASE = 0) while the naive baseline errs on every step."""
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for h in range(24 * 5):
+        for _ in range((h % 24) % 4 + 1):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=2), 1, "per", 1.0, "{}"))
+            eid += 1
+    _write_events(spark, tmp_path, rows)
+    r = SPECS["q_seasonal_naive_mase"].build(spark, str(tmp_path)).collect()[0]
+    assert r["mae_seasonal"] == 0.0
+    assert r["mae_naive"] > 0.0
+    assert r["mase"] == 0.0
+
+
+def test_mase_bounds_on_fixture(spark, sf_smoke):
+    rows = SPECS["q_seasonal_naive_mase"].build(spark, sf_smoke).collect()
+    assert rows
+    for r in rows:
+        assert r["mae_seasonal"] >= 0.0 and r["mae_naive"] >= 0.0
+        assert r["n_hours"] > 0

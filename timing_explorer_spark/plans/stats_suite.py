@@ -815,3 +815,99 @@ def q_ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return terms.groupBy("source", "n_s").agg(F.max("d").alias("d_stat")).select(
         "source", F.col("n_s").alias("n_docs"), "d_stat"
     )
+
+
+@register(
+    "q_seasonal_naive_mase",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   CAST(FLOOR(epoch_us(ts) / {_HOUR_US}) AS BIGINT) AS b,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        e AS (
+            SELECT a.event_type,
+                   ABS(a.cnt - s.cnt)  AS err_seasonal,
+                   ABS(a.cnt - n.cnt)  AS err_naive
+            FROM h a
+            JOIN h s ON s.event_type = a.event_type AND s.b = a.b - 24
+            JOIN h n ON n.event_type = a.event_type AND n.b = a.b - 1
+        )
+        SELECT event_type,
+               COUNT(*) AS n_hours,
+               CAST(SUM(CAST(err_seasonal AS HUGEINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mae_seasonal,
+               CAST(SUM(CAST(err_naive AS HUGEINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS mae_naive,
+               CAST(SUM(CAST(err_seasonal AS HUGEINT)) AS DOUBLE)
+                   / CAST(SUM(CAST(err_naive AS HUGEINT)) AS DOUBLE) AS mase
+        FROM e GROUP BY event_type
+    """,
+    doc=(
+        "Forecast-baseline backtest: the seasonal-naive predictor "
+        "(ŷ_t = y_{t−24h}) scored against the naive predictor "
+        "(ŷ_t = y_{t−1h}) on the hourly-count series, reported as MAE of "
+        "each plus their ratio — MASE (Hyndman-Koehler 2006), the "
+        "scale-free forecast-quality metric (<1 ⇒ the seasonal model "
+        "beats last-value carry-forward, i.e. the series has exploitable "
+        "daily structure — complements q_acf_hourly's lag-24 detection "
+        "with an actual forecast-error reading). Hours are restricted to "
+        "those where BOTH baselines have a reference point, so the two "
+        "MAEs compare the same sample. Errors are exact integers on the "
+        "O(range) hourly grain; both lag joins reuse the one grain "
+        "aggregate (same ReusedExchange pre-filter trick as q_acf_hourly)."
+    ),
+    tags=("timeseries", "forecast", "mase", "stats"),
+)
+def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    b = F.floor(F.unix_micros(F.col("ts")) / F.lit(_HOUR_US)).cast("long")
+    # The two shifted-key predicates ((b-24)/(b-1) not null) are no-ops on
+    # values but must appear in the SHARED pre-aggregate filter: the probe
+    # side otherwise pushes them into its own scan alone and the subtrees
+    # stop matching (1 reused exchange instead of 2).
+    e = e.where(
+        F.col("event_type").isNotNull()
+        & F.col("ts").isNotNull()
+        & b.isNotNull()
+        & (b - 24).isNotNull()
+        & (b - 1).isNotNull()
+    )
+    h = e.groupBy("event_type", b.alias("b")).agg(F.count(F.lit(1)).alias("cnt"))
+    # The lag references join on PLAIN grain keys while the probe side
+    # carries the shifted keys as post-aggregate computed columns — this
+    # keeps all three grain subtrees syntactically identical, so the fact
+    # scan + aggregate plans ONCE and the other two references are
+    # ReusedExchanges (same single-scan trick as q_acf_hourly; shifting the
+    # build sides instead pushes per-side isnotnull(b+k) predicates into
+    # their scans and defeats the reuse — observed as 3 full scans).
+    probe = h.withColumn("bs", F.col("b") - 24).withColumn("bn", F.col("b") - 1)
+    s = h.select(
+        F.col("event_type").alias("et_s"), F.col("b").alias("b_s"), F.col("cnt").alias("cnt_s")
+    )
+    n = h.select(
+        F.col("event_type").alias("et_n"), F.col("b").alias("b_n"), F.col("cnt").alias("cnt_n")
+    )
+    joined = (
+        probe.join(s, (F.col("event_type") == F.col("et_s")) & (F.col("bs") == F.col("b_s")))
+        .join(n, (F.col("event_type") == F.col("et_n")) & (F.col("bn") == F.col("b_n")))
+        .select(
+            "event_type",
+            F.abs(F.col("cnt") - F.col("cnt_s")).alias("err_seasonal"),
+            F.abs(F.col("cnt") - F.col("cnt_n")).alias("err_naive"),
+        )
+    )
+    m = joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum(F.col("err_seasonal").cast(_DEC)).alias("ses"),
+        F.sum(F.col("err_naive").cast(_DEC)).alias("sen"),
+    )
+    n_d = F.col("n_hours").cast("double")
+    return m.select(
+        "event_type",
+        "n_hours",
+        (F.col("ses").cast("double") / n_d).alias("mae_seasonal"),
+        (F.col("sen").cast("double") / n_d).alias("mae_naive"),
+        (F.col("ses").cast("double") / F.col("sen").cast("double")).alias("mase"),
+    )
