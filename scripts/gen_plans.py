@@ -91,6 +91,9 @@ def main() -> None:
         "q_acf_hourly",
         "q_interarrival_profile",
         "q_cross_source_dup",
+        "q_seasonal_naive_mase",
+        "q_weighted_median_price",
+        "q_kaplan_meier",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

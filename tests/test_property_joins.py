@@ -158,6 +158,13 @@ def test_exact_sum_invariant_under_repartition(spark, vals, n_parts):
         "q_wau_stickiness",
         "q_cumulative_distinct_users",
         "q_benford_order_totals",
+        "q_weighted_median_price",
+        "q_ks_source_drift",
+        "q_kaplan_meier",
+        "q_seasonal_naive_mase",
+        "q_event_trigrams",
+        "q_audience_overlap",
+        "q_pit_activity_state",
     ],
 )
 def test_query_results_partition_invariant(spark, sf_smoke, name):
