@@ -180,3 +180,30 @@ def test_kaplan_meier_monotone_on_fixture(spark, sf_smoke):
         assert 0.0 <= r["survival"] <= last + 1e-12  # non-increasing
         last = r["survival"]
         assert r["n_at_risk"] >= r["churned"] + r["censored"]
+
+
+def test_session_stats_synthetic(spark, tmp_path):
+    """One user: 3 events within 30-min gaps (one session), a lone event 2h
+    later the same day (a bounce) → 2 sessions, 1 bounce, 2 events/session."""
+    base = dt.datetime(2024, 1, 5, 10, 0, 0)
+    rows = [
+        (1, base, 7, "view", 1.0, "{}"),
+        (2, base + dt.timedelta(minutes=10), 7, "click", 1.0, "{}"),
+        (3, base + dt.timedelta(minutes=35), 7, "view", 1.0, "{}"),  # 25min gap: same session
+        (4, base + dt.timedelta(hours=3), 7, "view", 1.0, "{}"),     # new session, 1 event
+    ]
+    _write_events(spark, tmp_path, rows)
+    out = SPECS["q_session_stats_daily"].build(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_sessions"] == 2 and r["n_bounces"] == 1
+    assert r["bounce_rate"] == 0.5
+    assert r["events_per_session"] == 2.0
+    assert r["mean_duration_sec"] == (35 * 60 + 0) / 2  # 2100s and 0s sessions
+
+
+def test_bounce_rate_bounds_on_fixture(spark, sf_smoke):
+    for r in SPECS["q_session_stats_daily"].build(spark, sf_smoke).collect():
+        assert 0.0 <= r["bounce_rate"] <= 1.0
+        assert r["events_per_session"] >= 1.0
+        assert r["mean_duration_sec"] >= 0.0

@@ -334,6 +334,8 @@ _SANCTIONED_NESTED_LOOP = {
     "q_influxql_spread_series",
     # observation horizon + cohort total: two deliberate 1-row broadcasts
     "q_kaplan_meier",
+    # corpus bigram total: 1-row broadcast onto the capped top-50
+    "q_bigram_pmi",
 }
 
 

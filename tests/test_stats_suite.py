@@ -317,3 +317,20 @@ def test_mase_bounds_on_fixture(spark, sf_smoke):
     for r in rows:
         assert r["mae_seasonal"] >= 0.0 and r["mae_naive"] >= 0.0
         assert r["n_hours"] > 0
+
+
+def test_pmi_synthetic_collocation(spark, tmp_path):
+    """'new york' always adjacent vs independent fillers: the collocation's
+    PMI is ln(N·c/( c·c )) = ln(N/c) > 0 and tops independent pairs."""
+    import math
+
+    docs = [(i, "new york " + " ".join(f"w{j}" for j in range(i % 3 + 1)), "en", "s", 20)
+            for i in range(10)]
+    _write_docs(spark, tmp_path, docs)
+    rows = SPECS["q_bigram_pmi"].build(spark, str(tmp_path)).collect()
+    by_pair = {(r["w1"], r["w2"]): r for r in rows}
+    ny = by_pair[("new", "york")]
+    assert ny["n12"] == 10
+    # c(new,·)=10, c(·,york)=10, so PMI = ln(N*10/(10*10)) = ln(N/10)
+    n_total = sum(r_["n12"] for r_ in rows)  # top-50 covers all pairs here
+    assert abs(ny["pmi"] - math.log(n_total / 10)) < 1e-6

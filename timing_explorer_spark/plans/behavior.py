@@ -31,6 +31,8 @@ from pyspark.sql import functions as F
 from ..sources.tables import load
 from .registry import register
 
+_DEC = "decimal(38,0)"
+
 
 @register(
     "q_event_trigrams",
@@ -387,4 +389,91 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").alias("censored"),
         F.col("lns").cast("double").alias("ln_survival"),
         F.round(F.exp(F.col("lns").cast("double")), 6).alias("survival"),
+    )
+
+
+@register(
+    "q_session_stats_daily",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER (
+                                 PARTITION BY user_id ORDER BY ts, event_id))
+                             <= 1800000000 THEN 0 ELSE 1 END AS new_session
+            FROM events
+        ),
+        sessions AS (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS UNBOUNDED PRECEDING) AS session_id
+            FROM flagged
+        ),
+        per_session AS (
+            SELECT user_id, session_id,
+                   CAST(DATE_TRUNC('day', MIN(ts)) AS TIMESTAMP) AS day,
+                   COUNT(*) AS n_events,
+                   epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+            FROM sessions GROUP BY user_id, session_id
+        )
+        SELECT day,
+               COUNT(*) AS n_sessions,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_bounces,
+               CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS bounce_rate,
+               CAST(SUM(CAST(n_events AS HUGEINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) AS events_per_session,
+               CAST(SUM(CAST(dur_us AS HUGEINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE) / 1000000.0 AS mean_duration_sec
+        FROM per_session GROUP BY day
+    """,
+    doc=(
+        "Daily session KPIs: sessions, bounce count/rate (single-event "
+        "sessions), events per session, mean active duration — the "
+        "engagement rollup every product dashboard leads with, sessions "
+        "defined by the same 30-minute inactivity gap as q_session_windows "
+        "(gaps-and-islands with a (ts, event_id) total order so equal "
+        "timestamps sessionize deterministically; a session belongs to its "
+        "START day). One (user)-keyed shuffle to sessionize — the two "
+        "stacked windows and the per-session rollup share it — then one "
+        "grain-sized day rollup with exact integer sums."
+    ),
+    tags=("events", "session", "behavior", "window-agg"),
+)
+def q_session_stats_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+            <= 1_800_000_000,
+            F.lit(0),
+        )
+        .otherwise(F.lit(1))
+        .alias("new_session"),
+        "event_id",
+    )
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    sessions = flagged.select(
+        "user_id", "ts", F.sum("new_session").over(w_cum).alias("session_id")
+    )
+    per_session = sessions.groupBy("user_id", "session_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("day"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    bounce = F.sum(F.when(F.col("n_events") == 1, F.lit(1)).otherwise(F.lit(0)))
+    n_d = F.count(F.lit(1)).cast("double")
+    return per_session.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (bounce.cast("double") / n_d).alias("bounce_rate"),
+        (F.sum(F.col("n_events").cast(_DEC)).cast("double") / n_d).alias(
+            "events_per_session"
+        ),
+        (
+            F.sum(F.col("dur_us").cast(_DEC)).cast("double") / n_d / F.lit(1000000.0)
+        ).alias("mean_duration_sec"),
     )

@@ -732,3 +732,83 @@ def q_bpe_merge_table(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merges, _ = bpe_train(load(spark, sf_dir, "documents"), n_merges=6)
     return spark.createDataFrame(merges, ["rank", "a", "b", "cnt"])
+
+
+@register(
+    "q_bigram_pmi",
+    oracle="""
+        WITH words AS (
+            SELECT string_split(lower(text), ' ') AS w FROM documents
+        ),
+        flat AS (
+            SELECT s.w1 AS w1, s.w2 AS w2
+            FROM (SELECT UNNEST(list_transform(range(greatest(len(w) - 1, 0)),
+                                i -> {'w1': w[i+1], 'w2': w[i+2]})) AS s
+                  FROM words)
+        ),
+        bc AS (SELECT w1, w2, COUNT(*) AS n12 FROM flat GROUP BY w1, w2),
+        uc1 AS (SELECT w1, COUNT(*) AS n1 FROM flat GROUP BY w1),
+        uc2 AS (SELECT w2, COUNT(*) AS n2 FROM flat GROUP BY w2),
+        tot AS (SELECT COUNT(*) AS n FROM flat),
+        top AS (
+            SELECT bc.w1, bc.w2, bc.n12, uc1.n1, uc2.n2
+            FROM bc JOIN uc1 ON bc.w1 = uc1.w1 JOIN uc2 ON bc.w2 = uc2.w2
+            ORDER BY bc.n12 DESC, bc.w1, bc.w2 LIMIT 50
+        )
+        SELECT w1, w2, n12, n1, n2,
+               CAST(CAST(LN(n12) AS DECIMAL(27,8)) + CAST(LN((SELECT n FROM tot)) AS DECIMAL(27,8))
+                    - CAST(LN(n1) AS DECIMAL(27,8)) - CAST(LN(n2) AS DECIMAL(27,8))
+                    AS DOUBLE) AS pmi
+        FROM top
+    """,
+    doc=(
+        "Collocation detection via pointwise mutual information: for the 50 "
+        "most frequent adjacent word pairs, PMI = ln(N·c(ab)/(c(a)·c(b))) — "
+        "high-PMI pairs are multi-word expressions a tokenizer or phrase "
+        "miner should treat as units (Church & Hanks 1990). Count tables "
+        "stay distributed (token-keyed shuffle joins, the q_bigram_surprisal "
+        "shape); the four logs are decimal-rounded per term so the PMI is "
+        "bit-identical across engines; the deterministic (count DESC, "
+        "lexicographic) top-50 caps the output via TakeOrderedAndProject. "
+        "Positional convention: c(a) counts a as LEFT member, c(b) as "
+        "RIGHT — the bigram-model conditional marginals."
+    ),
+    tags=("text", "pmi", "collocation", "llm-pipeline"),
+)
+def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select(F.split(F.lower("text"), " ").alias("w")).where(F.size("w") >= 2)
+    flat = w.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(w)-2),"
+                " i -> named_struct('w1', w[i], 'w2', w[i+1]))"
+            )
+        ).alias("s")
+    ).select(F.col("s.w1").alias("w1"), F.col("s.w2").alias("w2"))
+    bc = flat.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("n12"))
+    uc1 = flat.groupBy("w1").agg(F.count(F.lit(1)).alias("n1"))
+    uc2 = flat.groupBy("w2").agg(F.count(F.lit(1)).alias("n2"))
+    tot = flat.agg(F.count(F.lit(1)).alias("n"))
+    top = (
+        bc.join(uc1, "w1")
+        .join(uc2, "w2")
+        .orderBy(F.desc("n12"), "w1", "w2")
+        .limit(50)
+    )
+    dec = "decimal(27,8)"
+    return top.crossJoin(F.broadcast(tot)).select(
+        "w1",
+        "w2",
+        "n12",
+        "n1",
+        "n2",
+        (
+            F.log("n12").cast(dec)
+            + F.log("n").cast(dec)
+            - F.log("n1").cast(dec)
+            - F.log("n2").cast(dec)
+        )
+        .cast("double")
+        .alias("pmi"),
+    )
