@@ -336,6 +336,8 @@ _SANCTIONED_NESTED_LOOP = {
     "q_kaplan_meier",
     # corpus bigram total: 1-row broadcast onto the capped top-50
     "q_bigram_pmi",
+    # <=40-row checkpoint broadcast range-joined against word/doc grains
+    "q_heaps_law",
 }
 
 

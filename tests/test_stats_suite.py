@@ -334,3 +334,26 @@ def test_pmi_synthetic_collocation(spark, tmp_path):
     # c(new,·)=10, c(·,york)=10, so PMI = ln(N*10/(10*10)) = ln(N/10)
     n_total = sum(r_["n12"] for r_ in rows)  # top-50 covers all pairs here
     assert abs(ny["pmi"] - math.log(n_total / 10)) < 1e-6
+
+
+def test_heaps_law_closed_forms(spark, tmp_path):
+    """All-unique vocabulary: V(N) = N exactly => beta = 1, ln_k = 0. A
+    saturated corpus (every doc repeats one word) gives beta = 0."""
+    # Separate dirs: load() caches the analyzed plan (and file listing) per
+    # (session, dir) — overwriting the same dir would leave the cached scan
+    # pointing at deleted part files.
+    docs = [(i, " ".join(f"u{i}_{j}" for j in range(4)), "en", "s", 30) for i in range(64)]
+    _write_docs(spark, f"{tmp_path}/a", docs)
+    r = SPECS["q_heaps_law"].build(spark, f"{tmp_path}/a").collect()[0]
+    assert r["n_checkpoints"] == 6  # checkpoints 2,4,8,16,32,64
+    assert abs(r["beta"] - 1.0) < 1e-7
+    assert abs(r["ln_k"]) < 1e-6
+    docs2 = [(i, "same same same same", "en", "s", 20) for i in range(64)]
+    _write_docs(spark, f"{tmp_path}/b", docs2)
+    r2 = SPECS["q_heaps_law"].build(spark, f"{tmp_path}/b").collect()[0]
+    assert abs(r2["beta"]) < 1e-7
+
+
+def test_heaps_beta_plausible_on_fixture(spark, sf_smoke):
+    r = SPECS["q_heaps_law"].build(spark, sf_smoke).collect()[0]
+    assert 0.0 <= r["beta"] <= 1.0 + 1e-9  # vocab can't grow faster than tokens

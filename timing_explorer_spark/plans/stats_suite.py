@@ -911,3 +911,112 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sen").cast("double") / n_d).alias("mae_naive"),
         (F.col("ses").cast("double") / F.col("sen").cast("double")).alias("mase"),
     )
+
+
+@register(
+    "q_heaps_law",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ),
+        fd AS (SELECT word, MIN(doc_id) AS first_doc FROM w GROUP BY word),
+        dt AS (SELECT doc_id, COUNT(*) AS n_tok FROM w GROUP BY doc_id),
+        cps AS (
+            SELECT CAST(POWER(2, k) AS BIGINT) AS c
+            FROM (SELECT UNNEST(generate_series(1, 40)) AS k)
+            WHERE POWER(2, k) <= (SELECT MAX(doc_id) + 1 FROM dt)
+        ),
+        v AS (
+            SELECT c.c, COUNT(*) AS vocab
+            FROM cps c JOIN fd ON fd.first_doc < c.c GROUP BY c.c
+        ),
+        n AS (
+            SELECT c.c, SUM(dt.n_tok) AS toks
+            FROM cps c JOIN dt ON dt.doc_id < c.c GROUP BY c.c
+        ),
+        pts AS (
+            SELECT CAST(ROUND(LN(n.toks) * 100000000) AS BIGINT)  AS xm,
+                   CAST(ROUND(LN(v.vocab) * 100000000) AS BIGINT) AS ym
+            FROM v JOIN n ON v.c = n.c
+        ),
+        m AS (
+            SELECT COUNT(*)                      AS np,
+                   SUM(CAST(xm AS HUGEINT))      AS sx,
+                   SUM(CAST(ym AS HUGEINT))      AS sy,
+                   SUM(CAST(xm * xm AS HUGEINT)) AS sxx,
+                   SUM(CAST(xm * ym AS HUGEINT)) AS sxy
+            FROM pts
+        )
+        SELECT np AS n_checkpoints,
+               CAST(np * sxy - sx * sy AS DOUBLE)
+                   / CAST(np * sxx - sx * sx AS DOUBLE) AS beta,
+               (CAST(sy AS DOUBLE) / 100000000.0
+                    - (CAST(np * sxy - sx * sy AS DOUBLE)
+                       / CAST(np * sxx - sx * sx AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / 100000000.0))
+                   / CAST(np AS DOUBLE) AS ln_k
+        FROM m
+    """,
+    doc=(
+        "Heaps'-law fit: vocabulary growth V(N) = k·N^β measured at "
+        "log-spaced document-count checkpoints (2, 4, 8, …) and fit by "
+        "log-log OLS — natural corpora give β ≈ 0.4–0.6; a β collapsing "
+        "toward 0 means the tail of the corpus adds no new vocabulary "
+        "(template/dup saturation — the scaling-health counterpart of "
+        "q_zipf_slope). V at each checkpoint uses the first-seen identity "
+        "(a word counts at the one checkpoint range its FIRST doc falls "
+        "in — no cumulative distinct), evaluated by a ≤40-row broadcast "
+        "checkpoint join against the word grain; token totals likewise "
+        "from the doc grain. The regression input is ≤40 exact integer "
+        "points (the q_zipf_slope scaled-log pattern)."
+    ),
+    tags=("text", "heaps", "scaling", "llm-pipeline", "stats"),
+)
+def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
+    fd = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    dt = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    mx = dt.agg((F.max("doc_id") + 1).alias("dmax"))
+    cps = (
+        mx.select(F.explode(F.sequence(F.lit(1), F.lit(40))).alias("k"), "dmax")
+        .select(F.pow(F.lit(2.0), F.col("k")).cast("long").alias("c"), "dmax")
+        .where(F.col("c") <= F.col("dmax"))
+        .select("c")
+    )
+    v = (
+        fd.join(F.broadcast(cps), fd.first_doc < F.col("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("vocab"))
+    )
+    n = (
+        dt.join(F.broadcast(cps), dt.doc_id < F.col("c"))
+        .groupBy("c")
+        .agg(F.sum("n_tok").alias("toks"))
+    )
+    pts = v.join(n, "c").select(
+        F.rint(F.log(F.col("toks")) * 1e8).cast("long").alias("xm"),
+        F.rint(F.log(F.col("vocab")) * 1e8).cast("long").alias("ym"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("np"),
+        F.sum(F.col("xm").cast(_DEC)).alias("sx"),
+        F.sum(F.col("ym").cast(_DEC)).alias("sy"),
+        F.sum((F.col("xm") * F.col("xm")).cast(_DEC)).alias("sxx"),
+        F.sum((F.col("xm") * F.col("ym")).cast(_DEC)).alias("sxy"),
+    )
+    num = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    slope = num / den
+    return m.select(
+        F.col("np").alias("n_checkpoints"),
+        slope.alias("beta"),
+        (
+            (
+                F.col("sy").cast("double") / F.lit(1e8)
+                - slope * (F.col("sx").cast("double") / F.lit(1e8))
+            )
+            / F.col("np").cast("double")
+        ).alias("ln_k"),
+    )
