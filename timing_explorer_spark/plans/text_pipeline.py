@@ -812,3 +812,52 @@ def q_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("pmi"),
     )
+
+
+@register(
+    "q_word_burstiness",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ),
+        st AS (
+            SELECT word,
+                   COUNT(*) AS cf,
+                   COUNT(DISTINCT doc_id) AS df
+            FROM w GROUP BY word
+        )
+        SELECT word, cf, df,
+               CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) AS burstiness
+        FROM st
+        WHERE df >= 5
+        ORDER BY CAST(cf AS DOUBLE) / CAST(df AS DOUBLE) DESC, word
+        LIMIT 50
+    """,
+    doc=(
+        "Term burstiness (Church-Gale): collection frequency over document "
+        "frequency — the mean within-document repetition of each term. "
+        "Function words sit near cf/df ≈ uniform; topical/template terms "
+        "burst (appear many times in few docs), which is the signal "
+        "TF-IDF's IDF misses and repetition-quality filters key on. One "
+        "(word, doc) shuffle for the two counts (COUNT DISTINCT doc_id "
+        "planned as the standard two-level expand), deterministic "
+        "(ratio DESC, word) top-50 via TakeOrderedAndProject; the ratio "
+        "of exact integers is one mirrored double division."
+    ),
+    tags=("text", "burstiness", "ir", "llm-pipeline"),
+)
+def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word"))
+    st = w.groupBy("word").agg(
+        F.count(F.lit(1)).alias("cf"),
+        F.count_distinct("doc_id").alias("df"),
+    )
+    ratio = F.col("cf").cast("double") / F.col("df").cast("double")
+    return (
+        st.where(F.col("df") >= 5)
+        .select("word", "cf", "df", ratio.alias("burstiness"))
+        .orderBy(F.desc("burstiness"), "word")
+        .limit(50)
+    )
