@@ -165,6 +165,10 @@ def test_exact_sum_invariant_under_repartition(spark, vals, n_parts):
         "q_event_trigrams",
         "q_audience_overlap",
         "q_pit_activity_state",
+        "q_session_stats_daily",
+        "q_bigram_pmi",
+        "q_heaps_law",
+        "q_word_burstiness",
     ],
 )
 def test_query_results_partition_invariant(spark, sf_smoke, name):
