@@ -1309,3 +1309,59 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cum_units").cast("double") / F.col("t").cast("double")).alias("cum_share"),
         )
     )
+
+
+@register(
+    "q_key_skew_report",
+    oracle="""
+        WITH b AS (
+            SELECT user_id % 32 AS bucket, COUNT(*) AS n
+            FROM events GROUP BY user_id % 32
+        ),
+        s AS (
+            SELECT bucket, n,
+                   MAX(n) OVER () AS max_n,
+                   SUM(n) OVER () AS tot,
+                   COUNT(*) OVER () AS nb
+            FROM b
+        )
+        SELECT bucket, n,
+               CAST(n AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(tot AS DOUBLE)
+                   AS load_factor,
+               CAST(max_n AS DOUBLE) * CAST(nb AS DOUBLE) / CAST(tot AS DOUBLE)
+                   AS skew_factor
+        FROM s
+    """,
+    doc=(
+        "Partition-skew report for a prospective shuffle key: rows per "
+        "bucket (user_id mod 32 — a deterministic stand-in for the hash "
+        "partitioner so both engines agree), each bucket's load factor "
+        "(n/mean) and the global skew factor (max/mean) — the diagnostic "
+        "an engineer reads before choosing salting (operators/skew.py) or "
+        "AQE skew-join handling: skew_factor ≈ 1 means the key spreads "
+        "evenly, >> 1 means the hottest task dominates the stage. One hash "
+        "aggregation; the dashboard windows run on the 32-row bucket grain."
+    ),
+    tags=("diagnostics", "skew", "layout"),
+)
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    b = e.groupBy((F.col("user_id") % 32).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy()
+    s = b.select(
+        "bucket",
+        "n",
+        F.max("n").over(w).alias("max_n"),
+        F.sum("n").over(w).alias("tot"),
+        F.count(F.lit(1)).over(w).alias("nb"),
+    )
+    nb_d = F.col("nb").cast("double")
+    tot_d = F.col("tot").cast("double")
+    return s.select(
+        "bucket",
+        "n",
+        (F.col("n").cast("double") * nb_d / tot_d).alias("load_factor"),
+        (F.col("max_n").cast("double") * nb_d / tot_d).alias("skew_factor"),
+    )
