@@ -506,3 +506,46 @@ def q_cross_source_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("n_shared_docs"))
     )
+
+
+@register(
+    "q_neardup_cluster_sizes",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+        edges AS (
+            SELECT doc_a AS src, doc_b AS dst FROM pairs
+            UNION
+            SELECT doc_b AS src, doc_a AS dst FROM pairs
+        ),
+        reach(doc, rep) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.rep FROM reach r JOIN edges e ON e.src = r.doc
+        ),
+        comp AS (SELECT doc, MIN(rep) AS rep FROM reach GROUP BY doc),
+        sizes AS (SELECT rep, COUNT(*) AS cluster_size FROM comp GROUP BY rep)
+        SELECT cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS docs_removable
+        FROM sizes GROUP BY cluster_size
+    """,
+    doc=(
+        "Near-dup cluster-size histogram + dedup yield: for each cluster "
+        "size, how many clusters exist and how many documents keep-one-copy "
+        "dedup would remove (size−1 each) — the capacity-planning number a "
+        "curator reads before running the removal (Σ docs_removable = the "
+        "corpus shrink). Two grain-sized rollups on top of the "
+        "connected-components resolution (q_neardup_components' min-label "
+        "propagation); everything after the pair generation runs on the "
+        "component grain."
+    ),
+    tags=("dedup", "components", "profiling"),
+)
+def q_neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = jaccard_pairs(load(spark, sf_dir, "documents"), threshold=0.8, n=3)
+    comp = resolve_components(pairs)
+    sizes = comp.groupBy("rep").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).alias("docs_removable"),
+    )
