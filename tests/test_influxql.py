@@ -226,6 +226,62 @@ def test_derivative_rate(spark):
     assert [r["derivative"] for r in out2] == [4.0, -2.0]
 
 
+def test_derivative_with_fill_over_gap(spark):
+    """derivative() + fill(): the rate is computed on the UNFILLED aggregate
+    (observed buckets, actual time delta across the gap) and fill applies to
+    the derivative OUTPUT — InfluxDB's order of operations.
+
+    Counts by second: t0=1, t1=3, t2..t3 empty, t4=5. Observed derivative
+    points: t1 → +2, t4 → (5−3)·1s/3s = 2/3. With fill(null) the same two
+    real rates must survive (the old fill-first order dropped t4's rate
+    because its lag row was a filled NULL), with the gap buckets present as
+    NULL rows; with fill(0) the gap buckets read 0 and no spurious rates
+    appear."""
+    rows = [("2024-01-01 00:00:00.500", 1.0)]
+    rows += [(f"2024-01-01 00:00:01.{i}00", 1.0) for i in range(3)]
+    rows += [(f"2024-01-01 00:00:04.{i}00", 1.0) for i in range(5)]
+    df = spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    base = (
+        "SELECT derivative(count(\"value\")) FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:00:04.900' "
+        "GROUP BY time(1s) {fill} ORDER BY time ASC"
+    )
+    unfilled = influxql(base.format(fill=""), {"m": df}).collect()
+    assert [(str(r["time"]), round(r["derivative"], 6)) for r in unfilled] == [
+        ("2024-01-01 00:00:01", 2.0),
+        ("2024-01-01 00:00:04", round(2 / 3, 6)),
+    ]
+    filled = influxql(base.format(fill="fill(null)"), {"m": df}).collect()
+    got = {str(r["time"]): r["derivative"] for r in filled}
+    # every real rate from the unfilled query survives fill(null) ...
+    assert got["2024-01-01 00:00:01"] == 2.0
+    assert round(got["2024-01-01 00:00:04"], 6) == round(2 / 3, 6)
+    # ... and the spine adds the first bucket + gap buckets as NULLs
+    assert got["2024-01-01 00:00:00"] is None
+    assert got["2024-01-01 00:00:02"] is None
+    assert got["2024-01-01 00:00:03"] is None
+    zero = influxql(base.format(fill="fill(0)"), {"m": df}).collect()
+    gotz = {str(r["time"]): r["derivative"] for r in zero}
+    assert gotz["2024-01-01 00:00:02"] == 0.0 and gotz["2024-01-01 00:00:03"] == 0.0
+    assert gotz["2024-01-01 00:00:01"] == 2.0  # real rates untouched
+
+
+def test_show_unknown_measurement_raises_valueerror(spark, sensors):
+    """SHOW TAG/FIELD KEYS FROM an unknown measurement honors the parser
+    contract (ValueError, not KeyError), like the TAG VALUES branch; the
+    empty-tables case must not leak StopIteration."""
+    import pytest
+
+    t = {"sensors": sensors}
+    for q in ('SHOW TAG KEYS FROM "nope"', 'SHOW FIELD KEYS FROM "nope"'):
+        with pytest.raises(ValueError, match="unknown measurement"):
+            influxql(q, t)
+    with pytest.raises(ValueError):
+        influxql("SHOW MEASUREMENTS", {})
+
+
 def test_derivative_requires_group(spark, sensors):
     import pytest
 

@@ -115,10 +115,14 @@ def _show(m: re.Match, tables: dict[str, DataFrame], time_col: str) -> DataFrame
     field keys = every other non-time column."""
     import functools
 
+    if not tables:
+        raise ValueError("no measurements registered")
     some_df = next(iter(tables.values()))
     spark = some_df.sparkSession
 
     def _cols(meas: str | None, want_tags: bool) -> DataFrame:
+        if meas is not None and meas not in tables:
+            raise ValueError(f"unknown measurement {meas!r}")
         names = [meas] if meas else sorted(tables)
         frames = []
         for name in names:
@@ -229,6 +233,36 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             .groupBy(*keys)
             .agg(_agg_column(magg.group("fn"), magg.group("field"), time_col).alias(alias))
         )
+        if mder:
+            # InfluxDB derivative: (vₜ − vₜ₋₁) · unit / (tₜ − tₜ₋₁), default
+            # unit = the GROUP BY interval; the first point of each series
+            # has no predecessor and is dropped, and the non_negative_
+            # variant additionally drops negative rates. Computed on the
+            # UNFILLED aggregate — over observed buckets with the actual
+            # time delta across gaps — with any fill() applied to the
+            # derivative OUTPUT afterwards (InfluxDB's order of operations;
+            # filling first would either drop real rates across gaps with
+            # fill(null) or manufacture spurious ones with fill(0/previous)).
+            from pyspark.sql import Window
+
+            unit_us = (
+                int(mder.group("n")) * _UNIT_US[mder.group("u")]
+                if mder.group("n")
+                else step_us
+            )
+            w_d = Window.partitionBy(*([tag] if tag else [])).orderBy("time")
+            prev_v = F.lag(alias).over(w_d)
+            prev_t = F.lag("time").over(w_d)
+            rate = (
+                (F.col(alias) - prev_v).cast("double")
+                * F.lit(float(unit_us))
+                / (F.unix_micros(F.col("time")) - F.unix_micros(prev_t)).cast("double")
+            )
+            name = "non_negative_derivative" if mder.group("nn") else "derivative"
+            out = out.select(*keys, rate.alias(name)).where(F.col(name).isNotNull())
+            if mder.group("nn"):
+                out = out.where(F.col(name) >= 0)
+            alias = name
         fill = (m.group("fill") or "none").lower()
         if fill != "none":
             if t_lo is None or t_hi is None:
@@ -302,30 +336,6 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
                     .otherwise(F.col("__pv") + (F.col("__nv") - F.col("__pv")) * frac)
                     .alias(alias),
                 )
-        if mder:
-            # InfluxDB derivative: (vₜ − vₜ₋₁) · unit / (tₜ − tₜ₋₁), default
-            # unit = the GROUP BY interval; the first point of each series
-            # has no predecessor and is dropped, and the non_negative_
-            # variant additionally drops negative rates.
-            from pyspark.sql import Window
-
-            unit_us = (
-                int(mder.group("n")) * _UNIT_US[mder.group("u")]
-                if mder.group("n")
-                else step_us
-            )
-            w_d = Window.partitionBy(*([tag] if tag else [])).orderBy("time")
-            prev_v = F.lag(alias).over(w_d)
-            prev_t = F.lag("time").over(w_d)
-            rate = (
-                (F.col(alias) - prev_v).cast("double")
-                * F.lit(float(unit_us))
-                / (F.unix_micros(F.col("time")) - F.unix_micros(prev_t)).cast("double")
-            )
-            name = "non_negative_derivative" if mder.group("nn") else "derivative"
-            out = out.select(*keys, rate.alias(name)).where(F.col(name).isNotNull())
-            if mder.group("nn"):
-                out = out.where(F.col(name) >= 0)
         result = out
     elif magg:
         result = df.agg(

@@ -1027,7 +1027,9 @@ def q_influxql_groupby_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
                                                 TIMESTAMP '2024-01-30 23:59:59',
                                                 INTERVAL 1 DAY)) AS time) s
-            CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+            CROSS JOIN (SELECT DISTINCT event_type FROM events
+                        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                          AND ts <= TIMESTAMP '2024-01-30 23:59:59') t
         ),
         agg AS (
             SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
