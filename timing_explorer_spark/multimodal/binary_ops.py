@@ -129,18 +129,162 @@ def byte_histogram_features(media: DataFrame, dim: int = 16) -> DataFrame:
 
 
 def decode_image(media: DataFrame, target_size: tuple[int, int] | None = None) -> DataFrame:
-    """Real image decode (+ optional resize) -> (media_id, width, height,
-    pixels binary). STUB: requires PIL, which this environment doesn't ship."""
+    """Compressed-image decode (+ optional resize) -> (media_id, width,
+    height, pixels binary). STUB for compressed codecs only (JPEG/PNG need
+    PIL, which this environment doesn't ship); codec-FREE formats decode for
+    real — see ``ppm_stats``/``wav_stats`` below (pure-numpy RIFF/P6 parsers
+    in ``codecs.py``)."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as e:
         raise NotImplementedError(
-            "decode_image needs Pillow, which is not available in this "
-            "container. The Spark-side contract (binary payload in, "
-            "(media_id, width, height, pixels) out via mapInPandas) is what "
-            "byte_histogram_features exercises with a deterministic fake."
+            "decode_image needs Pillow for compressed codecs, which is not "
+            "available in this container. Codec-free formats are decoded for "
+            "real by ppm_stats/wav_stats (multimodal/codecs.py); "
+            "byte_histogram_features covers the embedding-model UDF shape "
+            "with a deterministic fake."
         ) from e
     raise NotImplementedError("real decode path unreached in this environment")
+
+
+def synthetic_wav_media(docs: DataFrame) -> DataFrame:
+    """Real WAV payloads fabricated deterministically from ``documents``:
+    per doc, PCM16 mono samples from the closed form
+    ``s(i) = ((doc_id*7919 + i*104729) % 65536) - 32768`` with
+    ``n = 200 + doc_id % 57`` samples at ``rate = 8000 + (doc_id % 3)*4000``
+    Hz, packed into spec-conforming RIFF bytes by the struct writer. The
+    closed form is what makes the downstream DECODE query oracle-checkable:
+    DuckDB regenerates the same samples via generate_series and must agree
+    with features computed from the actual decoded bytes."""
+
+    def enc(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .codecs import encode_wav_bytes
+
+        for b in batches:
+            payloads = []
+            for doc_id in b["doc_id"]:
+                n = 200 + int(doc_id) % 57
+                rate = 8000 + (int(doc_id) % 3) * 4000
+                i = np.arange(n, dtype=np.int64)
+                s = ((int(doc_id) * 7919 + i * 104729) % 65536 - 32768).astype(np.int16)
+                payloads.append(encode_wav_bytes(s, rate))
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(enc, schema="media_id long, payload binary")
+
+
+def wav_stats(media: DataFrame) -> DataFrame:
+    """REAL audio decode: parse each RIFF payload (chunk walk + frombuffer),
+    then integer sample-level features — rate/frames/duration from the
+    header, amplitude sum, peak, and zero-crossing count from the decoded
+    PCM. All-integer outputs hash-match a SQL oracle exactly. Arrow-batched
+    mapInPandas: decode happens where the bytes live, nothing shuffles."""
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .codecs import decode_wav_bytes
+
+        for b in batches:
+            out = {
+                "media_id": b["media_id"],
+                "sample_rate": [],
+                "n_samples": [],
+                "duration_ms": [],
+                "sum_amp": [],
+                "max_abs": [],
+                "zero_crossings": [],
+            }
+            for p in b["payload"]:
+                w = decode_wav_bytes(bytes(p))
+                s = w.samples[:, 0].astype(np.int64)  # mono feature pass
+                out["sample_rate"].append(w.sample_rate)
+                out["n_samples"].append(len(s))
+                out["duration_ms"].append(len(s) * 1000 // w.sample_rate)
+                out["sum_amp"].append(int(s.sum()))
+                out["max_abs"].append(int(np.abs(s).max()) if len(s) else 0)
+                out["zero_crossings"].append(int(np.sum(s[1:] * s[:-1] < 0)))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats,
+        schema=(
+            "media_id long, sample_rate int, n_samples long, duration_ms long, "
+            "sum_amp long, max_abs long, zero_crossings long"
+        ),
+    )
+
+
+def synthetic_ppm_media(docs: DataFrame) -> DataFrame:
+    """Real binary-PPM payloads from ``documents``: per doc, a
+    ``w = 8 + doc_id % 9`` by ``h = 6 + doc_id % 7`` RGB raster whose byte
+    stream is ``b(j) = (doc_id*31 + j*13) % 256``, written as a
+    spec-conforming P6 file (with a header comment, exercising the parser's
+    comment handling)."""
+
+    def enc(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        for b in batches:
+            payloads = []
+            for doc_id in b["doc_id"]:
+                w = 8 + int(doc_id) % 9
+                h = 6 + int(doc_id) % 7
+                j = np.arange(w * h * 3, dtype=np.int64)
+                raster = ((int(doc_id) * 31 + j * 13) % 256).astype(np.uint8)
+                payloads.append(
+                    f"P6\n# synthetic fixture doc {int(doc_id)}\n{w} {h}\n255\n".encode()
+                    + raster.tobytes()
+                )
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(enc, schema="media_id long, payload binary")
+
+
+def ppm_stats(media: DataFrame) -> DataFrame:
+    """REAL image decode: parse each P6 payload (header + raster view), then
+    integer pixel-level features — dimensions from the header, per-channel
+    sums and peak from the decoded raster. All-integer, oracle-checkable."""
+
+    def stats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .codecs import decode_ppm_bytes
+
+        for b in batches:
+            out = {
+                "media_id": b["media_id"],
+                "width": [],
+                "height": [],
+                "sum_r": [],
+                "sum_g": [],
+                "sum_b": [],
+                "max_byte": [],
+            }
+            for p in b["payload"]:
+                img = decode_ppm_bytes(bytes(p))
+                px = img.pixels.astype(np.int64)
+                out["width"].append(img.width)
+                out["height"].append(img.height)
+                out["sum_r"].append(int(px[:, :, 0].sum()))
+                out["sum_g"].append(int(px[:, :, 1].sum()))
+                out["sum_b"].append(int(px[:, :, 2].sum()))
+                out["max_byte"].append(int(px.max()))
+            yield pd.DataFrame(out)
+
+    return media.select("media_id", "payload").mapInPandas(
+        stats,
+        schema=(
+            "media_id long, width int, height int, sum_r long, sum_g long, "
+            "sum_b long, max_byte long"
+        ),
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -151,3 +151,91 @@ def q_media_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").alias("total_bytes"),
         )
     )
+
+
+@register(
+    "q_media_wav_stats",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id,
+                   200 + doc_id % 57            AS n,
+                   8000 + (doc_id % 3) * 4000   AS rate
+            FROM documents
+        ),
+        samp AS (
+            SELECT d.doc_id, d.rate, g.i,
+                   ((d.doc_id * 7919 + g.i * 104729) % 65536) - 32768 AS v
+            FROM d, LATERAL (SELECT UNNEST(generate_series(0, d.n - 1)) AS i) g
+        ),
+        lagged AS (
+            SELECT *, LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv FROM samp
+        )
+        SELECT doc_id                                   AS media_id,
+               CAST(ANY_VALUE(rate) AS INTEGER)         AS sample_rate,
+               COUNT(*)                                 AS n_samples,
+               (COUNT(*) * 1000) // ANY_VALUE(rate)     AS duration_ms,
+               CAST(SUM(v) AS BIGINT)                   AS sum_amp,
+               CAST(MAX(ABS(v)) AS BIGINT)              AS max_abs,
+               CAST(SUM(CASE WHEN pv * v < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                                        AS zero_crossings
+        FROM lagged
+        GROUP BY doc_id
+    """,
+    doc=(
+        "REAL audio decode, oracle-checked: per-doc PCM16 payloads are "
+        "spec-conforming RIFF/WAVE files (struct-packed from a closed-form "
+        "sample function of doc_id), decoded by the pure-numpy chunk-walking "
+        "parser (multimodal/codecs.py), with integer sample-level features "
+        "(amplitude sum, peak, zero crossings) that DuckDB reproduces by "
+        "regenerating the same samples via generate_series. The decode is "
+        "not a stub: the parser round-trips against the stdlib wave module "
+        "in pytest and handles foreign chunks/padding. Scale shape: "
+        "Arrow-batched mapInPandas, decode runs where the bytes live, "
+        "zero shuffle before the (tiny) stats output."
+    ),
+    tags=("multimodal", "audio", "decode", "pandas-udf"),
+)
+def q_media_wav_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import synthetic_wav_media, wav_stats
+
+    return wav_stats(synthetic_wav_media(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "q_media_ppm_stats",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, d.w, d.h, g.j,
+                   (d.doc_id * 31 + g.j * 13) % 256 AS b
+            FROM d, LATERAL (
+                SELECT UNNEST(generate_series(0, d.w * d.h * 3 - 1)) AS j
+            ) g
+        )
+        SELECT doc_id                             AS media_id,
+               CAST(ANY_VALUE(w) AS INTEGER)      AS width,
+               CAST(ANY_VALUE(h) AS INTEGER)      AS height,
+               CAST(SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+               CAST(SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+               CAST(SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b,
+               CAST(MAX(b) AS BIGINT)             AS max_byte
+        FROM px
+        GROUP BY doc_id
+    """,
+    doc=(
+        "REAL image decode, oracle-checked: per-doc binary-PPM (P6) payloads "
+        "(spec-conforming, including a header comment line the parser must "
+        "skip), decoded by the pure-numpy header parser + raster view, with "
+        "per-channel integer sums DuckDB reproduces from the closed-form "
+        "pixel function. Same Arrow-batched decode-in-place shape as "
+        "q_media_wav_stats."
+    ),
+    tags=("multimodal", "image", "decode", "pandas-udf"),
+)
+def q_media_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import ppm_stats, synthetic_ppm_media
+
+    return ppm_stats(synthetic_ppm_media(load(spark, sf_dir, "documents")))
