@@ -293,6 +293,10 @@ _SANCTIONED_PYTHON = {
     "q_media_fingerprints",
     "q_media_features",
     "q_media_exact_dedup",
+    # real codec decode (multimodal/codecs.py): Arrow-batched mapInPandas,
+    # decode-in-place where the bytes live — the sanctioned Python shape
+    "q_media_wav_stats",
+    "q_media_ppm_stats",
 }
 
 # Queries whose only nested-loop/cartesian shape is a deliberate 1-row

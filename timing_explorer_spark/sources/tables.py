@@ -108,6 +108,7 @@ def warm_cache(
     sf_dir: str,
     tables: tuple[str, ...] | None = None,
     n_partitions: int | None = None,
+    partition_keys: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Pin hot tables in executor memory, spread across cores.
 
@@ -120,6 +121,15 @@ def warm_cache(
     relation, so EVERY query built through load() transparently reads the
     parallel in-memory copy. This is the engine's buffer-pool analog — use it
     for working sets that fit cluster memory; unpin with drop_warm_cache.
+
+    ``partition_keys`` maps table -> column to HASH-partition that table's
+    cached copy by (others stay round-robin). This is the in-memory analog of
+    a bucketed on-disk layout: caching lineitem/orders by orderkey gives
+    every downstream equi-join on that key a co-partitioned, exchange-free
+    plan (ShuffledHashJoin with matching HashPartitioning on both sides —
+    the same reason a 100 TB deployment buckets its fact tables by their
+    dominant join key; see operators/layout.py for the on-disk version).
+    Results are partitioning-independent; only the physical plan changes.
     """
     n = n_partitions or spark.sparkContext.defaultParallelism
     skey = session_key(spark)
@@ -134,7 +144,8 @@ def warm_cache(
             prior.unpersist()
             _PLAN_CACHE.pop(key, None)
         df = load(spark, sf_dir, t)
-        cached = df.repartition(n).persist()
+        pkey = (partition_keys or {}).get(t)
+        cached = (df.repartition(n, pkey) if pkey else df.repartition(n)).persist()
         cached.count()  # materialize eagerly so queries never pay the fill
         _PLAN_CACHE[key] = cached
         _WARM[key] = cached
