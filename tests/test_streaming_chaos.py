@@ -1,0 +1,133 @@
+"""Kill/restart-under-load soak: the reference's manual chaos demo
+(README.md:20 — "kill the taskmanager, watch it recover") as a repeatable
+test. A live (ProcessingTime-triggered, not AvailableNow) run of the
+reference-parity pipeline is stopped mid-stream several times on the same
+checkpoint; after every restart-and-drain the sinks must be exactly-once:
+
+  - raw sink: exactly n_events rows per key — nothing lost, nothing doubled
+  - window sink: every complete 1s window holds exactly 10 events per key
+    (README.md:46-48 invariant), and no (key, window) appears twice
+
+Recovery mechanics under test: source offsets in the checkpoint WAL replace
+Flink's ListState clock (SURVEY §2 rows 1, 12); the parquet sink's
+_spark_metadata commit log makes replayed batches invisible to readers (the
+idempotent-sink half of exactly-once). Stops are issued while batches are
+in flight (the input is throttled with maxFilesPerTrigger so the stream is
+always mid-work), so restarts regularly begin with a partially-committed
+batch — the exact scenario the WAL exists for.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from timing_explorer_spark.streaming.pipeline import (
+    event_time_windows,
+    sensor_stream_from_files,
+    write_generator_files,
+)
+
+N_EVENTS = 6000  # 10 minutes of data per key at the 100ms period
+N_FILES = 30
+N_KILL_CYCLES = 4
+
+
+def _start_queries(spark, data, ckpt, sinks):
+    sensors = sensor_stream_from_files(spark, data, max_files_per_trigger=2)
+    q_raw = (
+        sensors.writeStream.format("parquet")
+        .option("path", f"{sinks}/sensors")
+        .option("checkpointLocation", f"{ckpt}/sensors")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    q_win = (
+        event_time_windows(sensors)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", f"{sinks}/eventsPerSecond")
+        .option("checkpointLocation", f"{ckpt}/eventsPerSecond")
+        .trigger(processingTime="50 milliseconds")
+        .start()
+    )
+    return q_raw, q_win
+
+
+def _assert_sinks_consistent(spark, sinks, final: bool) -> None:
+    """Exactly-once invariants that must hold at EVERY point, including
+    between kill cycles (partial progress is fine; duplication or >10
+    windows never are)."""
+    win = spark.read.parquet(f"{sinks}/eventsPerSecond")
+    bad = (
+        win.groupBy("key", "window_end_label")
+        .agg(F.count(F.lit(1)).alias("n"), F.max("value").alias("v"))
+        .where((F.col("n") > 1) | (F.col("v") != 10))
+        .count()
+    )
+    assert bad == 0, "duplicated or over-counted window after restart"
+    raw = spark.read.parquet(f"{sinks}/sensors")
+    per_key = {r["key"]: r["n"] for r in raw.groupBy("key").agg(F.count(F.lit(1)).alias("n")).collect()}
+    if final:
+        assert per_key == {"temp": N_EVENTS, "pressure": N_EVENTS}, per_key
+    else:
+        assert all(n <= N_EVENTS for n in per_key.values()), per_key
+
+
+def test_kill_restart_soak(spark, tmp_path):
+    data, ckpt, sinks = str(tmp_path / "in"), str(tmp_path / "ckpt"), str(tmp_path / "out")
+    write_generator_files(spark, data, n_events=N_EVENTS, files=N_FILES)
+
+    for cycle in range(N_KILL_CYCLES):
+        q_raw, q_win = _start_queries(spark, data, ckpt, sinks)
+        # let batches flow, then stop while work is in flight
+        deadline = time.monotonic() + 1.0 + 0.3 * cycle
+        while time.monotonic() < deadline:
+            time.sleep(0.05)
+        q_raw.stop()
+        q_win.stop()
+        q_raw.awaitTermination()
+        q_win.awaitTermination()
+        # sinks may be mid-stream here, but never inconsistent
+        try:
+            _assert_sinks_consistent(spark, sinks, final=False)
+        except Exception as e:  # noqa: BLE001
+            transient = (
+                "PATH_NOT_FOUND",
+                "Path does not exist",
+                "Unable to infer schema",  # sink dir exists but no commit yet
+            )
+            if any(t in str(e) for t in transient):
+                continue  # killed before the first commit — nothing to check
+            raise
+
+    # final drain: AvailableNow on the SAME checkpoints consumes the rest
+    sensors = sensor_stream_from_files(spark, data, max_files_per_trigger=None)
+    q1 = (
+        sensors.writeStream.format("parquet")
+        .option("path", f"{sinks}/sensors")
+        .option("checkpointLocation", f"{ckpt}/sensors")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2 = (
+        event_time_windows(sensors)
+        .writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", f"{sinks}/eventsPerSecond")
+        .option("checkpointLocation", f"{ckpt}/eventsPerSecond")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q1.awaitTermination()
+    q2.awaitTermination()
+
+    _assert_sinks_consistent(spark, sinks, final=True)
+    # windows: the stream ends at N_EVENTS*100ms, so every window except the
+    # unfinalized last one is present for both keys
+    win = spark.read.parquet(f"{sinks}/eventsPerSecond")
+    n_windows = win.groupBy("key").count().collect()
+    expected = N_EVENTS // 10 - 1  # last window held back by the watermark
+    for row in n_windows:
+        assert row["count"] >= expected, (row, expected)
