@@ -2,24 +2,32 @@
 and the WindowBootstrapper initial-state rehydration path.
 
 The TWS Python runner needs protobuf, which this container lacks (no
-installs allowed), so these tests self-skip here and run on any standard
-cluster image; the applyInPandasWithState path (test_stateful_window.py)
-carries the stateful-parity verification in this environment."""
+installs, no network). compat.ensure_protobuf() activates the repo's
+vendored minimal proto3 runtime (an original implementation of the public
+wire format covering exactly the StateMessage subset —
+timing_explorer_spark/_vendor/google/protobuf/internal/_runtime.py), so
+these tests now RUN here: the Python worker speaks the live state-server
+protocol with the JVM through the mini runtime in both directions. On a
+standard cluster image the real protobuf is present and wins."""
 
 from __future__ import annotations
 
 import pytest
 
-try:  # TWS runner dependency — absent in this container
+from timing_explorer_spark.compat import ensure_protobuf
+
+try:
+    ensure_protobuf()
     from google.protobuf import descriptor  # noqa: F401
 
     _HAS_PROTOBUF = True
-except ImportError:
+except Exception:  # noqa: BLE001 — unexpected: the vendored runtime should load
     _HAS_PROTOBUF = False
 
 pytestmark = pytest.mark.skipif(
     not _HAS_PROTOBUF,
-    reason="transformWithStateInPandas requires protobuf (not in container)",
+    reason="transformWithStateInPandas requires protobuf "
+    "(google.protobuf absent AND the vendored mini runtime failed to load)",
 )
 from pyspark.sql import functions as F
 
