@@ -21,9 +21,14 @@ HEADER = """# PLANS — reviewed physical plans (headline queries, sf0.1 bench c
 Per the build rule "explain every operator and iterate until it's the plan
 you'd want": the tree below each query is the physical plan under the bench
 session (8 shuffle partitions, 32 MB broadcast threshold, AQE off at this
-micro-scale — see bench.py). The WANT line records the property the plan was
-reviewed against; plan-shape tests in `tests/test_plans_scale.py` enforce
-the load-bearing ones in CI. Regenerate with `python scripts/gen_plans.py`.
+micro-scale, ShuffledHashJoin preferred over SortMergeJoin when the build
+side fits — see bench.py), with the fact tables warm-cached HASH-BUCKETED
+by their dominant join key as bench.py runs them (at sf0.1 the filtered
+dims still broadcast; the co-partitioned exchange-free SHJ shapes appear at
+sf1 — scripts/bench_sf1.py). The WANT line records the property the plan
+was reviewed against; plan-shape tests in `tests/test_plans_scale.py`
+enforce the load-bearing ones in CI. Regenerate with
+`python scripts/gen_plans.py`.
 """
 
 
@@ -60,6 +65,22 @@ def main() -> None:
     spark = bench_session(app_name="gen-plans")  # same confs as bench.py
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Mirror bench.py's warm cache (incl. the fact tables bucketed by join
+    # key) so the rendered plans are the ones bench actually measures —
+    # co-partitioned ShuffledHashJoins appear only with this layout.
+    from timing_explorer_spark.sources.tables import warm_cache
+
+    warm_cache(
+        spark,
+        sf_dir,
+        n_partitions=16,
+        partition_keys={
+            "lineitem": "l_orderkey",
+            "orders": "o_orderkey",
+            "events": "user_id",
+        },
+    )
+
     # Headline queries plus reviewed non-headline plans worth documenting
     # (scale-critical shapes: skew, broadcast semi-join, decorrelation).
     extra = (
@@ -94,6 +115,9 @@ def main() -> None:
         "q_seasonal_naive_mase",
         "q_weighted_median_price",
         "q_kaplan_meier",
+        # Round-4: real media decode (Arrow-batched decode-in-place).
+        "q_media_wav_stats",
+        "q_media_ppm_stats",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}
