@@ -317,6 +317,8 @@ def test_parser_fuzz_never_crashes_unhelpfully(spark, sensors):
         ["SELECT", "FROM", "WHERE", "GROUP", "BY", "ORDER", "LIMIT", "SHOW",
          "time(1s)", "fill(null)", "fill(bogus)", '"value"', '"sensors"',
          'mean("value")', "derivative(", ")", "AND", "time >= '2024-01-01'",
+         "moving_average(", "cumulative_sum(", "difference(",
+         'percentile("value", 50)', 'percentile("value", 999)', ", 3", ", 4s",
          "key = 'temp'", ",", "*", "'", '"', "1e9", ";", "--", "𝕊"]
     )
     text = st.lists(tokens, min_size=0, max_size=8).map(" ".join)
@@ -330,3 +332,90 @@ def test_parser_fuzz_never_crashes_unhelpfully(spark, sensors):
             pass  # the contract: unsupported input -> ValueError
 
     run()
+
+
+def test_difference_and_cumulative_sum(spark):
+    """difference(): per-bucket deltas, first point dropped, non_negative_
+    drops negatives; cumulative_sum(): running total over observed buckets."""
+    rows = [("2024-01-01 00:00:00.500", 1.0)]
+    rows += [(f"2024-01-01 00:00:01.{i}00", 1.0) for i in range(4)]
+    rows += [(f"2024-01-01 00:00:02.{i}00", 1.0) for i in range(2)]
+    df = spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    base = (
+        "SELECT {proj} FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:03' "
+        "GROUP BY time(1s) ORDER BY time ASC"
+    )
+    out = influxql(base.format(proj='difference(count("value"))'), {"m": df}).collect()
+    assert [r["difference"] for r in out] == [3, -2]
+    outn = influxql(
+        base.format(proj='non_negative_difference(count("value"))'), {"m": df}
+    ).collect()
+    assert [r["non_negative_difference"] for r in outn] == [3]
+    outc = influxql(base.format(proj='cumulative_sum(count("value"))'), {"m": df}).collect()
+    assert [r["cumulative_sum"] for r in outc] == [1.0, 5.0, 7.0]
+
+
+def test_moving_average_warmup_dropped(spark):
+    """moving_average(mean, 2): first bucket has no full 2-point window and
+    is dropped; remaining points average consecutive observed buckets."""
+    rows = [
+        ("2024-01-01 00:00:00.100", 2.0),
+        ("2024-01-01 00:00:01.100", 4.0),
+        ("2024-01-01 00:00:02.100", 6.0),
+        ("2024-01-01 00:00:04.100", 10.0),  # gap at t3: observed-points window
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    q = (
+        "SELECT moving_average(mean(\"value\"), 2) FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:05' "
+        "GROUP BY time(1s) ORDER BY time ASC"
+    )
+    out = influxql(q, {"m": df}).collect()
+    assert [(str(r["time"]), r["moving_average"]) for r in out] == [
+        ("2024-01-01 00:00:01", 3.0),
+        ("2024-01-01 00:00:02", 5.0),
+        ("2024-01-01 00:00:04", 8.0),  # across the gap: last 2 OBSERVED points
+    ]
+
+
+def test_percentile_aggregate(spark, sensors):
+    """percentile(value, N) with InfluxDB's 0..100 argument scale."""
+    q = (
+        "SELECT percentile(\"value\", 50) FROM \"sensors\" "
+        "WHERE key = 'temp'"
+    )
+    got = influxql(q, {"sensors": sensors}).collect()[0]["percentile"]
+    import pytest as _pytest
+
+    want = sensors.where(F.col("key") == "temp").selectExpr(
+        "percentile(value, 0.5) AS p"
+    ).collect()[0]["p"]
+    assert got == _pytest.approx(want)
+    with _pytest.raises(ValueError):
+        influxql('SELECT percentile("value", 101) FROM "sensors"', {"sensors": sensors})
+    with _pytest.raises(ValueError):
+        influxql('SELECT percentile("value") FROM "sensors"', {"sensors": sensors})
+
+
+def test_transform_argument_validation(spark, sensors):
+    base = (
+        "SELECT {proj} FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:01:00' "
+        "GROUP BY time(1s)"
+    )
+    t = {"sensors": sensors}
+    for proj in (
+        'moving_average(mean("value"))',       # missing count
+        'moving_average(mean("value"), 1)',    # count < 2
+        'moving_average(mean("value"), 4s)',   # duration, not count
+        'difference(mean("value"), 2)',        # no args allowed
+        'cumulative_sum(mean("value"), 2)',    # no args allowed
+        'derivative(mean("value"), 5)',        # unit suffix required
+    ):
+        with pytest.raises(ValueError):
+            influxql(base.format(proj=proj), t)

@@ -18,11 +18,14 @@ neighbors):
     SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
       | SHOW TAG VALUES FROM m WITH KEY = "k"     (Grafana template variables)
 
-    proj       := "<field>" | <agg>("<field>")
-                | derivative(<agg>("<field>")[, <N><u>])
-                | non_negative_derivative(<agg>("<field>")[, <N><u>])
+    proj       := "<field>" | <agg>("<field>"[, <p>])
+                | <trans>(<agg>("<field>")[, <arg>])
     agg        := mean | sum | count | min | max | first | last | median
-                  | stddev | spread
+                  | stddev | spread | percentile (arg = 0..100)
+    trans      := derivative | non_negative_derivative      (arg = <N><u>)
+                | difference | non_negative_difference
+                | moving_average                            (arg = <N> points)
+                | cumulative_sum
     durations  := s, m, h, d
 
 Translation notes:
@@ -61,14 +64,15 @@ _RX = re.compile(
     re.IGNORECASE | re.VERBOSE,
 )
 _RX_AGG = re.compile(
-    r'^(?P<fn>mean|sum|count|min|max|first|last|median|stddev|spread)'
-    r'\(\s*"?(?P<field>\w+)"?\s*\)$',
+    r'^(?P<fn>mean|sum|count|min|max|first|last|median|stddev|spread|percentile)'
+    r'\(\s*"?(?P<field>\w+)"?\s*(?:,\s*(?P<agg_arg>[-+]?\d+(?:\.\d+)?))?\s*\)$',
     re.IGNORECASE,
 )
 _RX_FIELD = re.compile(r'^"?(?P<field>\w+)"?$')
-_RX_DERIV = re.compile(
-    r"^(?P<nn>non_negative_)?derivative\(\s*(?P<inner>.+?)"
-    r"(?:\s*,\s*(?P<n>\d+)(?P<u>[smhd]))?\s*\)$",
+_RX_TRANS = re.compile(
+    r"^(?P<fn>non_negative_derivative|derivative|non_negative_difference"
+    r"|difference|moving_average|cumulative_sum)"
+    r"\(\s*(?P<inner>.+?)(?:\s*,\s*(?P<n>\d+)(?P<u>[smhd])?)?\s*\)$",
     re.IGNORECASE,
 )
 _RX_TAG = re.compile(r"""^"?(?P<tag>\w+)"?\s*=\s*'(?P<val>[^']*)'$""")
@@ -76,9 +80,16 @@ _RX_TIME = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORE
 _RX_BUCKET = re.compile(r'^time\((?P<n>\d+)(?P<u>[smhd])\)(?:\s*,\s*"?(?P<tag>\w+)"?)?$', re.IGNORECASE)
 
 
-def _agg_column(fn: str, field: str, time_col: str = "ts") -> Column:
+def _agg_column(fn: str, field: str, time_col: str = "ts", arg: str | None = None) -> Column:
     fn = fn.lower()
     col = F.col(field)
+    if fn == "percentile":  # PERCENTILE(field, N): InfluxDB takes 0..100
+        if arg is None:
+            raise ValueError("percentile() requires a second argument (0..100)")
+        p = float(arg)
+        if not 0 <= p <= 100:
+            raise ValueError(f"percentile argument {p} outside [0, 100]")
+        return F.percentile(col, F.lit(p / 100.0))
     if fn == "mean":
         return exact_avg(col, "decimal(27,8)")
     if fn == "sum":
@@ -205,13 +216,13 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             df = df.where(F.col(mg.group("tag")) == mg.group("val"))
 
     proj = m.group("proj").strip()
-    mder = _RX_DERIV.match(proj)
-    if mder:
-        proj = mder.group("inner").strip()
+    mtrans = _RX_TRANS.match(proj)
+    if mtrans:
+        proj = mtrans.group("inner").strip()
     magg = _RX_AGG.match(proj)
     order_dir = (m.group("dir") or "ASC").upper()
-    if mder and not m.group("group"):
-        raise ValueError("derivative() requires GROUP BY time()")
+    if mtrans and not m.group("group"):
+        raise ValueError(f"{mtrans.group('fn').lower()}() requires GROUP BY time()")
 
     if m.group("group"):
         if not magg:
@@ -231,37 +242,78 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
         out = (
             df.select(bucket, *([tag] if tag else []), magg.group("field"), F.col(time_col))
             .groupBy(*keys)
-            .agg(_agg_column(magg.group("fn"), magg.group("field"), time_col).alias(alias))
+            .agg(
+                _agg_column(
+                    magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
+                ).alias(alias)
+            )
         )
-        if mder:
-            # InfluxDB derivative: (vₜ − vₜ₋₁) · unit / (tₜ − tₜ₋₁), default
-            # unit = the GROUP BY interval; the first point of each series
-            # has no predecessor and is dropped, and the non_negative_
-            # variant additionally drops negative rates. Computed on the
-            # UNFILLED aggregate — over observed buckets with the actual
-            # time delta across gaps — with any fill() applied to the
-            # derivative OUTPUT afterwards (InfluxDB's order of operations;
-            # filling first would either drop real rates across gaps with
-            # fill(null) or manufacture spurious ones with fill(0/previous)).
+        if mtrans:
+            # InfluxDB transformations (derivative/difference/moving_average/
+            # cumulative_sum) operate on the UNFILLED aggregate — observed
+            # buckets only, actual time deltas across gaps — with any fill()
+            # applied to the transformation OUTPUT afterwards (InfluxDB's
+            # order of operations; filling first would either drop real
+            # points across gaps with fill(null) or manufacture spurious
+            # ones with fill(0/previous)). Output column is named after the
+            # transformation, matching InfluxDB's result column.
             from pyspark.sql import Window
 
-            unit_us = (
-                int(mder.group("n")) * _UNIT_US[mder.group("u")]
-                if mder.group("n")
-                else step_us
-            )
+            name = mtrans.group("fn").lower()
             w_d = Window.partitionBy(*([tag] if tag else [])).orderBy("time")
-            prev_v = F.lag(alias).over(w_d)
-            prev_t = F.lag("time").over(w_d)
-            rate = (
-                (F.col(alias) - prev_v).cast("double")
-                * F.lit(float(unit_us))
-                / (F.unix_micros(F.col("time")) - F.unix_micros(prev_t)).cast("double")
-            )
-            name = "non_negative_derivative" if mder.group("nn") else "derivative"
-            out = out.select(*keys, rate.alias(name)).where(F.col(name).isNotNull())
-            if mder.group("nn"):
-                out = out.where(F.col(name) >= 0)
+            if name in ("derivative", "non_negative_derivative"):
+                # (vₜ − vₜ₋₁) · unit / (tₜ − tₜ₋₁); default unit = interval;
+                # first point of each series has no predecessor -> dropped
+                if mtrans.group("n") and not mtrans.group("u"):
+                    raise ValueError("derivative() unit needs a duration suffix (s/m/h/d)")
+                unit_us = (
+                    int(mtrans.group("n")) * _UNIT_US[mtrans.group("u")]
+                    if mtrans.group("n")
+                    else step_us
+                )
+                prev_v = F.lag(alias).over(w_d)
+                prev_t = F.lag("time").over(w_d)
+                expr = (
+                    (F.col(alias) - prev_v).cast("double")
+                    * F.lit(float(unit_us))
+                    / (F.unix_micros(F.col("time")) - F.unix_micros(prev_t)).cast("double")
+                )
+                out = out.select(*keys, expr.alias(name)).where(F.col(name).isNotNull())
+                if name.startswith("non_negative"):
+                    out = out.where(F.col(name) >= 0)
+            elif name in ("difference", "non_negative_difference"):
+                # vₜ − vₜ₋₁ over observed points; first point dropped
+                if mtrans.group("n"):
+                    raise ValueError("difference() takes no second argument")
+                expr = F.col(alias) - F.lag(alias).over(w_d)
+                out = out.select(*keys, expr.alias(name)).where(F.col(name).isNotNull())
+                if name.startswith("non_negative"):
+                    out = out.where(F.col(name) >= 0)
+            elif name == "moving_average":
+                # mean of the last N observed points; emitted only once a
+                # full N-point window exists (InfluxDB drops the warm-up)
+                if not mtrans.group("n") or mtrans.group("u"):
+                    raise ValueError("moving_average() needs an integer point count")
+                npts = int(mtrans.group("n"))
+                if npts < 2:
+                    raise ValueError("moving_average() point count must be >= 2")
+                w_n = w_d.rowsBetween(-(npts - 1), 0)
+                out = (
+                    out.select(
+                        *keys,
+                        F.avg(F.col(alias).cast("double")).over(w_n).alias(name),
+                        F.count(alias).over(w_n).alias("__n"),
+                    )
+                    .where(F.col("__n") == npts)
+                    .drop("__n")
+                )
+            else:  # cumulative_sum: running total over observed points
+                if mtrans.group("n"):
+                    raise ValueError("cumulative_sum() takes no second argument")
+                w_c = w_d.rowsBetween(Window.unboundedPreceding, 0)
+                out = out.select(
+                    *keys, F.sum(F.col(alias).cast("double")).over(w_c).alias(name)
+                )
             alias = name
         fill = (m.group("fill") or "none").lower()
         if fill != "none":
@@ -339,9 +391,9 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
         result = out
     elif magg:
         result = df.agg(
-            _agg_column(magg.group("fn"), magg.group("field"), time_col).alias(
-                magg.group("fn").lower()
-            )
+            _agg_column(
+                magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
+            ).alias(magg.group("fn").lower())
         )
     else:
         mf = _RX_FIELD.match(proj)

@@ -1065,3 +1065,88 @@ def q_influxql_spread_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY time(1d), \"event_type\" fill(0) ORDER BY time ASC"
     )
     return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_moving_average",
+    oracle="""
+        WITH agg AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                                  * 86400000000) AS time,
+                   CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS mean
+            FROM events
+            WHERE event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-30 23:59:59'
+            GROUP BY 1
+        ),
+        w AS (
+            SELECT time,
+                   AVG(mean) OVER (ORDER BY time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS moving_average,
+                   COUNT(*) OVER (ORDER BY time ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                       AS n
+            FROM agg
+        )
+        SELECT time, moving_average FROM w WHERE n = 3
+    """,
+    doc=(
+        "InfluxQL moving_average(mean(value), 3) GROUP BY time(1d) — the "
+        "smoothed-series panel shape, run VERBATIM through the translator. "
+        "The window runs on the aggregated daily grain (O(days), not fact "
+        "rows) with InfluxDB's warm-up semantics (first N-1 points "
+        "dropped); the mean underneath is the exact decimal aggregation, "
+        "so the 3-term window average is bit-reproducible."
+    ),
+    tags=("timeseries", "influxql", "window", "reference-parity"),
+)
+def q_influxql_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT moving_average(mean(\"value\"), 3) FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-30 23:59:59' "
+        "AND \"event_type\" = 'click' "
+        "GROUP BY time(1d) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_cumulative_sum",
+    oracle="""
+        WITH agg AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                                  * 86400000000) AS time,
+                   event_type,
+                   COUNT(value) AS cnt
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-30 23:59:59'
+            GROUP BY 1, 2
+        )
+        SELECT time, event_type,
+               CAST(SUM(CAST(cnt AS DOUBLE)) OVER (
+                   PARTITION BY event_type ORDER BY time
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS cumulative_sum
+        FROM agg
+    """,
+    doc=(
+        "InfluxQL cumulative_sum(count(value)) GROUP BY time(1d), tag — "
+        "running per-series totals, verbatim through the translator. "
+        "Per-tag window over the daily grain; counts are exactly "
+        "representable as doubles, and the running sum is sequential in "
+        "both engines, so values hash-match."
+    ),
+    tags=("timeseries", "influxql", "window", "reference-parity"),
+)
+def q_influxql_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT cumulative_sum(count(\"value\")) FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-30 23:59:59' "
+        "GROUP BY time(1d), \"event_type\" ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
