@@ -22,10 +22,12 @@ provider (streaming/state.py::rocksdb_state_conf), which is also the
 reference's target backend — ChangeBackend's entire migration job reduces to
 that one config plus this initial-state hook.
 
-NOTE: the TWS Python runner imports protobuf, which this build container
-does not ship (installs disallowed), so tests/test_stateful_tws.py self-skips
-here and validates on standard cluster images; applyInPandasWithState
-(streaming/stateful.py) is the environment-verified stateful path.
+NOTE: the TWS Python runner imports protobuf. On images without it, the
+repo's vendored minimal proto3 runtime (compat.ensure_protobuf(),
+``_vendor/google/protobuf``) supplies the wire codec, so
+tests/test_stateful_tws.py runs everywhere; a real protobuf install always
+takes precedence. applyInPandasWithState (streaming/stateful.py) remains the
+protobuf-free stateful path.
 """
 
 from __future__ import annotations
@@ -109,6 +111,90 @@ class PseudoWindowProcessor(StatefulProcessor):
 
     def close(self) -> None:
         pass
+
+
+def read_tws_window_state(spark, checkpoint_dir: str) -> DataFrame:
+    """PseudoWindowReaderFunction parity over the TWS operator
+    (ChangeBackend.java:48-69): every (key, window_end, count) entry of the
+    'windows' MapState, read offline from the checkpoint via the Spark 4
+    statestore source — no emulation, the reader decodes the named TWS state
+    variable natively."""
+    from pyspark.sql import functions as F
+
+    raw = (
+        spark.read.format("statestore")
+        .option("stateVarName", "windows")
+        .load(checkpoint_dir)
+    )
+    return raw.select(
+        F.col("key.key").alias("key"),
+        F.timestamp_millis(F.col("user_map_key.end")).alias("window_end_label"),
+        F.col("user_map_value.cnt").alias("count"),
+    )
+
+
+class ProcTimePseudoWindowProcessor(StatefulProcessor):
+    """PseudoWindow, processing-time mode (PseudoWindow.java:79-90): rows
+    bucket into the CURRENT processing-time window — deliberately
+    non-deterministic per window (the reference's teaching point) while the
+    per-key total is conserved — and one processing-time timer per window
+    end emits-and-clears it. Direct analog of the reference's
+    ``registerProcessingTimeTimer`` branch on TWS's ``timeMode=
+    processingTime`` runtime timers."""
+
+    def __init__(self, duration_ms: int = 1000) -> None:
+        self.duration_ms = duration_ms
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self.handle = handle
+        self.windows = handle.getMapState("windows", "end long", "cnt long")
+
+    def handleInputRows(
+        self, key, rows, timerValues: TimerValues
+    ) -> Iterator["pd.DataFrame"]:
+        n = sum(len(pdf) for pdf in rows)
+        if not n:
+            return iter(())
+        now = timerValues.getCurrentProcessingTimeInMs()
+        end = now - (now % self.duration_ms) + self.duration_ms - 1
+        k = (end,)
+        cur = self.windows.getValue(k)[0] if self.windows.containsKey(k) else 0
+        self.windows.updateValue(k, (cur + n,))
+        self.handle.registerTimer(end + 1)
+        return iter(())
+
+    def handleExpiredTimer(
+        self, key, timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo
+    ) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        end = expiredTimerInfo.getExpiryTimeInMs() - 1
+        k = (end,)
+        if not self.windows.containsKey(k):
+            return iter(())
+        cnt = self.windows.getValue(k)[0]
+        self.windows.removeKey(k)
+        yield pd.DataFrame(
+            {
+                "key": [key[0]],
+                "window_end_label": pd.to_datetime([end], unit="ms"),
+                "value": [int(cnt)],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def pseudo_window_tws_proctime(sensors: DataFrame, duration_ms: int = 1000) -> DataFrame:
+    """Processing-time PseudoWindow on transformWithStateInPandas (true
+    runtime timers; the reference's eventsProcessedPerSecond sink shape)."""
+    return sensors.groupBy("key").transformWithStateInPandas(
+        ProcTimePseudoWindowProcessor(duration_ms),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="processingTime",
+    )
 
 
 def pseudo_window_tws(
