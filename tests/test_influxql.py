@@ -419,3 +419,39 @@ def test_transform_argument_validation(spark, sensors):
     ):
         with pytest.raises(ValueError):
             influxql(base.format(proj=proj), t)
+
+
+def test_integral_trapezoid_per_bucket(spark):
+    """integral(value): trapezoidal area over consecutive points WITHIN each
+    bucket (no interpolation across boundaries); single-point buckets emit
+    nothing; optional unit argument rescales."""
+    rows = [
+        ("2024-01-01 00:00:00.000", 0.0),
+        ("2024-01-01 00:00:00.500", 2.0),
+        ("2024-01-01 00:00:00.800", 2.0),
+        ("2024-01-01 00:00:01.300", 4.0),  # lone point in bucket 1
+        ("2024-01-01 00:00:02.000", 1.0),
+        ("2024-01-01 00:00:02.400", 3.0),
+    ]
+    df = spark.createDataFrame(rows, ["ts", "value"]).select(
+        F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    q = (
+        "SELECT integral(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:03' "
+        "GROUP BY time(1s) ORDER BY time ASC"
+    )
+    out = influxql(q, {"m": df}).collect()
+    got = {str(r["time"]): round(r["integral"], 9) for r in out}
+    # bucket 0: (0+2)/2*0.5 + (2+2)/2*0.3 = 0.5 + 0.6 = 1.1 ; bucket 1: none
+    # bucket 2: (1+3)/2*0.4 = 0.8
+    assert got == {"2024-01-01 00:00:00": 1.1, "2024-01-01 00:00:02": 0.8}
+    # unit argument: per-2-second area halves the per-second number
+    q2 = q.replace('integral("value")', 'integral("value", 2)')
+    out2 = influxql(q2, {"m": df}).collect()
+    got2 = {str(r["time"]): round(r["integral"], 9) for r in out2}
+    assert got2 == {"2024-01-01 00:00:00": 0.55, "2024-01-01 00:00:02": 0.4}
+    # scalar integral (no GROUP BY) is rejected (would be an unpartitioned
+    # fact-scale window — the translator keeps only scale-safe shapes)
+    with pytest.raises(ValueError):
+        influxql('SELECT integral("value") FROM "m"', {"m": df})

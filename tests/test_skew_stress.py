@@ -133,3 +133,74 @@ def test_registered_queries_correct_under_skew(spark, skew_dir, name):
         assert_matches_oracle(spec.build(spark, skew_dir), con, spec.oracle, name)
     finally:
         con.close()
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, skew_dir):
+    """The OTHER skew mitigation (besides salting): AQE's runtime skew-join
+    split. A sort-merge join keyed on the hot user gets its oversized
+    partition split at runtime — the executed plan carries the skew=true
+    mark — with results identical to the non-adaptive join. At 100 TB this
+    is the zero-code path: leave AQE on and oversized shuffle partitions
+    split into parallel subtasks instead of stalling the stage."""
+    from timing_explorer_spark.sources.tables import load
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.join.preferSortMergeJoin",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        # fixture-sized thresholds: the hot partition (24k rows, ~100 KB of
+        # compressed shuffle bytes) must qualify as skewed against the 8 KB
+        # advisory size — production keeps the (much larger) defaults
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16384"
+        )
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8192")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        spark.conf.set("spark.sql.join.preferSortMergeJoin", "true")
+
+        e = load(spark, skew_dir, "events")
+        # AQE splits a skewed reduce partition along MAP-TASK output
+        # boundaries (PartialReducerPartitionSpec = a range of mapper ids) —
+        # a single-file parquet scan has ONE mapper, leaving nothing to
+        # split (verified: same join, 1-file source -> no split; 4-file ->
+        # split). The fixture is single-file for DuckDB's sake, so give the
+        # shuffle multiple mappers explicitly; any real deployment's scans
+        # are multi-task anyway.
+        left = e.repartition(8).select("user_id", "event_id", "value")
+        # plain dimension on the right: OptimizeSkewedJoin pattern-matches
+        # SMJ(Sort(ShuffleStage), Sort(ShuffleStage)) — an aggregate between
+        # the shuffle and the join breaks the match, and any downstream
+        # operator requiring the join's output distribution (even a global
+        # agg's SinglePartition) makes the rule back off without
+        # forceOptimizeSkewedJoin. Hence: plain right side, join at the
+        # plan root.
+        users = spark.range(HOT_USER, 100 + N_USERS).select(
+            F.col("id").alias("user_id"), (F.col("id") % 7).alias("segment")
+        )
+        joined = left.join(users, "user_id")
+        # collect() executes the DataFrame's OWN QueryExecution (count()
+        # would wrap a new plan and leave this one isFinalPlan=false)
+        assert len(joined.collect()) == N_ROWS
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, "AQE did not split the skewed partition"
+        assert "AQEShuffleRead skewed" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -22,6 +22,7 @@ neighbors):
                 | <trans>(<agg>("<field>")[, <arg>])
     agg        := mean | sum | count | min | max | first | last | median
                   | stddev | spread | percentile (arg = 0..100)
+                  | integral (arg = unit seconds; GROUP BY time only)
     trans      := derivative | non_negative_derivative      (arg = <N><u>)
                 | difference | non_negative_difference
                 | moving_average                            (arg = <N> points)
@@ -64,7 +65,7 @@ _RX = re.compile(
     re.IGNORECASE | re.VERBOSE,
 )
 _RX_AGG = re.compile(
-    r'^(?P<fn>mean|sum|count|min|max|first|last|median|stddev|spread|percentile)'
+    r'^(?P<fn>mean|sum|count|min|max|first|last|median|stddev|spread|percentile|integral)'
     r'\(\s*"?(?P<field>\w+)"?\s*(?:,\s*(?P<agg_arg>[-+]?\d+(?:\.\d+)?))?\s*\)$',
     re.IGNORECASE,
 )
@@ -83,6 +84,8 @@ _RX_BUCKET = re.compile(r'^time\((?P<n>\d+)(?P<u>[smhd])\)(?:\s*,\s*"?(?P<tag>\w
 def _agg_column(fn: str, field: str, time_col: str = "ts", arg: str | None = None) -> Column:
     fn = fn.lower()
     col = F.col(field)
+    if fn == "integral":  # handled in the GROUP BY branch (bucketed trapezoid)
+        raise ValueError("integral() requires GROUP BY time()")
     if fn == "percentile":  # PERCENTILE(field, N): InfluxDB takes 0..100
         if arg is None:
             raise ValueError("percentile() requires a second argument (0..100)")
@@ -239,15 +242,62 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
         ).alias("time")
         alias = magg.group("fn").lower()
         keys = ["time"] + ([tag] if tag else [])
-        out = (
-            df.select(bucket, *([tag] if tag else []), magg.group("field"), F.col(time_col))
-            .groupBy(*keys)
-            .agg(
-                _agg_column(
-                    magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
-                ).alias(alias)
+        if alias == "integral":
+            # INTEGRAL(field[, unit]): trapezoidal area under consecutive
+            # points WITHIN each bucket (InfluxDB does not interpolate
+            # across bucket boundaries), divided by the unit (default 1s).
+            # The lag window partitions on (bucket, tag) — bounded rows per
+            # partition at any fact scale, never a whole-series window.
+            from pyspark.sql import Window
+
+            unit_us = (
+                float(magg.group("agg_arg")) * 1_000_000.0
+                if magg.group("agg_arg")
+                else 1_000_000.0
             )
-        )
+            field = magg.group("field")
+            pts = df.select(
+                bucket,
+                *([tag] if tag else []),
+                F.col(field).cast("double").alias("__v"),
+                F.unix_micros(F.col(time_col)).alias("__t"),
+            )
+            # (t, v) ordering: ties on t are possible in raw data; ordering
+            # by value too makes the lag pairing deterministic across
+            # engines (same-t pairs contribute zero area, and the pair
+            # crossing into a tie group is fixed by the v-order).
+            w_i = Window.partitionBy("time", *([tag] if tag else [])).orderBy("__t", "__v")
+            pv, pt = F.lag("__v").over(w_i), F.lag("__t").over(w_i)
+            # Fixed-point accumulation (engine convention, functions/
+            # numeric.py): per-pair area numerator rint((v+pv)*1e4)*dt_us is
+            # an exact int64, summed in decimal — order-independent, so the
+            # result hash-matches any engine at any partitioning. 1e4 covers
+            # the fixtures' 2-decimal values with headroom.
+            num = (
+                F.rint((F.col("__v") + pv) * 10000.0).cast("long")
+                * (F.col("__t") - pt)
+            ).cast("decimal(38,0)")
+            out = (
+                pts.select(*keys, num.alias("__a"))
+                .groupBy(*keys)
+                .agg(
+                    (
+                        F.sum("__a").cast("double")
+                        / F.lit(2.0 * 10000.0 * unit_us)
+                    ).alias(alias)
+                )
+                .where(F.col(alias).isNotNull())
+            )
+        else:
+            out = (
+                df.select(bucket, *([tag] if tag else []), magg.group("field"), F.col(time_col))
+                .groupBy(*keys)
+                .agg(
+                    _agg_column(
+                        magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
+                    ).alias(alias)
+                )
+            )
         if mtrans:
             # InfluxDB transformations (derivative/difference/moving_average/
             # cumulative_sum) operate on the UNFILLED aggregate — observed

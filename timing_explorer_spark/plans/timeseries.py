@@ -1150,3 +1150,55 @@ def q_influxql_cumulative_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY time(1d), \"event_type\" ORDER BY time ASC"
     )
     return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_integral",
+    oracle="""
+        WITH pts AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                                  * 86400000000) AS time,
+                   CAST(value AS DOUBLE) AS v,
+                   epoch_us(ts) AS t
+            FROM events
+            WHERE event_type = 'view'
+              AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-30 23:59:59'
+        ),
+        lagged AS (
+            SELECT time, v, t,
+                   LAG(v) OVER (PARTITION BY time ORDER BY t, v) AS pv,
+                   LAG(t) OVER (PARTITION BY time ORDER BY t, v) AS pt
+            FROM pts
+        )
+        SELECT time,
+               CAST(SUM(CAST(ROUND((v + pv) * 10000) AS BIGINT) * (t - pt))
+                    AS DOUBLE) / (2.0 * 10000.0 * 1000000.0) AS integral
+        FROM lagged
+        WHERE pv IS NOT NULL
+        GROUP BY time
+    """,
+    doc=(
+        "InfluxQL integral(value) GROUP BY time(1d) — trapezoidal area "
+        "under consecutive points within each daily bucket (no "
+        "interpolation across boundaries), the energy/consumption panel "
+        "shape, verbatim through the translator. The per-pair area "
+        "numerator is an exact int64 (fixed-point 1e4 x integer-µs delta) "
+        "summed in decimal — order-independent, so it hash-matches DuckDB "
+        "at any partitioning; lag pairing is (t, v)-ordered so duplicate "
+        "timestamps pair deterministically in both engines. The window "
+        "partitions on (bucket), never the whole series — bounded rows per "
+        "partition at any scale."
+    ),
+    tags=("timeseries", "influxql", "window", "reference-parity"),
+)
+def q_influxql_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT integral(\"value\") FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-30 23:59:59' "
+        "AND \"event_type\" = 'view' "
+        "GROUP BY time(1d) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
