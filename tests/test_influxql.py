@@ -455,3 +455,59 @@ def test_integral_trapezoid_per_bucket(spark):
     # fact-scale window — the translator keeps only scale-safe shapes)
     with pytest.raises(ValueError):
         influxql('SELECT integral("value") FROM "m"', {"m": df})
+
+
+def test_multi_aggregate_select(spark, sensors):
+    """SELECT mean(v), max(v), count(v) — the multi-stat panel query; with
+    GROUP BY time the aggregates share one bucketed pass; duplicate agg
+    names take InfluxDB's _1 suffix; fill(null) pads every column."""
+    t = {"sensors": sensors}
+    row = influxql(
+        "SELECT mean(\"value\"), max(\"value\"), count(\"value\") FROM \"sensors\" "
+        "WHERE \"key\" = 'temp'",
+        t,
+    ).collect()[0]
+    assert row["count"] == 600 and row["max"] == 0.9
+    assert abs(row["mean"] - 0.45) < 1e-9
+    rows = influxql(
+        'SELECT min("value"), max("value") FROM "sensors" '
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30' "
+        'GROUP BY time(10s), "key" ORDER BY time ASC',
+        t,
+    ).collect()
+    assert len(rows) == 6  # 3 buckets x 2 keys
+    for r in rows:
+        if r["key"] == "temp":  # sawtooth phase: exactly 0.0 .. 0.9
+            assert r["min"] == 0.0 and r["max"] == 0.9
+        else:  # pressure sine: full cycle spans ±sin(72°)
+            assert abs(r["min"] + 0.9510565) < 1e-6
+            assert abs(r["max"] - 0.9510565) < 1e-6
+    # duplicate names -> suffixed
+    dup = influxql('SELECT mean("value"), mean("value") FROM "sensors"', t)
+    assert dup.columns == ["mean", "mean_1"]
+    # fill(null): gap buckets appear with NULL in every aggregate column
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 1.0), ("2024-01-01 00:00:02", 3.0)], ["ts", "value"]
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    filled = influxql(
+        'SELECT mean("value"), count("value") FROM "m" '
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:00:02' "
+        "GROUP BY time(1s) fill(null) ORDER BY time ASC",
+        {"m": df},
+    ).collect()
+    assert [(r["mean"], r["count"]) for r in filled] == [(1.0, 1), (None, None), (3.0, 1)]
+
+
+def test_multi_select_rejects_mixed_and_transforms(spark, sensors):
+    t = {"sensors": sensors}
+    for q in (
+        'SELECT mean("value"), "value" FROM "sensors"',  # raw field mixed in
+        'SELECT derivative(mean("value")), max("value") FROM "sensors" '
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:01:00' "
+        "GROUP BY time(1s)",  # transformation in multi-select
+        'SELECT mean("value"), integral("value") FROM "sensors" '
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:01:00' "
+        "GROUP BY time(1s)",
+    ):
+        with pytest.raises(ValueError):
+            influxql(q, t)

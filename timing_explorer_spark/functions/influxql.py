@@ -19,6 +19,7 @@ neighbors):
       | SHOW TAG VALUES FROM m WITH KEY = "k"     (Grafana template variables)
 
     proj       := "<field>" | <agg>("<field>"[, <p>])
+                | <agg>(...), <agg>(...), ...   (multi-stat; fill(null) only)
                 | <trans>(<agg>("<field>")[, <arg>])
     agg        := mean | sum | count | min | max | first | last | median
                   | stddev | spread | percentile (arg = 0..100)
@@ -174,6 +175,99 @@ def _show(m: re.Match, tables: dict[str, DataFrame], time_col: str) -> DataFrame
     )
 
 
+def _split_projections(proj: str) -> list[str]:
+    """Split a SELECT list on top-level commas (commas inside parentheses —
+    aggregate arguments — don't split)."""
+    parts, depth, cur = [], 0, []
+    for ch in proj:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                raise ValueError(f"unbalanced parentheses in projection: {proj!r}")
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur).strip())
+    if any(not p for p in parts):
+        raise ValueError(f"empty projection item in: {proj!r}")
+    return parts
+
+
+def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
+    """SELECT agg1(f), agg2(f), ... [GROUP BY time(N)[, tag]] — each item a
+    plain aggregate; fill() applies to every aggregate column."""
+    aggs = []
+    names: list[str] = []
+    for p in projs:
+        ma = _RX_AGG.match(p)
+        if not ma:
+            raise ValueError(
+                f"multi-select items must all be aggregates, got {p!r}"
+            )
+        base = ma.group("fn").lower()
+        if base == "integral":
+            raise ValueError("integral() is not supported in multi-aggregate SELECT")
+        name = base
+        k = 1
+        while name in names:  # InfluxDB duplicate-name suffixing
+            name = f"{base}_{k}"
+            k += 1
+        names.append(name)
+        aggs.append(
+            _agg_column(base, ma.group("field"), time_col, ma.group("agg_arg")).alias(name)
+        )
+    order_dir = (m.group("dir") or "ASC").upper()
+    if not m.group("group"):
+        out = df.agg(*aggs)
+        return out.limit(int(m.group("limit"))) if m.group("limit") else out
+    mb = _RX_BUCKET.match(m.group("group").strip())
+    if not mb:
+        raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
+    step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
+    tag = mb.group("tag")
+    bucket = F.timestamp_micros(
+        (F.floor(F.unix_micros(F.col(time_col)) / F.lit(step_us)) * F.lit(step_us)).cast(
+            "bigint"
+        )
+    ).alias("time")
+    keys = ["time"] + ([tag] if tag else [])
+    out = df.select(bucket, *df.columns).groupBy(*keys).agg(*aggs)
+    fill = (m.group("fill") or "none").lower()
+    if fill not in ("none", "null"):
+        raise ValueError(
+            "multi-aggregate SELECT supports fill(null) only"
+        )
+    if fill == "null":
+        if t_lo is None or t_hi is None:
+            raise ValueError("fill() requires an explicit time range in WHERE")
+        spark = df.sparkSession
+        spine = spark.range(1).select(
+            F.explode(
+                F.sequence(
+                    F.timestamp_micros(
+                        (
+                            F.floor(
+                                F.unix_micros(F.lit(t_lo).cast("timestamp")) / F.lit(step_us)
+                            )
+                            * F.lit(step_us)
+                        ).cast("bigint")
+                    ),
+                    F.lit(t_hi).cast("timestamp"),
+                    F.expr(f"INTERVAL {step_us} MICROSECOND"),
+                )
+            ).alias("time")
+        )
+        if tag:
+            spine = F.broadcast(spine.join(df.select(tag).distinct()))
+        out = F.broadcast(spine).join(out, keys, "left")
+    out = out.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
+    return out.limit(int(m.group("limit"))) if m.group("limit") else out
+
+
 def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> DataFrame:
     """Translate one InfluxQL statement into a DataFrame plan.
 
@@ -219,6 +313,12 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             df = df.where(F.col(mg.group("tag")) == mg.group("val"))
 
     proj = m.group("proj").strip()
+    projs = _split_projections(proj)
+    if len(projs) > 1:
+        # Multi-aggregate SELECT (Grafana multi-stat panels): every item
+        # must be a plain aggregate; duplicate names get _1/_2 suffixes
+        # (InfluxDB's column naming). Transformations stay single-select.
+        return _multi_agg(m, projs, df, time_col, t_lo, t_hi)
     mtrans = _RX_TRANS.match(proj)
     if mtrans:
         proj = mtrans.group("inner").strip()

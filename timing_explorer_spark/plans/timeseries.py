@@ -1202,3 +1202,39 @@ def q_influxql_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY time(1d) ORDER BY time ASC"
     )
     return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_multi_stat",
+    oracle="""
+        SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                              * 86400000000) AS time,
+               CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS mean,
+               MAX(value) AS max,
+               MIN(value) AS min,
+               COUNT(value) AS count
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-30 23:59:59'
+        GROUP BY 1
+    """,
+    doc=(
+        "InfluxQL multi-aggregate SELECT (mean, max, min, count in one "
+        "statement) GROUP BY time(1d) — the multi-stat panel query, "
+        "verbatim through the translator: all aggregates share ONE bucketed "
+        "hash-agg pass (one shuffle for four statistics)."
+    ),
+    tags=("timeseries", "influxql", "agg", "reference-parity"),
+)
+def q_influxql_multi_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT mean(\"value\"), max(\"value\"), min(\"value\"), count(\"value\") "
+        "FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-30 23:59:59' "
+        "AND \"event_type\" = 'purchase' "
+        "GROUP BY time(1d) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
