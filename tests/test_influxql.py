@@ -318,6 +318,7 @@ def test_parser_fuzz_never_crashes_unhelpfully(spark, sensors):
          "time(1s)", "fill(null)", "fill(bogus)", '"value"', '"sensors"',
          'mean("value")', "derivative(", ")", "AND", "time >= '2024-01-01'",
          "moving_average(", "cumulative_sum(", "difference(",
+         "tz('America/New_York')", "tz('bogus/zone')",
          'percentile("value", 50)', 'percentile("value", 999)', ", 3", ", 4s",
          "key = 'temp'", ",", "*", "'", '"', "1e9", ";", "--", "𝕊"]
     )
@@ -511,3 +512,38 @@ def test_multi_select_rejects_mixed_and_transforms(spark, sensors):
     ):
         with pytest.raises(ValueError):
             influxql(q, t)
+
+
+def test_tz_clause_local_day_buckets(spark):
+    """tz('America/New_York'): daily buckets align to LOCAL midnight
+    (InfluxDB's tz clause). January = EST (UTC-5), so bucket boundaries are
+    05:00 UTC: events at 03:00Z and 10:00Z land in DIFFERENT local days
+    (22:00 previous day / 05:00 same day local), while plain UTC bucketing
+    puts them in the same day. fill(null)'s spine uses the same local
+    alignment."""
+    df = spark.createDataFrame(
+        [("2024-01-01 03:00:00", 1.0), ("2024-01-01 10:00:00", 2.0)], ["ts", "value"]
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    base = (
+        "SELECT count(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 12:00:00' "
+        "GROUP BY time(1d) ORDER BY time ASC{tz}"
+    )
+    utc = influxql(base.format(tz=""), {"m": df}).collect()
+    assert [(str(r["time"]), r["count"]) for r in utc] == [("2024-01-01 00:00:00", 2)]
+    ny = influxql(base.format(tz=" tz('America/New_York')"), {"m": df}).collect()
+    assert [(str(r["time"]), r["count"]) for r in ny] == [
+        ("2023-12-31 05:00:00", 1),
+        ("2024-01-01 05:00:00", 1),
+    ]
+    filled = influxql(
+        base.format(tz=" tz('America/New_York')").replace(
+            "ORDER BY", "fill(null) ORDER BY"
+        ),
+        {"m": df},
+    ).collect()
+    # spine floors the range start to the LOCAL day boundary too
+    assert [str(r["time"]) for r in filled][:2] == [
+        "2023-12-31 05:00:00",
+        "2024-01-01 05:00:00",
+    ]

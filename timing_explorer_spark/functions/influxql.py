@@ -14,6 +14,7 @@ neighbors):
       [GROUP BY time(<N><u>)[, <tag>] [fill(null | none | linear | previous | <number>)]]
       [ORDER BY time [ASC|DESC]]
       [LIMIT <n>]
+      [tz('<IANA zone>')]     (bucket alignment to local wall clock)
 
     SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
       | SHOW TAG VALUES FROM m WITH KEY = "k"     (Grafana template variables)
@@ -62,7 +63,8 @@ _RX = re.compile(
         (?:\s+GROUP\s+BY\s+(?P<group>time\(\d+[smhd]\)(?:\s*,\s*"?\w+"?)?)
             (?:\s+fill\((?P<fill>null|none|linear|previous|[-+]?\d+(?:\.\d+)?)\))?)?
         (?:\s+ORDER\s+BY\s+time(?:\s+(?P<dir>ASC|DESC))?)?
-        (?:\s+LIMIT\s+(?P<limit>\d+))?\s*$""",
+        (?:\s+LIMIT\s+(?P<limit>\d+))?
+        (?:\s+tz\('(?P<tz>[^']+)'\))?\s*$""",
     re.IGNORECASE | re.VERBOSE,
 )
 _RX_AGG = re.compile(
@@ -175,6 +177,43 @@ def _show(m: re.Match, tables: dict[str, DataFrame], time_col: str) -> DataFrame
     )
 
 
+def _bucket_col(time_col: str, step_us: int, tz: str | None) -> Column:
+    """GROUP BY time(N) bucket start as a UTC instant. With tz(), buckets
+    align to the zone's local wall clock (InfluxDB's tz() clause — daily
+    buckets start at local midnight): floor in local time, convert the
+    boundary back to the UTC instant. Fixed-offset exact; at a DST
+    transition the boundary shifts with the wall clock, matching InfluxDB.
+    """
+    if tz is None:
+        return F.timestamp_micros(
+            (F.floor(F.unix_micros(F.col(time_col)) / F.lit(step_us)) * F.lit(step_us)).cast(
+                "bigint"
+            )
+        ).alias("time")
+    local = F.from_utc_timestamp(F.col(time_col), tz)
+    floored = F.timestamp_micros(
+        (F.floor(F.unix_micros(local) / F.lit(step_us)) * F.lit(step_us)).cast("bigint")
+    )
+    return F.to_utc_timestamp(floored, tz).alias("time")
+
+
+def _spine_start(t_lo: str, step_us: int, tz: str | None) -> Column:
+    """First spine bucket for fill(): floor of the range start, in the same
+    (UTC or tz-local) alignment the bucket column uses."""
+    if tz is None:
+        return F.timestamp_micros(
+            (
+                F.floor(F.unix_micros(F.lit(t_lo).cast("timestamp")) / F.lit(step_us))
+                * F.lit(step_us)
+            ).cast("bigint")
+        )
+    local = F.from_utc_timestamp(F.lit(t_lo).cast("timestamp"), tz)
+    floored = F.timestamp_micros(
+        (F.floor(F.unix_micros(local) / F.lit(step_us)) * F.lit(step_us)).cast("bigint")
+    )
+    return F.to_utc_timestamp(floored, tz)
+
+
 def _split_projections(proj: str) -> list[str]:
     """Split a SELECT list on top-level commas (commas inside parentheses —
     aggregate arguments — don't split)."""
@@ -229,11 +268,7 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
         raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
     step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
     tag = mb.group("tag")
-    bucket = F.timestamp_micros(
-        (F.floor(F.unix_micros(F.col(time_col)) / F.lit(step_us)) * F.lit(step_us)).cast(
-            "bigint"
-        )
-    ).alias("time")
+    bucket = _bucket_col(time_col, step_us, m.group("tz"))
     keys = ["time"] + ([tag] if tag else [])
     out = df.select(bucket, *df.columns).groupBy(*keys).agg(*aggs)
     fill = (m.group("fill") or "none").lower()
@@ -248,14 +283,7 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
         spine = spark.range(1).select(
             F.explode(
                 F.sequence(
-                    F.timestamp_micros(
-                        (
-                            F.floor(
-                                F.unix_micros(F.lit(t_lo).cast("timestamp")) / F.lit(step_us)
-                            )
-                            * F.lit(step_us)
-                        ).cast("bigint")
-                    ),
+                    _spine_start(t_lo, step_us, m.group("tz")),
                     F.lit(t_hi).cast("timestamp"),
                     F.expr(f"INTERVAL {step_us} MICROSECOND"),
                 )
@@ -335,11 +363,7 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
         step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
         tag = mb.group("tag")
-        bucket = F.timestamp_micros(
-            (F.floor(F.unix_micros(F.col(time_col)) / F.lit(step_us)) * F.lit(step_us)).cast(
-                "bigint"
-            )
-        ).alias("time")
+        bucket = _bucket_col(time_col, step_us, m.group("tz"))
         alias = magg.group("fn").lower()
         keys = ["time"] + ([tag] if tag else [])
         if alias == "integral":
@@ -473,14 +497,7 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             spine = spark.range(1).select(
                 F.explode(
                     F.sequence(
-                        F.timestamp_micros(
-                            (
-                                F.floor(
-                                    F.unix_micros(F.lit(t_lo).cast("timestamp")) / F.lit(step_us)
-                                )
-                                * F.lit(step_us)
-                            ).cast("bigint")
-                        ),
+                        _spine_start(t_lo, step_us, m.group("tz")),
                         F.lit(t_hi).cast("timestamp"),
                         F.expr(f"INTERVAL {step_us} MICROSECOND"),
                     )
