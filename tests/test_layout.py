@@ -71,3 +71,37 @@ def test_zorder_buckets_are_small_rectangles(spark, sf_oracle):
     # half-step rectangle pair -> bounded by 2 full aligned tiles
     assert max(areas) <= 2 * 4096, max(areas)
     assert sum(areas) / len(areas) <= plane / 32
+
+
+def test_compact_parquet_small_files(spark, tmp_path):
+    """Compaction: 64 tiny files -> byte-sized file count, rows preserved
+    exactly; sort_by rewrites into disjoint key ranges (every output file's
+    [min,max] intervals are non-overlapping -> parquet footer pruning works
+    on the compacted layout)."""
+    import pyspark.sql.functions as F
+
+    from timing_explorer_spark.operators.layout import compact_parquet
+
+    src, dst = str(tmp_path / "src"), str(tmp_path / "dst")
+    df = spark.range(20_000).select(
+        F.col("id"), F.pmod(F.xxhash64("id"), 1000).alias("k")
+    )
+    df.repartition(64).write.parquet(src)
+    before, after = compact_parquet(
+        spark, src, dst, target_file_bytes=64 * 1024, sort_by=["k"]
+    )
+    assert before == 64 and 1 <= after < 16
+    out = spark.read.parquet(dst)
+    assert out.count() == 20_000
+    assert out.agg(F.sum("id")).collect()[0][0] == 20_000 * 19_999 // 2
+    # disjoint ranges per file: max(k) of file i < min(k) of file i+1
+    ranges = sorted(
+        (
+            (r["mn"], r["mx"])
+            for r in out.groupBy(F.input_file_name().alias("f"))
+            .agg(F.min("k").alias("mn"), F.max("k").alias("mx"))
+            .collect()
+        )
+    )
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2

@@ -68,3 +68,54 @@ def morton_sql(x_expr: str, y_expr: str) -> str:
         return x
 
     return f"({spread(x_expr)} | ({spread(y_expr)} << 1))"
+
+
+def compact_parquet(
+    spark,
+    src_dir: str,
+    dst_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+):
+    """Small-files compaction — the lake-maintenance pass every ingest-heavy
+    table needs (streaming sinks and per-batch writers leave thousands of
+    KB-sized files; at 100 TB the resulting file-listing and per-file task
+    overhead dominate scans).
+
+    Sizing comes from the actual on-disk footprint (filesystem listing, no
+    data read), not row counts: output file count = ceil(total_bytes /
+    target_file_bytes). ``sort_by`` optionally re-sorts while rewriting
+    (e.g. a Z-order key from ``morton_key`` — compaction is the natural
+    moment to fix layout, same as OPTIMIZE ... ZORDER BY), which uses a
+    range repartition so files cover disjoint key ranges and parquet
+    min/max footers prune; without it a round-robin repartition balances
+    bytes evenly.
+
+    Returns (n_files_before, n_files_after). At cluster scale this runs
+    per partition directory (compact the partitions a day's ingest
+    touched), which keeps each job's shuffle bounded.
+    """
+    import math
+    import os
+
+    total = 0
+    n_before = 0
+    for root, _dirs, files in os.walk(src_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+                n_before += 1
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_dir)
+    if sort_by:
+        df = df.repartitionByRange(n_files, *sort_by).sortWithinPartitions(*sort_by)
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst_dir)
+    n_after = sum(
+        1
+        for root, _dirs, files in os.walk(dst_dir)
+        for f in files
+        if f.endswith(".parquet")
+    )
+    return n_before, n_after
