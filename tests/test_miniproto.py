@@ -112,3 +112,49 @@ def test_real_runtime_preferred_when_present():
 
     if MODE == "vendored":
         assert "_vendor" in google.protobuf.__file__
+
+
+def test_property_roundtrip_random_messages():
+    """Hypothesis: any combination of field values round-trips bit-exactly
+    through SerializeToString/ParseFromString — including int64 extremes,
+    empty/large bytes, unicode strings, and repeated containers."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    i64 = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+    i32 = st.integers(min_value=-(2**31), max_value=2**31 - 1)
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        code=i32,
+        msg=st.text(max_size=60),
+        val=st.binary(max_size=200),
+        vals=st.lists(st.binary(max_size=40), max_size=8),
+        more=st.booleans(),
+        ts=st.lists(st.tuples(st.binary(max_size=10), i64), max_size=6),
+    )
+    def run(code, msg, val, vals, more, ts):
+        r = sm.StateResponse(statusCode=code, errorMessage=msg, value=val)
+        back = sm.StateResponse()
+        back.ParseFromString(r.SerializeToString())
+        assert (back.statusCode, back.errorMessage, bytes(back.value)) == (
+            code,
+            msg,
+            val,
+        )
+        lg = sm.StateResponseWithListGet(
+            statusCode=code, value=vals, requireNextFetch=more
+        )
+        back2 = sm.StateResponseWithListGet()
+        back2.ParseFromString(lg.SerializeToString())
+        assert [bytes(v) for v in back2.value] == vals
+        assert back2.requireNextFetch == more
+        t = sm.StateResponseWithTimer(
+            statusCode=code,
+            timer=[sm.TimerInfo(key=k, timestampMs=n) for k, n in ts],
+        )
+        back3 = sm.StateResponseWithTimer()
+        back3.ParseFromString(t.SerializeToString())
+        assert [(bytes(x.key), x.timestampMs) for x in back3.timer] == ts
+
+    run()

@@ -186,3 +186,47 @@ def test_wav_stats_partition_invariant(spark, sf_smoke):
         for r in wav_stats(synthetic_wav_media(docs.repartition(13))).collect()
     }
     assert one == many and len(one) > 0
+
+
+def test_property_codec_roundtrips():
+    """Hypothesis: arbitrary PCM16 sample arrays and RGB rasters round-trip
+    bit-exactly through the pure-numpy encoders/decoders."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    from hypothesis.extra.numpy import arrays
+
+    from timing_explorer_spark.multimodal.codecs import (
+        decode_ppm_bytes,
+        decode_wav_bytes,
+        encode_ppm_bytes,
+        encode_wav_bytes,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        samples=arrays(
+            np.int16, st.tuples(st.integers(0, 200), st.integers(1, 3))
+        ),
+        rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    )
+    def wav(samples, rate):
+        out = decode_wav_bytes(encode_wav_bytes(samples, rate))
+        assert out.sample_rate == rate
+        assert out.n_channels == samples.shape[1]
+        assert np.array_equal(out.samples, samples)
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        px=arrays(
+            np.uint8,
+            st.tuples(st.integers(1, 24), st.integers(1, 24), st.just(3)),
+        )
+    )
+    def ppm(px):
+        out = decode_ppm_bytes(encode_ppm_bytes(px))
+        assert (out.height, out.width) == px.shape[:2]
+        assert np.array_equal(out.pixels, px)
+
+    wav()
+    ppm()
