@@ -131,6 +131,11 @@ def main() -> None:
     # with preferSortMergeJoin=false this turns lineitem⋈orders and the
     # asof-join's per-user shuffle into co-partitioned, exchange-free
     # ShuffledHashJoins (q03 0.235→0.117s, q_asof 0.174→0.117s measured).
+    # events.props (raw JSON payload) is ~2/3 of the table's bytes and no
+    # headline query touches it: projection-aware caching drops it from the
+    # pinned copy (measured: q_events_per_window 0.131→0.094 s, q_asof
+    # 0.135→0.105 s at sf0.1 — wide cold columns tax every cached batch
+    # scan even when pruned at the plan level).
     warm_cache(
         spark,
         sf_dir,
@@ -140,6 +145,7 @@ def main() -> None:
             "orders": "o_orderkey",
             "events": "user_id",
         },
+        drop_columns={"events": ("props",)},
     )
 
     # Steady state reuses the declared logical plan (the prepared-statement

@@ -65,6 +65,7 @@ def main() -> None:
             "orders": "o_orderkey",
             "events": "user_id",
         },
+        drop_columns={"events": ("props",)},  # projection-aware cache (bench.py)
     )
 
     plans = {n: s.build(spark, sf_dir) for n, s in specs.items()}

@@ -109,6 +109,7 @@ def warm_cache(
     tables: tuple[str, ...] | None = None,
     n_partitions: int | None = None,
     partition_keys: dict[str, str] | None = None,
+    drop_columns: dict[str, tuple[str, ...]] | None = None,
 ) -> dict[str, DataFrame]:
     """Pin hot tables in executor memory, spread across cores.
 
@@ -130,6 +131,13 @@ def warm_cache(
     the same reason a 100 TB deployment buckets its fact tables by their
     dominant join key; see operators/layout.py for the on-disk version).
     Results are partitioning-independent; only the physical plan changes.
+
+    ``drop_columns`` maps table -> columns to EXCLUDE from the cached copy —
+    projection-aware caching (the covering-projection idea from columnar
+    warehouses): pin only the hot columns when a wide column (e.g. a raw
+    JSON payload) would dominate cache memory and batch-scan cost. Queries
+    touching a dropped column fail fast in that session — size the
+    projection to the workload, exactly as you would a covering index.
     """
     n = n_partitions or spark.sparkContext.defaultParallelism
     skey = session_key(spark)
@@ -144,6 +152,9 @@ def warm_cache(
             prior.unpersist()
             _PLAN_CACHE.pop(key, None)
         df = load(spark, sf_dir, t)
+        dropped = (drop_columns or {}).get(t)
+        if dropped:
+            df = df.drop(*dropped)
         pkey = (partition_keys or {}).get(t)
         cached = (df.repartition(n, pkey) if pkey else df.repartition(n)).persist()
         cached.count()  # materialize eagerly so queries never pay the fill
