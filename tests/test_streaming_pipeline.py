@@ -368,3 +368,66 @@ def test_late_data_dropped_beyond_watermark(spark, tmp_path):
     early = [r for r in rows if r["window_end_label"].second < 10 and r["window_end_label"].minute == 0]
     # the straggler arrived after the watermark passed 10s -> dropped
     assert not early
+
+
+def test_reference_dashboard_targets_run_verbatim(spark, pipeline_run):
+    """THE parity loop, literally: every panel target in the reference's
+    actual dashboard JSON (docker/grafana_setup/dashboard.json — both raw
+    and query-builder modes) is rendered to the InfluxQL string Grafana
+    would send (grafana_target_to_influxql) and executed over this engine's
+    sink measurement tables. A user of the reference points their dashboard
+    here and every panel serves."""
+    import json
+    import os
+
+    from timing_explorer_spark.functions.influxql import (
+        grafana_target_to_influxql,
+        influxql,
+    )
+
+    dash_path = "/root/reference/docker/grafana_setup/dashboard.json"
+    if not os.path.exists(dash_path):
+        import pytest
+
+        pytest.skip("reference dashboard not available")
+    dash = json.load(open(dash_path))
+
+    sensors = spark.read.parquet(pipeline_run["out"]["sensors"])
+    windows = spark.read.parquet(
+        pipeline_run["out"]["eventsPerSecond"]
+    ).withColumnRenamed("window_end_label", "ts")
+    proc = read_processing_time_counts(
+        spark, pipeline_run["out"]["eventsProcessedPerSecond"]
+    ).withColumnRenamed("window_end_label", "ts")
+    tables = {
+        "sensors": sensors,
+        "eventsPerSecond": windows,
+        "eventsProcessedPerSecond": proc,
+    }
+
+    # $timeFilter is wall-clock-relative in Grafana (dashboard.json: default
+    # range now-90s); expand it per measurement to cover that table's data —
+    # the proc-time sink's timestamps are arrival-time, not event-time.
+    def time_filter_for(df) -> str:
+        lo, hi = df.agg(F.min("ts"), F.max("ts")).collect()[0]
+        return (
+            f"time >= '{lo.strftime('%Y-%m-%d %H:%M:%S')}'"
+            f" AND time <= '{hi.strftime('%Y-%m-%d %H:%M:%S')}.999'"
+        )
+
+    n_targets = 0
+    for panel in dash["panels"]:
+        for target in panel.get("targets", []):
+            meas = target.get("measurement")
+            if not meas:  # raw-mode target: measurement only in the string
+                meas = next(t for t in tables if t in target.get("query", ""))
+            q = grafana_target_to_influxql(
+                target, time_filter_for(tables[meas]), interval="1s"
+            )
+            df = influxql(q, tables)
+            rows = df.collect()
+            n_targets += 1
+            assert rows, f"panel {panel.get('title')!r} returned nothing: {q}"
+            if target.get("measurement") == "eventsPerSecond" or "eventsPerSecond" in q:
+                assert all(r["value"] == 10 for r in rows)  # the invariant
+    assert n_targets == 3  # all three reference panels served

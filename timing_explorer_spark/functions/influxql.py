@@ -335,6 +335,9 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
                 else:
                     t_hi = mt.group("ts")
                 continue
+            # Grafana parenthesizes rendered tag conditions: ("key" = 'x')
+            while cond.startswith("(") and cond.endswith(")"):
+                cond = cond[1:-1].strip()
             mg = _RX_TAG.match(cond)
             if not mg:
                 raise ValueError(f"unsupported WHERE clause: {cond!r}")
@@ -573,3 +576,68 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
     if m.group("limit"):
         result = result.limit(int(m.group("limit")))
     return result
+
+
+def grafana_target_to_influxql(
+    target: dict,
+    time_filter: str,
+    interval: str = "1s",
+) -> str:
+    """Render a Grafana panel target (the JSON stored in dashboard.json) to
+    the InfluxQL string Grafana sends to InfluxDB — covering both modes the
+    reference dashboards use (docker/grafana_setup/dashboard.json):
+
+      - raw mode: the stored ``query`` with ``$timeFilter`` / ``$__interval``
+        substituted;
+      - builder mode: measurement + select chains + tags + groupBy rendered
+        with Grafana's rules (fields quoted, tag conditions parenthesized,
+        ``GROUP BY time($__interval) fill(x)``, ``ORDER BY time``).
+
+    ``time_filter`` is the expansion of ``$timeFilter``, e.g.
+    ``time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:01:00'``.
+    """
+    if target.get("rawQuery") and target.get("query"):
+        q = target["query"]
+        return q.replace("$timeFilter", time_filter).replace("$__interval", interval)
+
+    measurement = target["measurement"]
+    sels = []
+    for chain in target.get("select", [[]]):
+        field = None
+        wrapped = None
+        for part in chain:
+            if part.get("type") == "field":
+                field = part["params"][0]
+                wrapped = f'"{field}"'
+            elif part.get("type") in (
+                "mean", "sum", "count", "min", "max", "first", "last",
+                "median", "stddev", "spread", "percentile",
+            ):
+                args = "".join(f", {p}" for p in part.get("params", []))
+                wrapped = f'{part["type"]}("{field}"{args})'
+        if wrapped is None:
+            raise ValueError(f"unsupported select chain: {chain!r}")
+        sels.append(wrapped)
+    where_parts = [
+        f'("{t["key"]}" {t.get("operator", "=")} \'{t["value"]}\')'
+        for t in target.get("tags", [])
+    ]
+    where_parts.append(time_filter)
+    q = f"SELECT {', '.join(sels)} FROM \"{measurement}\" WHERE {' AND '.join(where_parts)}"
+    group_terms = []
+    fill = None
+    for g in target.get("groupBy", []):
+        if g.get("type") == "time":
+            p = g["params"][0]
+            group_terms.append(f"time({interval if p == '$__interval' else p})")
+        elif g.get("type") == "tag":
+            group_terms.append(f'"{g["params"][0]}"')
+        elif g.get("type") == "fill":
+            fill = g["params"][0]
+    if group_terms:
+        q += f" GROUP BY {', '.join(group_terms)}"
+        if fill is not None:
+            q += f" fill({fill})"
+    if target.get("orderByTime"):
+        q += f" ORDER BY time {target['orderByTime']}"
+    return q
