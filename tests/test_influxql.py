@@ -98,7 +98,7 @@ def test_scalar_aggregate_and_limit(spark, sensors):
         "DROP MEASUREMENT sensors",
         "SELECT value FROM nope",
         "SELECT mean(\"value\") FROM \"sensors\" GROUP BY time(1s) fill(null)",  # fill w/o range
-        "SELECT \"value\" FROM \"sensors\" WHERE key != 'x'",
+        "SELECT \"value\" FROM \"sensors\" WHERE key =~ /x/",  # regex match unsupported
     ],
 )
 def test_rejects_unsupported(spark, sensors, bad):
@@ -547,3 +547,25 @@ def test_tz_clause_local_day_buckets(spark):
         "2023-12-31 05:00:00",
         "2024-01-01 05:00:00",
     ]
+
+
+def test_where_field_comparisons_and_tag_negation(spark, sensors):
+    """Numeric field predicates (the Grafana alert-query shape) and tag
+    negation: WHERE "value" > 0.5, WHERE "key" != 'temp'."""
+    t = {"sensors": sensors}
+    hi = influxql(
+        "SELECT count(\"value\") FROM \"sensors\" WHERE \"key\" = 'temp' AND \"value\" >= 0.5",
+        t,
+    ).collect()[0]["count"]
+    # sawtooth phases 0.5..0.9 -> 5 of 10 samples per second, 60s
+    assert hi == 300
+    ne = influxql(
+        "SELECT count(\"value\") FROM \"sensors\" WHERE \"key\" != 'temp'", t
+    ).collect()[0]["count"]
+    assert ne == 600  # only pressure remains
+    band = influxql(
+        "SELECT count(\"value\") FROM \"sensors\" "
+        "WHERE \"key\" = 'temp' AND \"value\" > 0.1 AND \"value\" < 0.5",
+        t,
+    ).collect()[0]["count"]
+    assert band == 180  # phases 0.2, 0.3, 0.4

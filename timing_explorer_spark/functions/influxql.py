@@ -79,7 +79,11 @@ _RX_TRANS = re.compile(
     r"\(\s*(?P<inner>.+?)(?:\s*,\s*(?P<n>\d+)(?P<u>[smhd])?)?\s*\)$",
     re.IGNORECASE,
 )
-_RX_TAG = re.compile(r"""^"?(?P<tag>\w+)"?\s*=\s*'(?P<val>[^']*)'$""")
+_RX_TAG = re.compile(r"""^"?(?P<tag>\w+)"?\s*(?P<op>=|!=|<>)\s*'(?P<val>[^']*)'$""")
+_RX_FIELD_CMP = re.compile(
+    r"""^"?(?P<field>\w+)"?\s*(?P<op>>=|<=|!=|<>|>|<|=)\s*"""
+    r"""(?P<num>[-+]?\d+(?:\.\d+)?)$"""
+)
 _RX_TIME = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORECASE)
 _RX_BUCKET = re.compile(r'^time\((?P<n>\d+)(?P<u>[smhd])\)(?:\s*,\s*"?(?P<tag>\w+)"?)?$', re.IGNORECASE)
 
@@ -339,9 +343,29 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             while cond.startswith("(") and cond.endswith(")"):
                 cond = cond[1:-1].strip()
             mg = _RX_TAG.match(cond)
-            if not mg:
+            if mg:
+                c = F.col(mg.group("tag"))
+                df = df.where(
+                    c == mg.group("val")
+                    if mg.group("op") == "="
+                    else c != mg.group("val")
+                )
+                continue
+            # numeric field comparison — the alert-query shape
+            # (WHERE "value" > 5 AND $timeFilter)
+            mf = _RX_FIELD_CMP.match(cond)
+            if not mf:
                 raise ValueError(f"unsupported WHERE clause: {cond!r}")
-            df = df.where(F.col(mg.group("tag")) == mg.group("val"))
+            c, num = F.col(mf.group("field")), float(mf.group("num"))
+            op = mf.group("op")
+            df = df.where(
+                c > num if op == ">"
+                else c >= num if op == ">="
+                else c < num if op == "<"
+                else c <= num if op == "<="
+                else c != num if op in ("!=", "<>")
+                else c == num
+            )
 
     proj = m.group("proj").strip()
     projs = _split_projections(proj)
