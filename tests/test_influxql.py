@@ -569,3 +569,31 @@ def test_where_field_comparisons_and_tag_negation(spark, sensors):
         t,
     ).collect()[0]["count"]
     assert band == 180  # phases 0.2, 0.3, 0.4
+
+
+def test_subquery_downsample_then_aggregate(spark, sensors):
+    """FROM-subquery (InfluxDB's downsample-then-aggregate idiom): inner
+    mean per 10s, outer max of those means per 30s; the inner aggregate's
+    column name is the outer field. Two levels of nesting also work."""
+    t = {"sensors": sensors}
+    q = (
+        "SELECT max(\"mean\") FROM ("
+        "SELECT mean(\"value\") FROM \"sensors\" "
+        "WHERE \"key\" = 'temp' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:01:00' "
+        "GROUP BY time(10s)"
+        ") WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:01:00' "
+        "GROUP BY time(30s) ORDER BY time ASC"
+    )
+    rows = influxql(q, t).collect()
+    # every full 10s bucket of the sawtooth means 0.45 -> max per 30s = 0.45
+    assert len(rows) == 2
+    assert all(abs(r["max"] - 0.45) < 1e-12 for r in rows)
+    # nested twice: count of the maxes
+    q2 = f'SELECT count("max") FROM ({q[:q.rindex(" ORDER BY")]})'
+    assert influxql(q2, t).collect()[0]["count"] == 2
+    # subquery without a time column is rejected
+    with pytest.raises(ValueError, match="time column"):
+        influxql(
+            'SELECT max("count") FROM (SELECT count("value") FROM "sensors")', t
+        )

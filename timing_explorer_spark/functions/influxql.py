@@ -306,10 +306,40 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
     ``tables`` maps measurement name -> DataFrame with an event-time column
     ``time_col`` plus field/tag columns.
     """
-    ms = _RX_SHOW.match(query.strip().rstrip(";"))
+    q = query.strip().rstrip(";")
+    ms = _RX_SHOW.match(q)
     if ms:
         return _show(ms, tables, time_col)
-    m = _RX.match(query.strip().rstrip(";"))
+    # Subquery: SELECT ... FROM ( <inner statement> ) ... — InfluxQL's
+    # downsample-then-aggregate idiom. Translate the inner statement
+    # recursively (arbitrary nesting falls out of the recursion), expose its
+    # result as a synthetic measurement, and rewrite the outer statement to
+    # read it; the inner aggregate's column name ("mean", "count", ...) is
+    # the field the outer statement selects from, as in InfluxDB.
+    msub = re.search(r"\bFROM\s*\(", q, re.IGNORECASE)
+    if msub:
+        start = q.index("(", msub.start())
+        depth = 0
+        end = -1
+        for i in range(start, len(q)):
+            if q[i] == "(":
+                depth += 1
+            elif q[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    end = i
+                    break
+        if end < 0:
+            raise ValueError("unbalanced parentheses in FROM subquery")
+        inner = influxql(q[start + 1 : end].strip(), tables, time_col)
+        if "time" not in inner.columns:
+            raise ValueError(
+                "FROM-subquery must produce a time column (use GROUP BY time)"
+            )
+        inner = inner.withColumnRenamed("time", time_col)
+        outer_sql = q[:start] + '"__subquery"' + q[end + 1 :]
+        return influxql(outer_sql, {**tables, "__subquery": inner}, time_col)
+    m = _RX.match(q)
     if not m:
         raise ValueError(f"unsupported InfluxQL: {query!r}")
     meas = m.group("meas")

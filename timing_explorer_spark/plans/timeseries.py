@@ -1205,6 +1205,49 @@ def q_influxql_integral(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_influxql_subquery_downsample",
+    oracle="""
+        WITH hourly AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 3600000000) AS BIGINT)
+                                  * 3600000000) AS time,
+                   CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value) AS mean
+            FROM events
+            WHERE event_type = 'error'
+              AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-30 23:59:59'
+            GROUP BY 1
+        )
+        SELECT make_timestamp(CAST(FLOOR(epoch_us(time) / 86400000000) AS BIGINT)
+                              * 86400000000) AS time,
+               MAX(mean) AS max
+        FROM hourly
+        GROUP BY 1
+    """,
+    doc=(
+        "InfluxQL FROM-subquery — InfluxDB's downsample-then-aggregate "
+        "idiom, verbatim through the translator: inner hourly exact-decimal "
+        "mean, outer daily max of those means. The recursion exposes the "
+        "inner statement's result as a synthetic measurement; both levels "
+        "stay one declarative plan (hourly grain agg -> daily grain agg, no "
+        "materialization between them)."
+    ),
+    tags=("timeseries", "influxql", "subquery", "reference-parity"),
+)
+def q_influxql_subquery_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT max(\"mean\") FROM ("
+        "SELECT mean(\"value\") FROM \"events\" "
+        "WHERE \"event_type\" = 'error' "
+        "AND time >= '2024-01-01 00:00:00' AND time <= '2024-01-30 23:59:59' "
+        "GROUP BY time(1h)"
+        ") GROUP BY time(1d) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
     "q_influxql_multi_stat",
     oracle="""
         SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
