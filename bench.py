@@ -169,6 +169,7 @@ def main() -> None:
     plans = {name: spec.build(spark, sf_dir) for name, spec in specs.items()}
     run_pass(plans)  # untimed: codegen/JIT for the cached-relation plan shapes
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, df in sorted(plans.items()):
         df.write.mode("overwrite").format("noop").save()  # untimed block warm-up
         runs = []
@@ -177,6 +178,10 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.monotonic() - t0)
         timings[name] = round(min(runs), 3)
+        # hot-block [min, max]: the co-tenant-noise witness — a wide band
+        # means this host's wall clock, not the plan, moved (round-3's
+        # "regression" postmortem; compare across rounds WITH this context)
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     # Rebuilt plans share cached blocks via CacheManager plan-matching, so the
     # passes above reuse (not duplicate) storage; release the handles now that
@@ -235,6 +240,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_hot_spread": spread,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,
