@@ -81,3 +81,24 @@ class StreamingMetricsListener(StreamingQueryListener):
             for r in self.progress
             if metric in r["observedMetrics"]
         )
+
+
+def prometheus_metrics_conf(ui_port: int = 4040) -> dict[str, str]:
+    """Session build-time confs that expose engine metrics in Prometheus
+    exposition format at ``http://<driver>:<ui_port>/metrics/prometheus`` —
+    the reference's Prometheus reporter analog (flink-conf.yaml:26-28
+    exposes ports 9250-9260 for Grafana/Prometheus scraping; Spark's
+    built-in PrometheusServlet serves the same role from the driver UI).
+    ``spark.sql.streaming.metricsEnabled`` additionally publishes per-query
+    streaming gauges (input rate, processing rate, state rows, watermark
+    lag) into the same registry. Must be set BEFORE the session is created
+    (metrics system initializes with the SparkContext)."""
+    return {
+        "spark.ui.enabled": "true",
+        "spark.ui.port": str(ui_port),
+        "spark.metrics.conf.*.sink.prometheusServlet.class": (
+            "org.apache.spark.metrics.sink.PrometheusServlet"
+        ),
+        "spark.metrics.conf.*.sink.prometheusServlet.path": "/metrics/prometheus",
+        "spark.sql.streaming.metricsEnabled": "true",
+    }
