@@ -597,3 +597,33 @@ def test_subquery_downsample_then_aggregate(spark, sensors):
         influxql(
             'SELECT max("count") FROM (SELECT count("value") FROM "sensors")', t
         )
+
+
+def test_groupby_tag_only_and_or_tag_values(spark, sensors):
+    """GROUP BY "key" without time() (the Grafana table-panel shape) and
+    multi-value template variables: ("key" = 'a' OR "key" = 'b')."""
+    t = {"sensors": sensors}
+    rows = influxql('SELECT count("value") FROM "sensors" GROUP BY "key"', t).collect()
+    assert {(r["key"], r["count"]) for r in rows} == {("temp", 600), ("pressure", 600)}
+    multi = influxql(
+        'SELECT mean("value"), count("value") FROM "sensors" GROUP BY "key"', t
+    ).collect()
+    assert len(multi) == 2 and all(r["count"] == 600 for r in multi)
+    both = influxql(
+        "SELECT count(\"value\") FROM \"sensors\" "
+        "WHERE (\"key\" = 'temp' OR \"key\" = 'pressure')",
+        t,
+    ).collect()[0]["count"]
+    assert both == 1200
+    one = influxql(
+        "SELECT count(\"value\") FROM \"sensors\" "
+        "WHERE (\"key\" = 'temp' OR \"key\" = 'nope')",
+        t,
+    ).collect()[0]["count"]
+    assert one == 600
+    with pytest.raises(ValueError, match="ONE tag"):
+        influxql(
+            "SELECT count(\"value\") FROM \"sensors\" "
+            "WHERE (\"key\" = 'temp' OR \"other\" = 'x')",
+            t,
+        )

@@ -60,7 +60,7 @@ _UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000
 _RX = re.compile(
     r"""^\s*SELECT\s+(?P<proj>.+?)\s+FROM\s+"?(?P<meas>\w+)"?
         (?:\s+WHERE\s+(?P<where>.+?))?
-        (?:\s+GROUP\s+BY\s+(?P<group>time\(\d+[smhd]\)(?:\s*,\s*"?\w+"?)?)
+        (?:\s+GROUP\s+BY\s+(?P<group>time\(\d+[smhd]\)(?:\s*,\s*"?\w+"?)?|"?\w+"?)
             (?:\s+fill\((?P<fill>null|none|linear|previous|[-+]?\d+(?:\.\d+)?)\))?)?
         (?:\s+ORDER\s+BY\s+time(?:\s+(?P<dir>ASC|DESC))?)?
         (?:\s+LIMIT\s+(?P<limit>\d+))?
@@ -267,7 +267,12 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
     if not m.group("group"):
         out = df.agg(*aggs)
         return out.limit(int(m.group("limit"))) if m.group("limit") else out
-    mb = _RX_BUCKET.match(m.group("group").strip())
+    gb = m.group("group").strip()
+    if not gb.lower().startswith("time("):
+        tag_only = gb.strip('"')
+        out = df.groupBy(tag_only).agg(*aggs)
+        return out.limit(int(m.group("limit"))) if m.group("limit") else out
+    mb = _RX_BUCKET.match(gb)
     if not mb:
         raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
     step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
@@ -372,6 +377,20 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             # Grafana parenthesizes rendered tag conditions: ("key" = 'x')
             while cond.startswith("(") and cond.endswith(")"):
                 cond = cond[1:-1].strip()
+            # multi-value template variable: ("key" = 'a' OR "key" = 'b' ...)
+            ors = re.split(r"\s+OR\s+", cond, flags=re.IGNORECASE)
+            if len(ors) > 1:
+                tags_vals = []
+                for part in ors:
+                    mo = _RX_TAG.match(part.strip())
+                    if not mo or mo.group("op") != "=":
+                        raise ValueError(f"unsupported OR group: {cond!r}")
+                    tags_vals.append((mo.group("tag"), mo.group("val")))
+                keys_ = {k for k, _ in tags_vals}
+                if len(keys_) != 1:
+                    raise ValueError(f"OR group must test ONE tag: {cond!r}")
+                df = df.where(F.col(keys_.pop()).isin([v for _, v in tags_vals]))
+                continue
             mg = _RX_TAG.match(cond)
             if mg:
                 c = F.col(mg.group("tag"))
@@ -414,8 +433,22 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
 
     if m.group("group"):
         if not magg:
-            raise ValueError("GROUP BY time() requires an aggregate projection")
-        mb = _RX_BUCKET.match(m.group("group").strip())
+            raise ValueError("GROUP BY requires an aggregate projection")
+        gb = m.group("group").strip()
+        if not gb.lower().startswith("time("):
+            # GROUP BY "tag" only — per-series scalars (Grafana table panels)
+            if mtrans:
+                raise ValueError("transformations require GROUP BY time()")
+            tag_only = gb.strip('"')
+            result = df.groupBy(tag_only).agg(
+                _agg_column(
+                    magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
+                ).alias(magg.group("fn").lower())
+            )
+            if m.group("limit"):
+                result = result.limit(int(m.group("limit")))
+            return result
+        mb = _RX_BUCKET.match(gb)
         if not mb:
             raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
         step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
