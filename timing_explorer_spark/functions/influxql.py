@@ -269,6 +269,8 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
         return out.limit(int(m.group("limit"))) if m.group("limit") else out
     gb = m.group("group").strip()
     if not gb.lower().startswith("time("):
+        if (m.group("fill") or "none").lower() != "none":
+            raise ValueError("fill() requires GROUP BY time()")
         tag_only = gb.strip('"')
         out = df.groupBy(tag_only).agg(*aggs)
         return out.limit(int(m.group("limit"))) if m.group("limit") else out
@@ -439,6 +441,8 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             # GROUP BY "tag" only — per-series scalars (Grafana table panels)
             if mtrans:
                 raise ValueError("transformations require GROUP BY time()")
+            if (m.group("fill") or "none").lower() != "none":
+                raise ValueError("fill() requires GROUP BY time()")
             tag_only = gb.strip('"')
             result = df.groupBy(tag_only).agg(
                 _agg_column(
