@@ -230,3 +230,66 @@ def test_property_codec_roundtrips():
 
     wav()
     ppm()
+
+
+def test_wav_decoder_rejects_malformed_with_typed_errors():
+    """Robustness contract for corrupt blobs: random mutations of a valid
+    WAV either still decode (mutation hit the payload, not structure) or
+    raise ValueError/NotImplementedError — never IndexError/ZeroDivision/
+    struct.error. A 100 TB corpus WILL contain garbage; typed errors are
+    what lets the skip-mode operator quarantine it."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from timing_explorer_spark.multimodal.codecs import (
+        decode_wav_bytes,
+        encode_wav_bytes,
+    )
+
+    base = bytearray(encode_wav_bytes(np.arange(50, dtype=np.int16), 8000))
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        pos=st.integers(0, len(base) - 1),
+        val=st.integers(0, 255),
+        trunc=st.integers(0, len(base)),
+    )
+    def run(pos, val, trunc):
+        mutated = bytearray(base)
+        mutated[pos] = val
+        for payload in (bytes(mutated), bytes(mutated[:trunc])):
+            try:
+                decode_wav_bytes(payload)
+            except (ValueError, NotImplementedError):
+                pass  # the contract: malformed -> typed error
+
+    run()
+
+
+def test_wav_stats_skip_mode_quarantines_corrupt_payloads(spark):
+    """on_error='skip': corrupt payloads become decode_ok=false rows with
+    NULL features; good payloads keep exact features; default mode fails."""
+    import pytest
+    from pyspark.sql import Row
+
+    from timing_explorer_spark.multimodal.binary_ops import wav_stats
+    from timing_explorer_spark.multimodal.codecs import encode_wav_bytes
+
+    import numpy as np
+
+    good = encode_wav_bytes(np.array([1, -1, 2, -2], dtype=np.int16), 8000)
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(good)),
+            Row(media_id=2, payload=bytearray(b"not a wav at all")),
+        ]
+    )
+    out = {r["media_id"]: r for r in wav_stats(media, on_error="skip").collect()}
+    assert out[1]["decode_ok"] and out[1]["n_samples"] == 4
+    assert out[1]["zero_crossings"] == 3
+    assert not out[2]["decode_ok"] and out[2]["n_samples"] is None
+    with pytest.raises(Exception):  # default: fail loudly
+        wav_stats(media).collect()
+    with pytest.raises(ValueError):
+        wav_stats(media, on_error="bogus")

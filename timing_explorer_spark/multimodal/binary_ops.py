@@ -176,12 +176,20 @@ def synthetic_wav_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(enc, schema="media_id long, payload binary")
 
 
-def wav_stats(media: DataFrame) -> DataFrame:
+def wav_stats(media: DataFrame, on_error: str = "fail") -> DataFrame:
     """REAL audio decode: parse each RIFF payload (chunk walk + frombuffer),
     then integer sample-level features — rate/frames/duration from the
     header, amplitude sum, peak, and zero-crossing count from the decoded
     PCM. All-integer outputs hash-match a SQL oracle exactly. Arrow-batched
-    mapInPandas: decode happens where the bytes live, nothing shuffles."""
+    mapInPandas: decode happens where the bytes live, nothing shuffles.
+
+    ``on_error``: at 100 TB a corpus WILL contain corrupt blobs. "fail"
+    (default) propagates the decoder's typed ValueError/NotImplementedError
+    (correctness first); "skip" emits an extra boolean ``decode_ok`` column
+    with NULL features for undecodable payloads — the job finishes, and the
+    failure count is one filter away (the quarantine-table pattern)."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
 
     def stats(batches: Iterator) -> Iterator:
         import numpy as np
@@ -198,9 +206,21 @@ def wav_stats(media: DataFrame) -> DataFrame:
                 "sum_amp": [],
                 "max_abs": [],
                 "zero_crossings": [],
+                "decode_ok": [],
             }
             for p in b["payload"]:
-                w = decode_wav_bytes(bytes(p))
+                try:
+                    w = decode_wav_bytes(bytes(p))
+                except (ValueError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    for k in (
+                        "sample_rate", "n_samples", "duration_ms",
+                        "sum_amp", "max_abs", "zero_crossings",
+                    ):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    continue
                 s = w.samples[:, 0].astype(np.int64)  # mono feature pass
                 out["sample_rate"].append(w.sample_rate)
                 out["n_samples"].append(len(s))
@@ -208,15 +228,18 @@ def wav_stats(media: DataFrame) -> DataFrame:
                 out["sum_amp"].append(int(s.sum()))
                 out["max_abs"].append(int(np.abs(s).max()) if len(s) else 0)
                 out["zero_crossings"].append(int(np.sum(s[1:] * s[:-1] < 0)))
+                out["decode_ok"].append(True)
+            if on_error == "fail":
+                del out["decode_ok"]
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "payload").mapInPandas(
-        stats,
-        schema=(
-            "media_id long, sample_rate int, n_samples long, duration_ms long, "
-            "sum_amp long, max_abs long, zero_crossings long"
-        ),
+    schema = (
+        "media_id long, sample_rate int, n_samples long, duration_ms long, "
+        "sum_amp long, max_abs long, zero_crossings long"
     )
+    if on_error == "skip":
+        schema += ", decode_ok boolean"
+    return media.select("media_id", "payload").mapInPandas(stats, schema=schema)
 
 
 def synthetic_ppm_media(docs: DataFrame) -> DataFrame:

@@ -53,8 +53,8 @@ def decode_wav_bytes(payload: bytes) -> WavData:
         (csize,) = struct.unpack_from("<I", payload, pos + 4)
         body = payload[pos + 8 : pos + 8 + csize]
         if cid == b"fmt ":
-            if csize < 16:
-                raise ValueError("fmt chunk too small")
+            if csize < 16 or len(body) < 16:
+                raise ValueError("fmt chunk too small or truncated")
             audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = (
                 struct.unpack_from("<HHIIHH", body, 0)
             )
@@ -71,6 +71,8 @@ def decode_wav_bytes(payload: bytes) -> WavData:
     if fmt is None or data is None:
         raise ValueError("missing fmt/data chunk")
     n_channels, sample_rate, bits = fmt
+    if n_channels == 0 or sample_rate == 0:
+        raise ValueError("corrupt fmt chunk: zero channels or sample rate")
     if bits == 16:
         arr = np.frombuffer(data, dtype="<i2")
     elif bits == 8:
@@ -155,6 +157,8 @@ def decode_ppm_bytes(payload: bytes) -> PpmData:
         fields.append(int(payload[start:pos]))
     pos += 1  # exactly one whitespace byte after maxval
     width, height, maxval = fields
+    if width <= 0 or height <= 0 or maxval <= 0:
+        raise ValueError("corrupt PPM header: non-positive dimension/maxval")
     if maxval > 255:
         raise NotImplementedError("16-bit PPM not supported")
     need = width * height * 3
