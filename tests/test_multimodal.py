@@ -293,3 +293,22 @@ def test_wav_stats_skip_mode_quarantines_corrupt_payloads(spark):
         wav_stats(media).collect()
     with pytest.raises(ValueError):
         wav_stats(media, on_error="bogus")
+
+
+def test_ppm_stats_skip_mode(spark):
+    import numpy as np
+    from pyspark.sql import Row
+
+    from timing_explorer_spark.multimodal.binary_ops import ppm_stats
+    from timing_explorer_spark.multimodal.codecs import encode_ppm_bytes
+
+    good = encode_ppm_bytes(np.full((2, 2, 3), 7, dtype=np.uint8))
+    media = spark.createDataFrame(
+        [
+            Row(media_id=1, payload=bytearray(good)),
+            Row(media_id=2, payload=bytearray(b"P6\n-1 3\n255\n")),  # corrupt dims
+        ]
+    )
+    out = {r["media_id"]: r for r in ppm_stats(media, on_error="skip").collect()}
+    assert out[1]["decode_ok"] and out[1]["sum_r"] == 4 * 7
+    assert not out[2]["decode_ok"] and out[2]["width"] is None

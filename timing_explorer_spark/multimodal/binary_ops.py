@@ -269,10 +269,15 @@ def synthetic_ppm_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(enc, schema="media_id long, payload binary")
 
 
-def ppm_stats(media: DataFrame) -> DataFrame:
+def ppm_stats(media: DataFrame, on_error: str = "fail") -> DataFrame:
     """REAL image decode: parse each P6 payload (header + raster view), then
     integer pixel-level features — dimensions from the header, per-channel
-    sums and peak from the decoded raster. All-integer, oracle-checkable."""
+    sums and peak from the decoded raster. All-integer, oracle-checkable.
+    ``on_error``: same contract as wav_stats — "fail" propagates the typed
+    decode error, "skip" quarantines corrupt payloads as decode_ok=false
+    rows with NULL features."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
 
     def stats(batches: Iterator) -> Iterator:
         import numpy as np
@@ -289,9 +294,18 @@ def ppm_stats(media: DataFrame) -> DataFrame:
                 "sum_g": [],
                 "sum_b": [],
                 "max_byte": [],
+                "decode_ok": [],
             }
             for p in b["payload"]:
-                img = decode_ppm_bytes(bytes(p))
+                try:
+                    img = decode_ppm_bytes(bytes(p))
+                except (ValueError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    for k in ("width", "height", "sum_r", "sum_g", "sum_b", "max_byte"):
+                        out[k].append(None)
+                    out["decode_ok"].append(False)
+                    continue
                 px = img.pixels.astype(np.int64)
                 out["width"].append(img.width)
                 out["height"].append(img.height)
@@ -299,15 +313,18 @@ def ppm_stats(media: DataFrame) -> DataFrame:
                 out["sum_g"].append(int(px[:, :, 1].sum()))
                 out["sum_b"].append(int(px[:, :, 2].sum()))
                 out["max_byte"].append(int(px.max()))
+                out["decode_ok"].append(True)
+            if on_error == "fail":
+                del out["decode_ok"]
             yield pd.DataFrame(out)
 
-    return media.select("media_id", "payload").mapInPandas(
-        stats,
-        schema=(
-            "media_id long, width int, height int, sum_r long, sum_g long, "
-            "sum_b long, max_byte long"
-        ),
+    schema = (
+        "media_id long, width int, height int, sum_r long, sum_g long, "
+        "sum_b long, max_byte long"
     )
+    if on_error == "skip":
+        schema += ", decode_ok boolean"
+    return media.select("media_id", "payload").mapInPandas(stats, schema=schema)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
