@@ -385,18 +385,26 @@ def test_moving_average_warmup_dropped(spark):
 
 
 def test_percentile_aggregate(spark, sensors):
-    """percentile(value, N) with InfluxDB's 0..100 argument scale."""
+    """percentile(value, N): InfluxDB's 0..100 argument scale AND its
+    nearest-rank semantics — the result is an ACTUAL sample point selected
+    by round-half-up rank (influxdb functions.go PercentileReduce:
+    idx = floor(n*p/100 + 0.5) - 1), not an interpolated value."""
     q = (
         "SELECT percentile(\"value\", 50) FROM \"sensors\" "
         "WHERE key = 'temp'"
     )
     got = influxql(q, {"sensors": sensors}).collect()[0]["percentile"]
+    import math
+
     import pytest as _pytest
 
-    want = sensors.where(F.col("key") == "temp").selectExpr(
-        "percentile(value, 0.5) AS p"
-    ).collect()[0]["p"]
+    samples = sorted(
+        r["value"] for r in sensors.where(F.col("key") == "temp").collect()
+    )
+    idx = math.floor(len(samples) * 50 / 100.0 + 0.5) - 1
+    want = samples[idx]
     assert got == _pytest.approx(want)
+    assert got in samples  # an actual observation, never interpolated
     with _pytest.raises(ValueError):
         influxql('SELECT percentile("value", 101) FROM "sensors"', {"sensors": sensors})
     with _pytest.raises(ValueError):
@@ -627,3 +635,51 @@ def test_groupby_tag_only_and_or_tag_values(spark, sensors):
             "WHERE (\"key\" = 'temp' OR \"other\" = 'x')",
             t,
         )
+
+
+def test_tz_fill_spine_across_dst_transition(spark):
+    """tz() + fill() across a DST change (ADVICE r4): local-midnight day
+    buckets are NOT uniformly spaced in UTC — America/New_York midnights sit
+    at 05:00Z before the 2024-03-10 spring-forward and 04:00Z after. The
+    spine must follow the local grid (so real aggregate rows survive the
+    left join and filled rows land on true bucket instants), not a fixed
+    24h UTC ladder that drifts an hour off after the transition."""
+    df = spark.createDataFrame(
+        [
+            ("2024-03-08 12:00:00", 1.0),  # local 03-08 07:00 EST -> bucket 03-08 05:00Z
+            ("2024-03-11 12:00:00", 5.0),  # local 03-11 08:00 EDT -> bucket 03-11 04:00Z
+        ],
+        ["ts", "value"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    q = (
+        "SELECT count(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-03-08 05:00:00' AND time <= '2024-03-12 23:00:00' "
+        "GROUP BY time(1d) fill(0) ORDER BY time ASC tz('America/New_York')"
+    )
+    rows = influxql(q, {"m": df}).collect()
+    assert [(str(r["time"]), r["count"]) for r in rows] == [
+        ("2024-03-08 05:00:00", 1),  # EST grid
+        ("2024-03-09 05:00:00", 0),
+        ("2024-03-10 05:00:00", 0),  # transition day: local midnight still 05:00Z
+        ("2024-03-11 04:00:00", 1),  # EDT grid — post-transition buckets shift 1h
+        ("2024-03-12 04:00:00", 0),
+    ]
+
+    # fall-back (2024-11-03): the grid shifts 04:00Z -> 05:00Z, and the
+    # repeated local hour collapses to a single bucket label, matching the
+    # aggregate's own image.
+    df2 = spark.createDataFrame(
+        [("2024-11-04 12:00:00", 9.0)], ["ts", "value"]
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    q2 = (
+        "SELECT count(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-11-02 04:00:00' AND time <= '2024-11-05 23:00:00' "
+        "GROUP BY time(1d) fill(0) ORDER BY time ASC tz('America/New_York')"
+    )
+    rows2 = influxql(q2, {"m": df2}).collect()
+    assert [(str(r["time"]), r["count"]) for r in rows2] == [
+        ("2024-11-02 04:00:00", 0),  # EDT grid
+        ("2024-11-03 04:00:00", 0),  # transition day starts on the EDT grid
+        ("2024-11-04 05:00:00", 1),  # EST grid
+        ("2024-11-05 05:00:00", 0),
+    ]

@@ -158,3 +158,41 @@ def test_property_roundtrip_random_messages():
         assert [(bytes(x.key), x.timestampMs) for x in back3.timer] == ts
 
     run()
+
+
+def test_unset_submessage_view_is_frozen():
+    """Reading an unset singular message field yields a read-only default
+    view: in-place mutation raises instead of being silently discarded
+    (this runtime does not auto-vivify like real protobuf — ADVICE r4)."""
+    req = sm.StateRequest()
+    view = req.statefulProcessorCall  # unset -> frozen default view
+    assert req.SerializeToString() == b""  # reading did not set the field
+    with pytest.raises(AttributeError, match="auto-vivify"):
+        view.setHandleState = sm.SetHandleState(state=sm.INITIALIZED)
+    # repeated fields of a frozen view also fail loudly rather than vanish
+    timer_resp = sm.StateResponseWithTimer()
+    # construct a frozen view whose type has a repeated field
+    frozen = sm.StateRequest().statefulProcessorCall
+    for fname, fd in frozen.DESCRIPTOR.fields_by_name.items():
+        if fd.repeated:
+            with pytest.raises(AttributeError, match="unset submessage"):
+                getattr(frozen, fname).append(b"x")
+            break
+    # the supported construct-and-assign path still works
+    req.statefulProcessorCall = sm.StatefulProcessorCall(
+        setHandleState=sm.SetHandleState(state=sm.INITIALIZED)
+    )
+    assert req.SerializeToString() == bytes.fromhex("12040a020802")
+    assert timer_resp.SerializeToString() == b""
+
+
+def test_vendored_google_is_namespace_extending():
+    """The vendored google/__init__.py must not shadow other installed
+    google.* distributions: it extends __path__ with every google dir on
+    sys.path (pkgutil.extend_path) instead of claiming the namespace."""
+    import google
+
+    if "_vendor" not in google.__file__:
+        pytest.skip("real protobuf installed; vendor tree inactive")
+    src = open(google.__file__).read()
+    assert "extend_path" in src

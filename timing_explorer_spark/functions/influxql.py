@@ -99,7 +99,17 @@ def _agg_column(fn: str, field: str, time_col: str = "ts", arg: str | None = Non
         p = float(arg)
         if not 0 <= p <= 100:
             raise ValueError(f"percentile argument {p} outside [0, 100]")
-        return F.percentile(col, F.lit(p / 100.0))
+        # InfluxDB PERCENTILE is nearest-rank and returns an ACTUAL sample
+        # point, not an interpolated value (influxdb query/functions.go
+        # PercentileReduce: idx = floor(n*p/100 + 0.5) - 1, nil when idx<0).
+        # Reproduce that exactly: sort the group's samples, round-half-up
+        # index. collect_list bounds memory by group size — the InfluxQL
+        # surface always buckets by time(), so groups are bucket-sized; the
+        # interpolated-percentile scale path remains q_percentile_bands /
+        # approx_percentile.
+        vals = F.array_sort(F.collect_list(col))
+        idx = F.floor(F.size(vals) * F.lit(p) / F.lit(100.0) + F.lit(0.5)).cast("int")
+        return F.when(idx >= 1, F.get(vals, idx - 1))
     if fn == "mean":
         return exact_avg(col, "decimal(27,8)")
     if fn == "sum":
@@ -218,6 +228,52 @@ def _spine_start(t_lo: str, step_us: int, tz: str | None) -> Column:
     return F.to_utc_timestamp(floored, tz)
 
 
+def _fill_spine(spark, t_lo: str, t_hi: str, step_us: int, tz: str | None):
+    """The fill() time spine: one row per GROUP BY time() bucket start in
+    [t_lo, t_hi], matching _bucket_col's alignment exactly.
+
+    Without tz() the buckets are a fixed UTC grid, so a plain F.sequence
+    works. With tz() the buckets are aligned to the zone's LOCAL wall clock
+    (_bucket_col floors in local time), and local-aligned buckets are NOT
+    uniformly spaced in UTC across a DST transition — a UTC-stepped sequence
+    would drift off the real bucket labels after the change. So generate the
+    grid in local naive time (where it IS uniform), convert each element
+    back with to_utc_timestamp, and dedupe: at spring-forward the skipped
+    local hour collapses onto the next bucket's UTC instant (same collapse
+    _bucket_col applies to data rows), and at fall-back the repeated local
+    hour maps to the single instant to_utc_timestamp picks — again matching
+    the aggregate's own label image, so the left join keys line up bucket
+    for bucket.
+    """
+    if tz is None:
+        seq = F.sequence(
+            _spine_start(t_lo, step_us, None),
+            F.lit(t_hi).cast("timestamp"),
+            F.expr(f"INTERVAL {step_us} MICROSECOND"),
+        )
+        return spark.range(1).select(F.explode(seq).alias("time"))
+    local_lo = F.timestamp_micros(
+        (
+            F.floor(
+                F.unix_micros(F.from_utc_timestamp(F.lit(t_lo).cast("timestamp"), tz))
+                / F.lit(step_us)
+            )
+            * F.lit(step_us)
+        ).cast("bigint")
+    )
+    local_hi = F.from_utc_timestamp(F.lit(t_hi).cast("timestamp"), tz)
+    seq = F.transform(
+        F.sequence(local_lo, local_hi, F.expr(f"INTERVAL {step_us} MICROSECOND")),
+        lambda x: F.to_utc_timestamp(x, tz),
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(seq).alias("time"))
+        .where(F.col("time") <= F.lit(t_hi).cast("timestamp"))
+        .distinct()
+    )
+
+
 def _split_projections(proj: str) -> list[str]:
     """Split a SELECT list on top-level commas (commas inside parentheses —
     aggregate arguments — don't split)."""
@@ -291,15 +347,7 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
         if t_lo is None or t_hi is None:
             raise ValueError("fill() requires an explicit time range in WHERE")
         spark = df.sparkSession
-        spine = spark.range(1).select(
-            F.explode(
-                F.sequence(
-                    _spine_start(t_lo, step_us, m.group("tz")),
-                    F.lit(t_hi).cast("timestamp"),
-                    F.expr(f"INTERVAL {step_us} MICROSECOND"),
-                )
-            ).alias("time")
-        )
+        spine = _fill_spine(spark, t_lo, t_hi, step_us, m.group("tz"))
         if tag:
             spine = F.broadcast(spine.join(df.select(tag).distinct()))
         out = F.broadcast(spine).join(out, keys, "left")
@@ -588,15 +636,7 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             if t_lo is None or t_hi is None:
                 raise ValueError("fill() requires an explicit time range in WHERE")
             spark = df.sparkSession
-            spine = spark.range(1).select(
-                F.explode(
-                    F.sequence(
-                        _spine_start(t_lo, step_us, m.group("tz")),
-                        F.lit(t_hi).cast("timestamp"),
-                        F.expr(f"INTERVAL {step_us} MICROSECOND"),
-                    )
-                ).alias("time")
-            )
+            spine = _fill_spine(spark, t_lo, t_hi, step_us, m.group("tz"))
             if tag:
                 spine = F.broadcast(spine.join(df.select(tag).distinct()))
             out = F.broadcast(spine).join(out, keys, "left")

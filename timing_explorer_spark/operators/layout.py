@@ -98,6 +98,22 @@ def compact_parquet(
     import math
     import os
 
+    # The overwrite write would delete the very files the lazy scan is
+    # reading: refuse overlapping src/dst outright (same dir, dst nested
+    # under src, or src nested under dst).
+    src_real = os.path.realpath(src_dir)
+    dst_real = os.path.realpath(dst_dir)
+    if (
+        dst_real == src_real
+        or dst_real.startswith(src_real + os.sep)
+        or src_real.startswith(dst_real + os.sep)
+    ):
+        raise ValueError(
+            f"compact_parquet: dst_dir {dst_dir!r} overlaps src_dir {src_dir!r}; "
+            "the overwrite would destroy the source mid-scan — write to a "
+            "sibling directory and swap"
+        )
+
     total = 0
     n_before = 0
     for root, _dirs, files in os.walk(src_dir):

@@ -24,7 +24,14 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.numeric import exact_avg, exact_sum, grouped_exact_sum, units
+from ..functions.numeric import (
+    exact_avg,
+    exact_sum,
+    grouped_exact_sum,
+    merge_split_sum,
+    split_exact_sum,
+    units,
+)
 from ..sources.tables import load
 from .registry import register
 
@@ -64,39 +71,53 @@ def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
 
-    # Two-level exact aggregation (functions/numeric.py rationale): partial
-    # long sums per (group, partition) — overflow-free within a partition's
-    # bounded row count — then a decimal merge over the tiny partial set.
-    # ~2x faster than summing decimals row-by-row, still bit-reproducible
-    # and overflow-safe at any scale. Charge has 6 rational decimals, so its
-    # scale is 10^6 (units() rule: 10^4 lands exactly on .5 and the
+    # Single-level exact aggregation on the long fast path: each money sum is
+    # a split-accumulator pair (functions/numeric.py::split_exact_sum — two
+    # plain long sums per measure, exact for ~2^43 rows PER GROUP, i.e.
+    # petabyte-scale lineitem), recombined in decimal once per group AFTER
+    # the merge. One HashAggregate pair, ONE exchange — the round-4 plan's
+    # per-(group, partition-id) pre-aggregation achieved the same overflow
+    # safety but cost a second HashAggregate+Exchange level (r4 verdict
+    # lever (b)); partial long sums are algebraic, so the extra level bought
+    # nothing. Charge has 6 rational decimals, so its scale is 10^6
+    # (units() rule: at 10^4 the scaled value lands exactly on .5 and
     # round-half mode would leak into the result).
-    partial = (
+    base_hi, base_lo = split_exact_sum(F.col("l_extendedprice"), 10000)
+    dp_hi, dp_lo = split_exact_sum(disc_price, 10000)
+    ch_hi, ch_lo = split_exact_sum(charge, 1000000)
+    dc_hi, dc_lo = split_exact_sum(F.col("l_discount"), 100000000)
+    agg = (
         li.where(F.col("l_shipdate") <= F.lit("2000-12-01 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("__pid"))
+        .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").alias("p_qty"),
-            F.sum(units(F.col("l_extendedprice"), 10000)).alias("p_base"),
-            F.sum(units(disc_price, 10000)).alias("p_disc_price"),
-            F.sum(units(charge, 1000000)).alias("p_charge"),
-            F.sum(units(F.col("l_discount"), 100000000)).alias("p_disc"),
-            F.count(F.lit(1)).alias("p_n"),
+            F.sum("l_quantity").alias("sum_qty"),
+            base_hi.alias("__bh"),
+            base_lo.alias("__bl"),
+            dp_hi.alias("__dh"),
+            dp_lo.alias("__dl"),
+            ch_hi.alias("__ch"),
+            ch_lo.alias("__cl"),
+            dc_hi.alias("__sh"),
+            dc_lo.alias("__sl"),
+            F.count(F.lit(1)).alias("count_order"),
         )
     )
-
-    def merged(c, denom):
-        return F.sum(F.col(c).cast("decimal(38,0)")).cast("double") / F.lit(denom)
-
-    n = F.sum("p_n")
-    return partial.groupBy("l_returnflag", "l_linestatus").agg(
-        F.sum("p_qty").alias("sum_qty"),
-        merged("p_base", 10000.0).alias("sum_base_price"),
-        merged("p_disc_price", 10000.0).alias("sum_disc_price"),
-        merged("p_charge", 1000000.0).alias("sum_charge"),
-        (F.sum("p_qty") / n).alias("avg_qty"),
-        (merged("p_base", 10000.0) / n).alias("avg_price"),
-        (merged("p_disc", 100000000.0) / n).alias("avg_disc"),
-        n.alias("count_order"),
+    n = F.col("count_order")
+    base = merge_split_sum(F.col("__bh"), F.col("__bl"), 10000)
+    dp = merge_split_sum(F.col("__dh"), F.col("__dl"), 10000)
+    ch = merge_split_sum(F.col("__ch"), F.col("__cl"), 1000000)
+    dc = merge_split_sum(F.col("__sh"), F.col("__sl"), 100000000)
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        base.alias("sum_base_price"),
+        dp.alias("sum_disc_price"),
+        ch.alias("sum_charge"),
+        (F.col("sum_qty") / n).alias("avg_qty"),
+        (base / n).alias("avg_price"),
+        (dc / n).alias("avg_disc"),
+        "count_order",
     )
 
 
