@@ -122,10 +122,11 @@ def main() -> None:
     # separately and never touch the cache.
     from timing_explorer_spark.sources.tables import warm_cache
 
-    # 16 cache partitions ≈ 38k rows/task at sf0.1: re-measured grid (8/16/32)
-    # after the long-units aggregation rewrite — 16 is the sweet spot (the
-    # heavier agg scans now benefit from the extra scan-side parallelism,
-    # while 32 pays more task-launch overhead than it recovers).
+    # 16 cache partitions ≈ 38k rows/task at sf0.1 for the FACT tables:
+    # re-measured grid (8/16/32) after the long-units aggregation rewrite —
+    # 16 is the sweet spot (the heavier agg scans benefit from scan-side
+    # parallelism, while 32 pays more task-launch overhead than it
+    # recovers). Small tables override per-table below.
     # The fact tables are HASH-bucketed by their dominant join key — the
     # in-memory analog of a bucketed on-disk layout (warm_cache docstring):
     # with preferSortMergeJoin=false this turns lineitem⋈orders and the
@@ -136,10 +137,26 @@ def main() -> None:
     # pinned copy (measured: q_events_per_window 0.131→0.094 s, q_asof
     # 0.135→0.105 s at sf0.1 — wide cold columns tax every cached batch
     # scan even when pruned at the plan level).
+    # Partition counts track TABLE SIZE (r5 grid; see scripts/bench_sf1.py
+    # for the full rationale): every task costs ~3-5 ms of scheduling, and
+    # broadcast-hash-join builds re-scan their cached dim per execution, so
+    # a 5-row region cached across 16 partitions pays 16 task launches per
+    # build. Dims drop to 1-2 partitions, events (100k rows) to 4; the two
+    # bucketed fact tables keep the full width so their orderkey SHJ stays
+    # co-partitioned and exchange-free. Measured (same-session A/B at
+    # sf0.1): q01 0.192->0.12, q03 0.192->0.15, q05 0.183->0.15 s.
     warm_cache(
         spark,
         sf_dir,
         n_partitions=16,
+        partition_counts={
+            "region": 1,
+            "nation": 1,
+            "supplier": 1,
+            "customer": 2,
+            "part": 2,
+            "events": 4,
+        },
         partition_keys={
             "lineitem": "l_orderkey",
             "orders": "o_orderkey",
@@ -198,6 +215,23 @@ def main() -> None:
     bench_streaming_throughput(spark, n_events=50_000)
     streaming = bench_streaming_throughput(spark)
 
+    # The reference's core metric: sink-side event-time lag
+    # (InfluxDBSink.java:38-39,52-53 histogram). Live wall-clock rate
+    # source -> watermark -> keyed 1s windows -> foreachBatch sink; lag =
+    # sink time - window label, p50/p95/p99 over a 12s run at 1k and 10k
+    # events/s (the reference throttles to 20 ev/s; these rates show the
+    # margin). Latency here is window-close dominated: ~1s wait for the
+    # sealing event + trigger interval + batch time.
+    from timing_explorer_spark.streaming.metrics import measure_event_time_lag
+
+    latency = {
+        "metric": "sink_event_time_lag",
+        "rates": [
+            measure_event_time_lag(spark, 1_000, run_seconds=12.0),
+            measure_event_time_lag(spark, 10_000, run_seconds=12.0),
+        ],
+    }
+
     # One more dimension: the composed corpus-prep pipeline (hash sample ->
     # PII scrub -> quality gate -> exact dedup -> chunking in one plan) —
     # the end-to-end training-data shape, timed warm like the headline set.
@@ -212,13 +246,14 @@ def main() -> None:
 
     # Transparent comparator: the SAME oracle SQL each headline query is
     # hash-verified against, timed hot in DuckDB (min of 3 after a warm-up
-    # pass) on the same parquet files — so the JSON carries both sides of
-    # the "within 2x of baseline" gate, not just ours.
-    duck = {}
-    try:
-        from timing_explorer_spark.testing import duckdb_connection
-
-        con = duckdb_connection(sf_dir)
+    # pass) — TWO columns (r4 verdict task #2):
+    #   duckdb_comparator: parquet VIEWS (re-decodes parquet per run — the
+    #     cold-storage analog, kept for cross-round comparability)
+    #   duckdb_native: CREATE TABLE AS native tables (decoded once into
+    #     DuckDB's own columnar memory — the resident-engine analog of our
+    #     pinned cache; the 2x gate is judged against THIS column)
+    def time_duckdb(con) -> dict[str, float]:
+        out: dict[str, float] = {}
         for name, spec in sorted(specs.items()):
             if not spec.oracle:
                 continue
@@ -228,9 +263,21 @@ def main() -> None:
                 t0 = time.monotonic()
                 con.execute(spec.oracle).fetchall()
                 runs.append(time.monotonic() - t0)
-            duck[name] = round(min(runs), 3)
+            out[name] = round(min(runs), 3)
+        return out
+
+    duck: dict[str, float] = {}
+    duck_native: dict[str, float] = {}
+    try:
+        from timing_explorer_spark.testing import (
+            duckdb_connection,
+            duckdb_native_connection,
+        )
+
+        duck = time_duckdb(duckdb_connection(sf_dir))
+        duck_native = time_duckdb(duckdb_native_connection(sf_dir))
     except Exception:  # noqa: BLE001 — comparator is informational only
-        duck = {}
+        pass
 
     total = round(sum(timings.values()), 3)
     print(
@@ -245,10 +292,15 @@ def main() -> None:
                 "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,
                 "streaming": streaming,
+                "latency": latency,
                 "pipeline": pipeline,
                 "duckdb_comparator": {
                     "total": round(sum(duck.values()), 3),
                     "queries": duck,
+                },
+                "duckdb_native": {
+                    "total": round(sum(duck_native.values()), 3),
+                    "queries": duck_native,
                 },
             }
         )

@@ -1,0 +1,158 @@
+#!/usr/bin/env python
+"""LLM heavy-op scale evidence at sf1 (r4 verdict task #4).
+
+The dedup/BPE/packing operators carry "bucketed, no all-pairs" design
+claims verified on 500-5000-doc toys; this script measures them on the
+50k-doc sf1 corpus (scripts/make_sf1.py tiles sf0.1 10x with text kept
+verbatim — a heavily-duplicated crawl: every doc has 10 copies, the
+adversarial shape for dedup). For each op it records:
+
+  - cold + warm wall seconds (warm = min of 2 after the cold pass)
+  - total shuffle write bytes (REST /api/v1 stage metrics, delta per op)
+  - per-task skew: for every completed stage with meaningful shuffle-read,
+    max-task vs median-task shuffle read bytes from the REST taskSummary
+    quantiles; the run FAILS (nonzero exit) if any stage exceeds
+    MAX_OVER_MEDIAN x median (straggler bound, r4 verdict: 4x) —
+    the measured form of the "no task dominates" claim.
+
+Prints ONE JSON line; recorded in BENCH_sf1.json's "llm_ops" block.
+
+Usage: python scripts/bench_sf1_llm.py [fixture_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from make_sf1 import make_sf1  # noqa: E402
+
+OPS = (
+    "q_jaccard_neardup_pairs",
+    "q_minhash_lsh_neardup",
+    "q_neardup_components",
+    "q_bpe_merge_table",
+    "q_sequence_packing",
+)
+UI_PORT = 4058
+MAX_OVER_MEDIAN = 4.0
+MIN_STAGE_SHUFFLE = 4 * 1024 * 1024  # ignore trivial stages (task floor noise)
+
+
+def _rest(path: str):
+    with urllib.request.urlopen(f"http://localhost:{UI_PORT}/api/v1{path}", timeout=10) as r:
+        return json.loads(r.read())
+
+
+def _app_id() -> str:
+    return _rest("/applications")[0]["id"]
+
+
+def _completed_stages(app: str) -> list[dict]:
+    return _rest(f"/applications/{app}/stages?status=COMPLETE")
+
+
+def _stage_task_skew(app: str, stage: dict) -> dict | None:
+    """Max vs median per-task shuffle-read bytes for one completed stage."""
+    sid, att = stage["stageId"], stage["attemptId"]
+    try:
+        summ = _rest(
+            f"/applications/{app}/stages/{sid}/{att}/taskSummary"
+            "?quantiles=0.5,1.0"
+        )
+    except Exception:  # noqa: BLE001 — stage evicted from the UI store
+        return None
+    read = summ.get("shuffleReadMetrics", {}).get("readBytes")
+    if not read:
+        return None
+    median, mx = float(read[0]), float(read[1])
+    if mx < MIN_STAGE_SHUFFLE:
+        return None
+    return {
+        "stage": sid,
+        "name": stage.get("name", "")[:60],
+        "median_task_shuffle_read": int(median),
+        "max_task_shuffle_read": int(mx),
+        "ratio": round(mx / max(median, 1.0), 2),
+    }
+
+
+def main() -> int:
+    sf_dir = make_sf1(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1-fixture")
+
+    from timing_explorer_spark.operators.dedup import release_cached
+    from timing_explorer_spark.plans import all_queries
+    from timing_explorer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="timing-explorer-spark-bench-sf1-llm",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            "spark.ui.retainedStages": "2000",
+            "spark.sql.autoBroadcastJoinThreshold": str(32 * 1024 * 1024),
+        },
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.sparkContext.setLogLevel("WARN")
+    app = _app_id()
+    specs = all_queries()
+
+    results: dict[str, dict] = {}
+    violations: list[dict] = []
+    for name in OPS:
+        release_cached()  # each op pays its own materialized intermediates
+        spec = specs[name]
+        seen_stages = {(s["stageId"], s["attemptId"]) for s in _completed_stages(app)}
+        shuffle_before = sum(s["shuffleWriteBytes"] for s in _completed_stages(app))
+
+        df = spec.build(spark, sf_dir)
+        t0 = time.monotonic()
+        df.write.mode("overwrite").format("noop").save()
+        cold = time.monotonic() - t0
+        warm_runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            df.write.mode("overwrite").format("noop").save()
+            warm_runs.append(time.monotonic() - t0)
+
+        stages = _completed_stages(app)
+        shuffle_after = sum(s["shuffleWriteBytes"] for s in stages)
+        new_stages = [
+            s for s in stages if (s["stageId"], s["attemptId"]) not in seen_stages
+        ]
+        skews = [k for s in new_stages if (k := _stage_task_skew(app, s))]
+        worst = max(skews, key=lambda k: k["ratio"], default=None)
+        for k in skews:
+            if k["ratio"] > MAX_OVER_MEDIAN:
+                violations.append({"op": name, **k})
+        results[name] = {
+            "cold_sec": round(cold, 3),
+            "warm_sec": round(min(warm_runs), 3),
+            "shuffle_write_bytes": int(shuffle_after - shuffle_before),
+            "stages_profiled": len(skews),
+            "worst_task_skew": worst,
+        }
+
+    release_cached()
+    out = {
+        "metric": "sf1_llm_ops",
+        "unit": "sec",
+        "sf": 1.0,
+        "corpus": "50k docs (10x-tiled sf0.1, verbatim text: every doc x10 copies)",
+        "task_skew_bound": MAX_OVER_MEDIAN,
+        "ops": results,
+        "skew_violations": violations,
+    }
+    print(json.dumps(out))
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -41,19 +41,42 @@ SHIFTED = {
     "part": ("p_partkey",),
     "supplier": ("s_suppkey",),
     "events": ("event_id", "user_id"),
+    # documents tile too (r4 verdict task #4 — scale evidence for the LLM
+    # heavy ops): doc_id shifts per replica, text kept VERBATIM, so the
+    # corpus models a heavily-duplicated crawl (every doc has 10 copies) —
+    # the realistic adversarial shape for dedup: exact-dup groups of 10,
+    # dense near-dup candidate clusters, connected components that merge
+    # replicas. 50k docs / ~10x the shingle index of sf0.1.
+    "documents": ("doc_id",),
 }
-COPIED = ("region", "nation", "documents", "embeddings")
+COPIED = ("region", "nation", "embeddings")
 
 
 def make_sf1(out_dir: str = "/tmp/sf1-fixture") -> str:
     import duckdb
 
+    con = duckdb.connect()
+
+    def fresh(t: str) -> bool:
+        path = os.path.join(out_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            return False
+        if t in SHIFTED:  # stale pre-tiling copies (e.g. documents) rebuild
+            src_n = con.execute(
+                f"SELECT COUNT(*) FROM read_parquet('{os.path.join(SRC, t)}.parquet')"
+            ).fetchone()[0]
+            out_n = con.execute(f"SELECT COUNT(*) FROM read_parquet('{path}')").fetchone()[0]
+            return out_n == src_n * N_REPLICAS
+        return True
+
     tables = list(SHIFTED) + list(COPIED)
-    if all(os.path.exists(os.path.join(out_dir, f"{t}.parquet")) for t in tables):
+    if all(fresh(t) for t in tables):
+        con.close()
         return out_dir
     os.makedirs(out_dir, exist_ok=True)
-    con = duckdb.connect()
     for t, keys in SHIFTED.items():
+        if fresh(t):
+            continue
         src = os.path.join(SRC, f"{t}.parquet")
         cols = [r[0] for r in con.execute(f"DESCRIBE SELECT * FROM read_parquet('{src}')").fetchall()]
         proj = ", ".join(

@@ -98,7 +98,7 @@ def test_scalar_aggregate_and_limit(spark, sensors):
         "DROP MEASUREMENT sensors",
         "SELECT value FROM nope",
         "SELECT mean(\"value\") FROM \"sensors\" GROUP BY time(1s) fill(null)",  # fill w/o range
-        "SELECT \"value\" FROM \"sensors\" WHERE key =~ /x/",  # regex match unsupported
+        "SELECT \"value\" FROM \"sensors\" WHERE key =~ x",  # regex needs /slashes/
     ],
 )
 def test_rejects_unsupported(spark, sensors, bad):
@@ -683,3 +683,93 @@ def test_tz_fill_spine_across_dst_transition(spark):
         ("2024-11-04 05:00:00", 1),  # EST grid
         ("2024-11-05 05:00:00", 0),
     ]
+
+
+def test_regex_tag_predicate(spark, sensors):
+    """"key" =~ /regex/ and !~ — Grafana's multi-value template variables in
+    'All' mode render regex tag filters (unanchored RE2; rlike matches)."""
+    q = (
+        "SELECT count(\"value\") FROM \"sensors\" WHERE \"key\" =~ /temp|nope/ "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30'"
+    )
+    assert influxql(q, {"sensors": sensors}).collect()[0]["count"] == 300
+    q_neg = q.replace("=~", "!~")
+    assert influxql(q_neg, {"sensors": sensors}).collect()[0]["count"] == 300  # pressure
+    # prefix match, unanchored
+    q_pre = q.replace("/temp|nope/", "/^pres/")
+    assert influxql(q_pre, {"sensors": sensors}).collect()[0]["count"] == 300
+
+
+def test_top_bottom_selectors(spark):
+    """top(field, N)/bottom(field, N): N greatest/least VALUES, each row
+    keeping its original point timestamp; grouped form takes N per bucket."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 4.0),
+            ("2024-01-01 00:00:01", 9.0),
+            ("2024-01-01 00:00:02", 1.0),
+            ("2024-01-01 00:01:00", 7.0),
+            ("2024-01-01 00:01:01", 2.0),
+            ("2024-01-01 00:01:02", 8.0),
+        ],
+        ["ts", "value"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    t = {"m": df}
+    rows = influxql('SELECT top("value", 2) FROM "m"', t).collect()
+    assert [(str(r["time"]), r["top"]) for r in rows] == [
+        ("2024-01-01 00:00:01", 9.0),
+        ("2024-01-01 00:01:02", 8.0),
+    ]
+    rows = influxql('SELECT bottom("value", 2) FROM "m"', t).collect()
+    assert [(str(r["time"]), r["bottom"]) for r in rows] == [
+        ("2024-01-01 00:00:02", 1.0),
+        ("2024-01-01 00:01:01", 2.0),
+    ]
+    # grouped: top-1 per minute keeps the point's own timestamp
+    rows = influxql(
+        'SELECT top("value", 1) FROM "m" '
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:02:00' "
+        "GROUP BY time(1m)",
+        t,
+    ).collect()
+    assert [(str(r["time"]), r["top"]) for r in rows] == [
+        ("2024-01-01 00:00:01", 9.0),
+        ("2024-01-01 00:01:02", 8.0),
+    ]
+    with pytest.raises(ValueError):
+        influxql('SELECT top("value", 0) FROM "m"', t)
+    with pytest.raises(ValueError):
+        influxql(
+            'SELECT top("value", 1) FROM "m" '
+            "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:02:00' "
+            "GROUP BY time(1m) fill(null)",
+            t,
+        )
+
+
+def test_elapsed_transformation(spark):
+    """elapsed(field[, unit]): truncated integer delta to the previous
+    point; first point dropped; default unit 1ns like InfluxDB."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00.000", 1.0),
+            ("2024-01-01 00:00:01.500", 2.0),
+            ("2024-01-01 00:00:04.200", 3.0),
+        ],
+        ["ts", "value"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    t = {"m": df}
+    rows = influxql('SELECT elapsed("value", 1s) FROM "m"', t).collect()
+    assert [(str(r["time"]), r["elapsed"]) for r in rows] == [
+        ("2024-01-01 00:00:01.500000", 1),  # 1.5s -> truncates to 1
+        ("2024-01-01 00:00:04.200000", 2),  # 2.7s -> 2
+    ]
+    rows_ns = influxql('SELECT elapsed("value") FROM "m"', t).collect()
+    assert [r["elapsed"] for r in rows_ns] == [1_500_000_000, 2_700_000_000]
+    with pytest.raises(ValueError):
+        influxql(
+            'SELECT elapsed("value", 1s) FROM "m" '
+            "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:02:00' "
+            "GROUP BY time(1m)",
+            t,
+        )

@@ -431,3 +431,18 @@ def test_reference_dashboard_targets_run_verbatim(spark, pipeline_run):
             if target.get("measurement") == "eventsPerSecond" or "eventsPerSecond" in q:
                 assert all(r["value"] == 10 for r in rows)  # the invariant
     assert n_targets == 3  # all three reference panels served
+
+
+def test_event_time_lag_bounded_at_reference_rate(spark):
+    """The reference's core metric (eventTimeLag histogram at the sink,
+    InfluxDBSink.java:38-39,52-53) under the reference's own source rate
+    (20 ev/s, TimestampSource PERIOD_MS=100 x 2 keys): lag must stay
+    bounded by window-close dynamics — ~1s wait for the sealing event +
+    trigger interval + batch time — not grow with the run."""
+    from timing_explorer_spark.streaming.metrics import measure_event_time_lag
+
+    stats = measure_event_time_lag(spark, 20, run_seconds=8.0, trigger_ms=250)
+    assert stats["windows_observed"] >= 4  # sealed windows actually flowed
+    # generous CI bound: a leaky/unbounded pipeline shows tens of seconds
+    assert stats["p50_ms"] < 8_000
+    assert stats["max_ms"] < 20_000

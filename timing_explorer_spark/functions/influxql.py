@@ -86,6 +86,19 @@ _RX_FIELD_CMP = re.compile(
 )
 _RX_TIME = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORECASE)
 _RX_BUCKET = re.compile(r'^time\((?P<n>\d+)(?P<u>[smhd])\)(?:\s*,\s*"?(?P<tag>\w+)"?)?$', re.IGNORECASE)
+# regex tag predicate: "key" =~ /pattern/ or !~ /pattern/ (Grafana template
+# variables in "All"/multi mode render these)
+_RX_TAG_REGEX = re.compile(r'^"?(?P<tag>\w+)"?\s*(?P<op>=~|!~)\s*/(?P<rx>[^/]*)/$')
+# top()/bottom() selector aggregates: N greatest/least field VALUES, each
+# with its ORIGINAL point timestamp (unlike max/min which collapse to one)
+_RX_TOPBOT = re.compile(
+    r'^(?P<fn>top|bottom)\(\s*"?(?P<field>\w+)"?\s*,\s*(?P<n>\d+)\s*\)$', re.IGNORECASE
+)
+# elapsed(field[, unit]) — per-point delta to the previous point
+_RX_ELAPSED = re.compile(
+    r'^elapsed\(\s*"?(?P<field>\w+)"?\s*(?:,\s*(?P<n>\d+)(?P<u>[smhd]))?\s*\)$',
+    re.IGNORECASE,
+)
 
 
 def _agg_column(fn: str, field: str, time_col: str = "ts", arg: str | None = None) -> Column:
@@ -274,6 +287,101 @@ def _fill_spine(spark, t_lo: str, t_hi: str, step_us: int, tz: str | None):
     )
 
 
+def _top_bottom(df: DataFrame, m: re.Match, mtb: re.Match, time_col: str) -> DataFrame:
+    """TOP(field, N) / BOTTOM(field, N) — InfluxDB selector aggregates: the
+    N greatest/least field values, each row keeping its ORIGINAL point
+    timestamp (unlike max()/min(), which collapse to one row per bucket).
+
+    - no GROUP BY: global top/bottom N (sort + limit — Spark plans a
+      TakeOrderedAndProject, no full sort materializes);
+    - GROUP BY time(i)[, tag]: N per bucket(/series) via row_number over a
+      (bucket[, tag])-partitioned window — bounded rows per partition at
+      any fact scale;
+    - GROUP BY tag: N per series.
+    Ties break on earlier timestamp (deterministic; matches InfluxDB's
+    first-encountered-in-time-order behavior). The (field, tag, N) 3-arg
+    form is not supported.
+    """
+    from pyspark.sql import Window
+
+    fn = mtb.group("fn").lower()
+    field, n = mtb.group("field"), int(mtb.group("n"))
+    if n < 1:
+        raise ValueError(f"{fn}() point count must be >= 1")
+    if (m.group("fill") or "none").lower() != "none":
+        raise ValueError(f"fill() is not supported with {fn}()")
+    val = F.col(field)
+    order = [val.desc() if fn == "top" else val.asc(), F.col(time_col).asc()]
+    order_dir = (m.group("dir") or "ASC").upper()
+    group = (m.group("group") or "").strip()
+    sel_time = F.col(time_col).alias("time")
+    base = df.where(val.isNotNull())
+    if not group:
+        out = base.orderBy(*order).limit(n).select(sel_time, val.alias(fn))
+    elif group.lower().startswith("time("):
+        mb = _RX_BUCKET.match(group)
+        if not mb:
+            raise ValueError(f"unsupported GROUP BY: {group!r}")
+        step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
+        tag = mb.group("tag")
+        bucket = _bucket_col(time_col, step_us, m.group("tz"))
+        tag_cols = [tag] if tag else []
+        w = Window.partitionBy("__b", *tag_cols).orderBy(*order)
+        out = (
+            base.select(bucket.alias("__b"), *tag_cols, F.col(time_col), val)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .select(sel_time, *tag_cols, val.alias(fn))
+        )
+    else:
+        tag = group.strip('"')
+        w = Window.partitionBy(tag).orderBy(*order)
+        out = (
+            base.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .select(sel_time, F.col(tag), val.alias(fn))
+        )
+    out = out.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
+    return out.limit(int(m.group("limit"))) if m.group("limit") else out
+
+
+def _elapsed(df: DataFrame, m: re.Match, mel: re.Match, time_col: str) -> DataFrame:
+    """ELAPSED(field[, unit]) — per-point delta to the previous observed
+    point of the series, truncated integer units (InfluxDB semantics; the
+    first point has no predecessor and is dropped). Default unit is 1ns,
+    like InfluxDB — our micro-precision timestamps scale exactly by 1000.
+
+    The lag window is unpartitioned BY DESIGN: elapsed() operates on one
+    raw series, which InfluxQL usage always bounds with a WHERE time range
+    (the dashboards' $timeFilter); this mirrors the raw-projection path,
+    which equally returns a bounded single series.
+    """
+    from pyspark.sql import Window
+
+    if m.group("group"):
+        raise ValueError("elapsed() operates on raw points; GROUP BY is not supported")
+    field = mel.group("field")
+    unit_us = (
+        int(mel.group("n")) * _UNIT_US[mel.group("u")] if mel.group("n") else None
+    )
+    order_dir = (m.group("dir") or "ASC").upper()
+    w = Window.orderBy(time_col)
+    t_us = F.unix_micros(F.col(time_col))
+    prev = F.lag(t_us).over(w)
+    delta = (
+        (t_us - prev) * 1000  # default: nanoseconds
+        if unit_us is None
+        else F.floor((t_us - prev) / F.lit(unit_us)).cast("long")
+    )
+    out = (
+        df.where(F.col(field).isNotNull())
+        .select(F.col(time_col).alias("time"), delta.alias("elapsed"))
+        .where(F.col("elapsed").isNotNull())
+        .orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
+    )
+    return out.limit(int(m.group("limit"))) if m.group("limit") else out
+
+
 def _split_projections(proj: str) -> list[str]:
     """Split a SELECT list on top-level commas (commas inside parentheses —
     aggregate arguments — don't split)."""
@@ -450,6 +558,14 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
                     else c != mg.group("val")
                 )
                 continue
+            # regex tag predicate: "key" =~ /a|b/ (InfluxDB Go-RE2,
+            # unanchored — rlike has the same unanchored contract; the
+            # common Grafana alternation/prefix patterns behave identically)
+            mrx = _RX_TAG_REGEX.match(cond)
+            if mrx:
+                c = F.col(mrx.group("tag")).rlike(mrx.group("rx"))
+                df = df.where(c if mrx.group("op") == "=~" else ~c)
+                continue
             # numeric field comparison — the alert-query shape
             # (WHERE "value" > 5 AND $timeFilter)
             mf = _RX_FIELD_CMP.match(cond)
@@ -473,6 +589,12 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
         # must be a plain aggregate; duplicate names get _1/_2 suffixes
         # (InfluxDB's column naming). Transformations stay single-select.
         return _multi_agg(m, projs, df, time_col, t_lo, t_hi)
+    mtb = _RX_TOPBOT.match(proj)
+    if mtb:
+        return _top_bottom(df, m, mtb, time_col)
+    mel = _RX_ELAPSED.match(proj)
+    if mel:
+        return _elapsed(df, m, mel, time_col)
     mtrans = _RX_TRANS.match(proj)
     if mtrans:
         proj = mtrans.group("inner").strip()

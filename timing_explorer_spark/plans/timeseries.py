@@ -1281,3 +1281,113 @@ def q_influxql_multi_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY time(1d) ORDER BY time ASC"
     )
     return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_top_n",
+    oracle="""
+        SELECT ts AS time, value AS top
+        FROM (
+            SELECT ts, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY make_timestamp(
+                           CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                           * 86400000000)
+                       ORDER BY value DESC, ts ASC) AS rn
+            FROM events
+            WHERE event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+        )
+        WHERE rn <= 3
+    """,
+    doc=(
+        "InfluxQL selector aggregate TOP(field, N) per day bucket — the "
+        "Grafana 'top N spikes per interval' idiom, run VERBATIM through "
+        "the translator (functions/influxql.py::_top_bottom). Unlike max(), "
+        "each returned row keeps its ORIGINAL point timestamp; ties break "
+        "on earlier time, so both engines select identically. Scale: "
+        "row_number over a (bucket)-partitioned window — bounded rows per "
+        "partition at any fact scale, no global sort."
+    ),
+    tags=("timeseries", "influxql", "topk"),
+)
+def q_influxql_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT top(\"value\", 3) FROM \"events\" "
+        "WHERE \"event_type\" = 'click' "
+        "AND time >= '2024-01-01 00:00:00' AND time <= '2024-01-15 00:00:00' "
+        "GROUP BY time(1d) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_regex_tag",
+    oracle="""
+        SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                              * 86400000000) AS time,
+               CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value)
+                   AS mean
+        FROM events
+        WHERE regexp_matches(event_type, 'click|view')
+          AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1
+    """,
+    doc=(
+        "InfluxQL regex tag predicate — WHERE \"event_type\" =~ /click|view/ "
+        "— the filter Grafana renders for multi-value template variables in "
+        "'All' mode, with a daily mean series. rlike and DuckDB "
+        "regexp_matches share the unanchored-match contract."
+    ),
+    tags=("timeseries", "influxql", "filter"),
+)
+def q_influxql_regex_tag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT mean(\"value\") FROM \"events\" "
+        "WHERE \"event_type\" =~ /click|view/ "
+        "AND time >= '2024-01-01 00:00:00' AND time <= '2024-01-15 00:00:00' "
+        "GROUP BY time(1d) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_elapsed",
+    oracle="""
+        SELECT time, elapsed FROM (
+            SELECT ts AS time,
+                   CAST(FLOOR((epoch_us(ts) - LAG(epoch_us(ts)) OVER (ORDER BY ts))
+                        / 1000000.0) AS BIGINT) AS elapsed
+            FROM events
+            WHERE event_type = 'purchase'
+              AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-03 00:00:00'
+        )
+        WHERE elapsed IS NOT NULL
+    """,
+    doc=(
+        "InfluxQL elapsed(field, 1s): truncated integer seconds between "
+        "consecutive observed points of a series (first point dropped) — "
+        "the cadence/heartbeat-gap diagnostic. The single-series window is "
+        "bounded by the WHERE time range, the same contract as the raw "
+        "projection path. Values depend only on the time sequence, so "
+        "equal-timestamp ties cannot diverge between engines."
+    ),
+    tags=("timeseries", "influxql", "interarrival"),
+)
+def q_influxql_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT elapsed(\"value\", 1s) FROM \"events\" "
+        "WHERE \"event_type\" = 'purchase' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-03 00:00:00' "
+        "ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})

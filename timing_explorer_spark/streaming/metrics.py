@@ -102,3 +102,97 @@ def prometheus_metrics_conf(ui_port: int = 4040) -> dict[str, str]:
         "spark.metrics.conf.*.sink.prometheusServlet.path": "/metrics/prometheus",
         "spark.sql.streaming.metricsEnabled": "true",
     }
+
+
+def live_rate_windows(
+    spark,
+    rows_per_second: int,
+    duration: str = "1 second",
+    watermark: str = "0 seconds",
+    n_keys: int = 2,
+) -> DataFrame:
+    """The reference pipeline shape driven by a LIVE wall-clock source: the
+    ``rate`` source stamps each row with its generation time, so event time
+    is real wall time and sink-side event-time lag is a real latency. Keys
+    round-robin like AssignKeyFunction's two generator instances."""
+    from ..session import ensure_confs
+
+    ensure_confs(spark)
+    base = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", rows_per_second)
+        .load()
+        .select(
+            F.col("timestamp").alias("ts"),
+            F.concat(F.lit("key-"), (F.col("value") % n_keys)).alias("key"),
+        )
+    )
+    return (
+        base.withWatermark("ts", watermark)
+        .groupBy("key", F.window("ts", duration).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "key",
+            (F.col("w.end") - F.expr("INTERVAL 1 MILLISECOND")).alias("window_end_label"),
+            "n_events",
+        )
+    )
+
+
+def measure_event_time_lag(
+    spark,
+    rows_per_second: int,
+    run_seconds: float = 12.0,
+    trigger_ms: int = 500,
+    checkpoint_dir: str | None = None,
+) -> dict[str, Any]:
+    """Drive the live-rate pipeline for ``run_seconds`` and collect the
+    reference's core metric — sink-side event-time lag (now − window label
+    at the moment the sink receives the row; InfluxDBSink.java:38-39,52-53
+    keeps exactly this histogram) — returning p50/p95/p99/max in ms.
+
+    The lag is computed INSIDE the batch (event_time_lag expression, JVM
+    clock) so host-vs-session timezone can't skew it; the sealed-window
+    output is #keys rows per second, so the driver-side collect is bounded
+    regardless of input rate."""
+    import tempfile
+    import time as _time
+
+    lags: list[float] = []
+
+    def sink(batch_df: DataFrame, _bid: int) -> None:
+        for r in batch_df.select(
+            event_time_lag(F.col("window_end_label"))
+        ).collect():
+            lags.append(float(r["event_time_lag_ms"]))
+
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="lag-bench-ckpt-")
+    q = (
+        live_rate_windows(spark, rows_per_second)
+        .writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(processingTime=f"{trigger_ms} milliseconds")
+        .start()
+    )
+    try:
+        _time.sleep(run_seconds)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    lags.sort()
+
+    def pct(p: float) -> float | None:
+        if not lags:
+            return None
+        return round(lags[min(len(lags) - 1, int(p * len(lags)))], 1)
+
+    return {
+        "rows_per_second": rows_per_second,
+        "run_seconds": run_seconds,
+        "windows_observed": len(lags),
+        "p50_ms": pct(0.50),
+        "p95_ms": pct(0.95),
+        "p99_ms": pct(0.99),
+        "max_ms": round(lags[-1], 1) if lags else None,
+    }

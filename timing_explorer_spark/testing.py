@@ -27,6 +27,22 @@ def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     return con
 
 
+def duckdb_native_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Resident-engine comparator (r4 verdict task #2): the same tables
+    loaded as NATIVE DuckDB tables (CREATE TABLE AS — decoded once into
+    DuckDB's in-memory columnar format), the symmetric analog of the
+    bench's pinned Spark cache. duckdb_connection's parquet VIEWS re-decode
+    parquet on every execution, which understates DuckDB the same way a
+    cold Spark scan would understate Spark."""
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.execute(f"CREATE OR REPLACE TABLE {t} AS SELECT * FROM '{path}'")
+    return con
+
+
 def _canon_value(v) -> str:
     if v is None:
         return "NULL"
