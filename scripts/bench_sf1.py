@@ -102,15 +102,22 @@ def main() -> None:
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_width[name]))
         df.write.mode("overwrite").format("noop").save()
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name, df in sorted(plans.items()):
         spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_width[name]))
         df.write.mode("overwrite").format("noop").save()  # untimed block warm-up
         runs = []
-        for _ in range(4):
+        # 6 hot runs (was 4): at 0.1-0.5 s absolutes this host's co-tenant
+        # noise swings +-30%; min-of-6 tightens the band (PROGRESS r3/r4)
+        for _ in range(6):
             t0 = time.monotonic()
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.monotonic() - t0)
         timings[name] = round(min(runs), 3)
+        # [min, max] hot band — the co-tenant-noise witness (bench.py
+        # queries_hot_spread convention): a wide band means the host moved,
+        # not the plan; never compare cross-round without it
+        spread[name] = [round(min(runs), 3), round(max(runs), 3)]
 
     # The measured SCHEDULING FLOOR: a trivial 2-stage job (32 map + 8
     # reduce tasks over a cached 32-partition, 32-row table - the same task
@@ -174,6 +181,7 @@ def main() -> None:
                 "sf": 1.0,
                 "note": "10x-tiled sf0.1 fixture (scripts/make_sf1.py); spark+duckdb read the same parquet, duckdb_native loads it as native tables first",
                 "spark": timings,
+                "spark_hot_spread": spread,
                 "spark_total": round(sum(timings.values()), 3),
                 "scheduling_floor_sec": floor_sec,
                 "duckdb": duck,

@@ -773,3 +773,43 @@ def test_elapsed_transformation(spark):
             "GROUP BY time(1m)",
             t,
         )
+
+
+def test_fill_spine_equals_bucket_image_any_zone(spark):
+    """Property: for any tz and step, the fill() spine is exactly the set of
+    bucket labels _bucket_col would assign to instants densely covering the
+    range — so the left join never drops a real aggregate row or invents a
+    bucket that data could not produce (DST transitions included)."""
+    import datetime as dt
+
+    from timing_explorer_spark.functions.influxql import _bucket_col, _fill_spine
+
+    cases = [
+        # (tz, step_us, lo, hi) — ranges deliberately spanning the 2024 US
+        # spring-forward, US fall-back, EU spring-forward, and a half-hour
+        # offset zone (India, no DST)
+        ("America/New_York", 86_400_000_000, "2024-03-08 00:00:00", "2024-03-13 00:00:00"),
+        ("America/New_York", 86_400_000_000, "2024-11-01 00:00:00", "2024-11-06 00:00:00"),
+        ("Europe/Berlin", 43_200_000_000, "2024-03-30 00:00:00", "2024-04-01 12:00:00"),
+        ("Asia/Kolkata", 86_400_000_000, "2024-06-01 00:00:00", "2024-06-04 00:00:00"),
+        (None, 21_600_000_000, "2024-01-01 00:00:00", "2024-01-03 00:00:00"),
+    ]
+    for tz, step_us, lo, hi in cases:
+        lo_dt = dt.datetime.fromisoformat(lo)
+        hi_dt = dt.datetime.fromisoformat(hi)
+        n_hours = int((hi_dt - lo_dt).total_seconds() // 3600)
+        dense = spark.range(n_hours + 1).select(
+            (
+                F.lit(lo).cast("timestamp")
+                + F.make_interval(hours=F.col("id").cast("int"))
+            ).alias("ts")
+        )
+        image = {
+            r["time"]
+            for r in dense.select(_bucket_col("ts", step_us, tz)).distinct().collect()
+        }
+        spine = {
+            r["time"]
+            for r in _fill_spine(spark, lo, hi, step_us, tz).collect()
+        }
+        assert spine == image, (tz, step_us, sorted(spine ^ image))

@@ -351,15 +351,87 @@ _SANCTIONED_NESTED_LOOP = {
 }
 
 
+# Queries whose plans contain an UNPARTITIONED window (all rows of the
+# window's input flow to one task). Sanctioned because each such window
+# operates on a BOUNDED intermediate, never on raw fact rows — the classes:
+#  (a) bounded time-bucket series (per-day/hour aggregate between the
+#      query's fixed time range): q_cusum_changepoints, q_theil_sen_trend,
+#      q_sax_symbols, q_gap_fill_interpolate, q_cumulative_distinct_users,
+#      q_kaplan_meier, q_influxql_moving_average, q_influxql_elapsed
+#      (InfluxQL transformations are defined over the $timeFilter-bounded
+#      aggregated series), q_event_transitions, q_concurrent_events
+#  (b) bounded group/value grids (distinct brands, sources, digit bins,
+#      quantile boundaries, vocab caps): q02_cheapest_part_per_brand,
+#      q20_dominant_suppliers, q_tfidf_top_terms, q_equidepth_histogram,
+#      q_benford_order_totals, q_zipf_slope, q_kl_source_divergence,
+#      q_ks_source_drift, q_winsorized_stats, q_mad_outliers,
+#      q_weighted_median_price, q_key_skew_report, q_mixture_token_budget
+#  (c) global ordered prefix-scans over per-entity AGGREGATES (a Lorenz
+#      curve / packing offset is inherently a global cumulative order;
+#      the window input is one row per entity/chunk, already reduced):
+#      q_pareto_revenue, q_sequence_packing, q_neardup_keep_best,
+#      q_semantic_dedup_keep_best
+# At 100 TB, class (c) would switch to the two-pass distributed prefix-scan
+# (per-partition totals broadcast as offsets — the pattern
+# plans/text_pipeline.py::q_sequence_packing documents); (a)/(b) stay
+# single-task by cardinality. NEW unpartitioned windows fail this audit.
+_SANCTIONED_GLOBAL_WINDOW = {
+    "q02_cheapest_part_per_brand",
+    "q20_dominant_suppliers",
+    "q_concurrent_events",
+    "q_tfidf_top_terms",
+    "q_mixture_token_budget",
+    "q_pareto_revenue",
+    "q_key_skew_report",
+    "q_event_transitions",
+    "q_influxql_moving_average",
+    "q_influxql_elapsed",
+    "q_sequence_packing",
+    "q_neardup_keep_best",
+    "q_semantic_dedup_keep_best",
+    "q_equidepth_histogram",
+    "q_weighted_median_price",
+    "q_benford_order_totals",
+    "q_gap_fill_interpolate",
+    "q_mad_outliers",
+    "q_cusum_changepoints",
+    "q_theil_sen_trend",
+    "q_sax_symbols",
+    "q_winsorized_stats",
+    "q_zipf_slope",
+    "q_kl_source_divergence",
+    "q_ks_source_drift",
+    "q_cumulative_distinct_users",
+    "q_kaplan_meier",
+}
+
+
+def _unpartitioned_windows(df) -> int:
+    """Count Window nodes with an empty partition spec in the executed plan.
+
+    WindowExec renders `Window [exprs], [partSpec], [orderSpec]` — an empty
+    partition spec collapses the render to two top-level bracket groups, so
+    fewer than two `], [` separators on the node line means global window.
+    """
+    s = df._jdf.queryExecution().executedPlan().toString()
+    return sum(
+        1
+        for line in s.splitlines()
+        if "Window [" in line and line.count("], [") < 2
+    )
+
+
 def test_plan_audit_all_queries(spark, sf_smoke):
     """Whole-registry physical-plan audit — the sweeping scale guarantees:
     no query ever plans a CartesianProduct; BroadcastNestedLoopJoin appears
     only in sanctioned scalar/band-join shapes; row-wise Python appears only
-    in the sanctioned Arrow-batched operators. Covers every registered
-    query, not just the PLANS.md sample."""
+    in the sanctioned Arrow-batched operators; unpartitioned (global)
+    windows appear only over sanctioned bounded intermediates. Covers every
+    registered query, not just the PLANS.md sample."""
     failures = []
     for name, spec in all_queries().items():
         try:
+            df = spec.build(spark, sf_smoke)
             plan = plan_of(spark, name, sf_smoke)
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: plan build failed: {exc}")
@@ -373,4 +445,6 @@ def test_plan_audit_all_queries(spark, sf_smoke):
         )
         if has_python and name not in _SANCTIONED_PYTHON:
             failures.append(f"{name}: unsanctioned Python in plan")
+        if _unpartitioned_windows(df) and name not in _SANCTIONED_GLOBAL_WINDOW:
+            failures.append(f"{name}: unsanctioned unpartitioned Window")
     assert not failures, "\n".join(failures)

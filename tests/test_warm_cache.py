@@ -84,3 +84,27 @@ def test_warm_cache_projection_pruning(spark):
     finally:
         drop_warm_cache(spark, SF)
     assert "props" in load(spark, SF, "events").columns
+
+
+def test_warm_cache_per_table_partition_counts(spark):
+    """partition_counts sizes each table's cached copy independently (the
+    size-tracked partitioning rule: dims at 1-2 partitions, facts at full
+    width) while results stay identical to the on-disk data."""
+    try:
+        disk_counts = {t: load(spark, SF, t).count() for t in ("region", "lineitem")}
+        warm_cache(
+            spark,
+            SF,
+            tables=("region", "lineitem"),
+            n_partitions=8,
+            partition_counts={"region": 1},
+            partition_keys={"lineitem": "l_orderkey"},
+        )
+        r = load(spark, SF, "region")
+        li = load(spark, SF, "lineitem")
+        assert r.rdd.getNumPartitions() == 1
+        assert li.rdd.getNumPartitions() == 8  # falls back to n_partitions
+        assert r.count() == disk_counts["region"]
+        assert li.count() == disk_counts["lineitem"]
+    finally:
+        drop_warm_cache(spark, SF)

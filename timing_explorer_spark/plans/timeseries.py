@@ -1391,3 +1391,47 @@ def q_influxql_elapsed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ORDER BY time ASC"
     )
     return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_percentile_series",
+    oracle="""
+        SELECT time, value AS percentile FROM (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                                  * 86400000000) AS time,
+                   value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                       ORDER BY value) AS rn,
+                   COUNT(*) OVER (
+                       PARTITION BY CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                   ) AS n
+            FROM events
+            WHERE event_type = 'view'
+              AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+        )
+        WHERE rn = CAST(FLOOR(n * 95 / 100.0 + 0.5) AS BIGINT) AND rn >= 1
+    """,
+    doc=(
+        "InfluxQL PERCENTILE(value, 95) per day — nearest-rank semantics "
+        "(functions/influxql.py::_agg_column: idx = floor(n*p/100 + 0.5), "
+        "an ACTUAL sample point, matching influxdb functions.go "
+        "PercentileReduce — NOT interpolated like Spark percentile / DuckDB "
+        "quantile_cont). The oracle reproduces the same rank selection via "
+        "row_number, so both engines pick identical sample values; "
+        "duplicate values at the rank boundary yield the same scalar "
+        "either way."
+    ),
+    tags=("timeseries", "influxql", "percentile"),
+)
+def q_influxql_percentile_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT percentile(\"value\", 95) FROM \"events\" "
+        "WHERE \"event_type\" = 'view' "
+        "AND time >= '2024-01-01 00:00:00' AND time <= '2024-01-15 00:00:00' "
+        "GROUP BY time(1d) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
