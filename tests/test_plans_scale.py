@@ -303,6 +303,9 @@ _SANCTIONED_PYTHON = {
     # decode-in-place where the bytes live — the sanctioned Python shape
     "q_media_wav_stats",
     "q_media_ppm_stats",
+    # per-series Nelder-Mead-fitted smoothing over the bounded GROUP BY
+    # time() aggregate (applyInPandas; raw facts never reach Python)
+    "q_influxql_holt_winters",
 }
 
 # Queries whose only nested-loop/cartesian shape is a deliberate 1-row
@@ -440,8 +443,11 @@ def test_plan_audit_all_queries(spark, sf_smoke):
             failures.append(f"{name}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in _SANCTIONED_NESTED_LOOP:
             failures.append(f"{name}: unsanctioned BroadcastNestedLoopJoin")
-        has_python = ("BatchEvalPython" in plan) or ("MapInPandas" in plan) or (
-            "ArrowEvalPython" in plan
+        has_python = (
+            ("BatchEvalPython" in plan)
+            or ("MapInPandas" in plan)
+            or ("ArrowEvalPython" in plan)
+            or ("FlatMapGroupsInPandas" in plan)  # applyInPandas
         )
         if has_python and name not in _SANCTIONED_PYTHON:
             failures.append(f"{name}: unsanctioned Python in plan")

@@ -99,6 +99,14 @@ _RX_ELAPSED = re.compile(
     r'^elapsed\(\s*"?(?P<field>\w+)"?\s*(?:,\s*(?P<n>\d+)(?P<u>[smhd]))?\s*\)$',
     re.IGNORECASE,
 )
+# holt_winters[_with_fit](<agg>(field), h, m) — seasonal forecast over the
+# GROUP BY time() aggregate
+_RX_HW = re.compile(
+    r'^(?P<fn>holt_winters_with_fit|holt_winters)'
+    r'\(\s*(?P<agg>\w+)\(\s*"?(?P<field>\w+)"?\s*\)\s*,'
+    r'\s*(?P<h>\d+)\s*,\s*(?P<m>\d+)\s*\)$',
+    re.IGNORECASE,
+)
 
 
 def _agg_column(fn: str, field: str, time_col: str = "ts", arg: str | None = None) -> Column:
@@ -382,6 +390,85 @@ def _elapsed(df: DataFrame, m: re.Match, mel: re.Match, time_col: str) -> DataFr
     return out.limit(int(m.group("limit"))) if m.group("limit") else out
 
 
+def _holt_winters(df: DataFrame, m: re.Match, mhw: re.Match, time_col: str) -> DataFrame:
+    """HOLT_WINTERS(<agg>(field), h, m) / HOLT_WINTERS_WITH_FIT — seasonal
+    forecast of the GROUP BY time() series, h buckets ahead with seasonal
+    pattern length m (0 = trend-only Holt's linear).
+
+    Spark shape: the inner aggregate runs DECLARATIVELY (same bucketed plan
+    as any GROUP BY time() query — map-side partial agg, one exchange);
+    only the fitted smoothing recursion runs in Python, per SERIES, via
+    applyInPandas over the aggregate — series length is bounded by the
+    query's time range / bucket width, distinct series parallelize across
+    the cluster, and the raw fact rows never reach Python. Method +
+    determinism + parity notes: functions/forecast.py.
+    """
+    import pandas as pd
+
+    fn = mhw.group("fn").lower()
+    with_fit = fn == "holt_winters_with_fit"
+    h, season = int(mhw.group("h")), int(mhw.group("m"))
+    if h < 1:
+        raise ValueError("holt_winters() needs a forecast horizon >= 1")
+    group = (m.group("group") or "").strip()
+    mb = _RX_BUCKET.match(group) if group.lower().startswith("time(") else None
+    if mb is None:
+        raise ValueError("holt_winters() requires GROUP BY time()")
+    if (m.group("fill") or "none").lower() != "none":
+        raise ValueError("fill() is not supported with holt_winters()")
+    step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
+    tag = mb.group("tag")
+    bucket = _bucket_col(time_col, step_us, m.group("tz"))
+    tag_cols = [tag] if tag else []
+    agg = (
+        df.select(bucket, *tag_cols, mhw.group("field"), F.col(time_col))
+        .groupBy("time", *tag_cols)
+        .agg(
+            _agg_column(mhw.group("agg"), mhw.group("field"), time_col, None)
+            .cast("double")
+            .alias("__v")
+        )
+    )
+
+    out_fields = (
+        ", ".join(f"{t} string" for t in tag_cols)
+        + (", " if tag_cols else "")
+        + f"time timestamp, {fn} double"
+    )
+
+    def forecast(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.forecast import holt_winters_forecast
+
+        pdf = pdf.sort_values("time")
+        vals = holt_winters_forecast(
+            pdf["__v"].to_numpy(), h, season, with_fit=with_fit
+        )
+        last = pdf["time"].iloc[-1]
+        step = pd.Timedelta(microseconds=step_us)
+        future = [last + step * (k + 1) for k in range(h)]
+        times = (list(pdf["time"]) + future) if with_fit else future
+        out = {t: pdf[t].iloc[0] for t in tag_cols}
+        out["time"] = times
+        out[fn] = vals
+        return pd.DataFrame(out)
+
+    if tag_cols:
+        out = agg.groupBy(*tag_cols).applyInPandas(forecast, out_fields)
+    else:
+        # single global series: one bounded group under a constant key
+        out = (
+            agg.withColumn("__g", F.lit(1))
+            .groupBy("__g")
+            .applyInPandas(
+                lambda pdf: forecast(pdf).assign(__g=1), f"__g int, {out_fields}"
+            )
+            .drop("__g")
+        )
+    order_dir = (m.group("dir") or "ASC").upper()
+    out = out.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
+    return out.limit(int(m.group("limit"))) if m.group("limit") else out
+
+
 def _split_projections(proj: str) -> list[str]:
     """Split a SELECT list on top-level commas (commas inside parentheses —
     aggregate arguments — don't split)."""
@@ -595,6 +682,9 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
     mel = _RX_ELAPSED.match(proj)
     if mel:
         return _elapsed(df, m, mel, time_col)
+    mhw = _RX_HW.match(proj)
+    if mhw:
+        return _holt_winters(df, m, mhw, time_col)
     mtrans = _RX_TRANS.match(proj)
     if mtrans:
         proj = mtrans.group("inner").strip()

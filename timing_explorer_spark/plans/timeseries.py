@@ -1435,3 +1435,31 @@ def q_influxql_percentile_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY time(1d) ORDER BY time ASC"
     )
     return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_holt_winters",
+    oracle=None,  # optimizer-fitted forecast: no SQL equivalent exists; the
+    # math is pinned by closed-form tests (tests/test_forecast.py: constant/
+    # linear/seasonal series forecast exactly; deterministic across runs)
+    doc=(
+        "InfluxQL HOLT_WINTERS(mean(value), 7, 7): one-week daily-seasonal "
+        "forecast of the daily mean — additive triple exponential smoothing "
+        "with per-series Nelder-Mead-fitted parameters "
+        "(functions/forecast.py). The aggregate runs declaratively; only "
+        "the bounded per-series smoothing recursion runs in Python "
+        "(applyInPandas over ~30 daily buckets), so raw facts never reach "
+        "Python and distinct series parallelize across the cluster."
+    ),
+    tags=("timeseries", "influxql", "forecast"),
+)
+def q_influxql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT holt_winters(mean(\"value\"), 7, 7) FROM \"events\" "
+        "WHERE \"event_type\" = 'view' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+        "GROUP BY time(1d) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
