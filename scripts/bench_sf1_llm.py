@@ -39,6 +39,10 @@ OPS = (
     "q_neardup_components",
     "q_bpe_merge_table",
     "q_sequence_packing",
+    # similarity over the 20k near-duplicate-tiled embeddings (make_sf1
+    # EMB_PERTURB): brute-force baseline + the LSH scale path
+    "q_embedding_nn",
+    "q_ann_lsh_topk",
 )
 UI_PORT = 4058
 MAX_OVER_MEDIAN = 4.0
@@ -141,13 +145,40 @@ def main() -> int:
         }
 
     release_cached()
+
+    # ANN quality AT SCALE: LSH top-10 recall vs brute force over the 20k
+    # near-duplicate-tiled vectors (pytest pins the same bound at 2k) —
+    # the approximation must not degrade as the candidate set grows 10x.
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.operators.similarity import brute_force_topk, lsh_topk
+    from timing_explorer_spark.sources.tables import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, queries, k=10)
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(emb, queries, k=10).select("query_id", "neighbor_id").collect()
+    }
+    lsh_recall = round(len(exact & approx) / len(exact), 3)
+
     out = {
         "metric": "sf1_llm_ops",
         "unit": "sec",
         "sf": 1.0,
-        "corpus": "50k docs (10x-tiled sf0.1, verbatim text: every doc x10 copies)",
+        "corpus": (
+            "50k docs (10x-tiled sf0.1, verbatim text: every doc x10 copies); "
+            "20k embeddings (near-duplicate perturbed replicas)"
+        ),
         "task_skew_bound": MAX_OVER_MEDIAN,
         "ops": results,
+        "lsh_top10_recall_at_20k": lsh_recall,
         "skew_violations": violations,
     }
     print(json.dumps(out))

@@ -12,9 +12,10 @@ Construction: each fact/dim table is the union of 10 key-shifted replicas
 (keys += replica * 10_000_000; all other columns unchanged), so every join
 relationship of the original data is preserved exactly and per-key
 cardinalities stay identical — output sizes scale linearly, join fan-outs do
-not explode. region/nation (fixed-size catalogs) and documents/embeddings
-(not needed by the five floor-bound queries, but copied so the directory is
-a complete, loadable sf dir) are carried over as-is.
+not explode. region/nation (fixed-size catalogs) are carried over as-is;
+documents tile with VERBATIM text (heavily-duplicated-crawl shape for the
+dedup ops) and embeddings tile with a per-replica deterministic
+perturbation (near-duplicate vectors, not exact copies — see EMB_PERTURB).
 
 DuckDB writes the parquet (multi-row-group files, so Spark's scan
 parallelizes naturally — unlike the single-row-group driver fixtures).
@@ -49,7 +50,12 @@ SHIFTED = {
     # replicas. 50k docs / ~10x the shingle index of sf0.1.
     "documents": ("doc_id",),
 }
-COPIED = ("region", "nation", "embeddings")
+COPIED = ("region", "nation")
+# embeddings tile specially: vec_id shifts AND each replica's vector is
+# deterministically perturbed (x + r*0.001 per element) so replicas are
+# NEAR-duplicates in cosine space, not exact copies — the realistic shape
+# for ANN at scale (exact copies would make top-k degenerate). 20k vectors.
+EMB_PERTURB = 0.001
 
 
 def make_sf1(out_dir: str = "/tmp/sf1-fixture") -> str:
@@ -61,7 +67,7 @@ def make_sf1(out_dir: str = "/tmp/sf1-fixture") -> str:
         path = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(path):
             return False
-        if t in SHIFTED:  # stale pre-tiling copies (e.g. documents) rebuild
+        if t in SHIFTED or t == "embeddings":  # stale pre-tiling copies rebuild
             src_n = con.execute(
                 f"SELECT COUNT(*) FROM read_parquet('{os.path.join(SRC, t)}.parquet')"
             ).fetchone()[0]
@@ -69,7 +75,7 @@ def make_sf1(out_dir: str = "/tmp/sf1-fixture") -> str:
             return out_n == src_n * N_REPLICAS
         return True
 
-    tables = list(SHIFTED) + list(COPIED)
+    tables = list(SHIFTED) + list(COPIED) + ["embeddings"]
     if all(fresh(t) for t in tables):
         con.close()
         return out_dir
@@ -94,6 +100,22 @@ def make_sf1(out_dir: str = "/tmp/sf1-fixture") -> str:
         )
     for t in COPIED:
         shutil.copyfile(os.path.join(SRC, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet"))
+    if not fresh("embeddings"):
+        src = os.path.join(SRC, "embeddings.parquet")
+        con.execute(
+            f"""
+            COPY (
+                SELECT (vec_id + r.r * {SHIFT}) AS vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x + r.r * {EMB_PERTURB} AS FLOAT))
+                           AS embedding,
+                       label
+                FROM read_parquet('{src}')
+                CROSS JOIN (SELECT UNNEST(range({N_REPLICAS})) AS r) r
+                ORDER BY r.r
+            ) TO '{out_dir}/embeddings.parquet' (FORMAT PARQUET)
+            """
+        )
     con.close()
     return out_dir
 
