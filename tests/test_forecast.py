@@ -97,3 +97,20 @@ def test_influxql_holt_winters_with_fit_and_errors(spark, seasonal_df):
             "GROUP BY time(1h) fill(0)",
             {"m": seasonal_df},
         )
+
+
+def test_influxql_holt_winters_rejects_unknown_agg_and_tz(spark, seasonal_df):
+    with pytest.raises(ValueError, match="inner aggregate"):
+        influxql(
+            "SELECT holt_winters(bogus(\"value\"), 5, 0) FROM \"m\" "
+            "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-05 00:00:00' "
+            "GROUP BY time(1h)",
+            {"m": seasonal_df},
+        )
+    with pytest.raises(ValueError, match="tz"):
+        influxql(
+            "SELECT holt_winters(mean(\"value\"), 5, 0) FROM \"m\" "
+            "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-05 00:00:00' "
+            "GROUP BY time(1d) tz('America/New_York')",
+            {"m": seasonal_df},
+        )

@@ -446,3 +446,70 @@ def test_event_time_lag_bounded_at_reference_rate(spark):
     # generous CI bound: a leaky/unbounded pipeline shows tens of seconds
     assert stats["p50_ms"] < 8_000
     assert stats["max_ms"] < 20_000
+
+
+def test_influxql_streaming_matches_batch(spark, tmp_path):
+    """The reference's operating loop — a Grafana panel query over live
+    data — run as a CONTINUOUS query: influxql_streaming() must emit
+    exactly the rows the batch translator produces on the same data once
+    every window seals (append mode, exactly-once)."""
+    from timing_explorer_spark.functions.influxql import (
+        influxql,
+        influxql_streaming,
+    )
+    from timing_explorer_spark.streaming.pipeline import (
+        sensor_stream_from_files,
+        write_generator_files,
+    )
+
+    indir = str(tmp_path / "in")
+    write_generator_files(spark, indir, n_events=300, files=3)
+
+    panel = (
+        "SELECT mean(\"value\") FROM \"sensors\" WHERE \"key\" = 'temp' "
+        "GROUP BY time(1s), \"key\""
+    )
+    stream = sensor_stream_from_files(spark, indir)
+    out = influxql_streaming(panel, stream)
+    q = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = {
+        (str(r["time"]), r["key"], round(r["mean"], 9))
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    # batch reference on the same files, trimmed to SEALED windows only
+    # (final watermark = max event time with 0s delay, so every window
+    # except the one containing the max is sealed)
+    batch_df = spark.read.schema("key string, ts timestamp, value double").parquet(indir)
+    batch_q = (
+        "SELECT mean(\"value\") FROM \"sensors\" WHERE \"key\" = 'temp' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:01:00' "
+        "GROUP BY time(1s), \"key\""
+    )
+    rows = influxql(batch_q, {"sensors": batch_df}).collect()
+    max_ts = batch_df.agg({"ts": "max"}).collect()[0][0]
+    expect = {
+        (str(r["time"]), r["key"], round(r["mean"], 9))
+        for r in rows
+        if r["time"] <= max_ts.replace(microsecond=0, second=max_ts.second - 1)
+    }
+    assert got == expect and len(got) > 0
+
+    # batch-only clauses fail loudly on a stream
+    import pytest as _pytest
+
+    for bad in (
+        panel + " fill(null)",
+        panel.replace("GROUP BY time(1s), \"key\"", ""),
+        "SELECT mean(\"value\") FROM \"sensors\" WHERE time >= '2024-01-01 00:00:00' GROUP BY time(1s)",
+    ):
+        with _pytest.raises(ValueError):
+            influxql_streaming(bad, stream)

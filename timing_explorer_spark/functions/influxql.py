@@ -22,14 +22,26 @@ neighbors):
     proj       := "<field>" | <agg>("<field>"[, <p>])
                 | <agg>(...), <agg>(...), ...   (multi-stat; fill(null) only)
                 | <trans>(<agg>("<field>")[, <arg>])
+                | top("<field>", N) | bottom("<field>", N)   (selectors:
+                  N greatest/least values, original point timestamps)
+                | elapsed("<field>"[, <N><u>])  (delta to previous point)
+                | holt_winters[_with_fit](<agg>("<field>"), h, m)
+                  (seasonal forecast; functions/forecast.py)
     agg        := mean | sum | count | min | max | first | last | median
-                  | stddev | spread | percentile (arg = 0..100)
+                  | stddev | spread
+                  | percentile (arg = 0..100; NEAREST-RANK, actual sample)
                   | integral (arg = unit seconds; GROUP BY time only)
     trans      := derivative | non_negative_derivative      (arg = <N><u>)
                 | difference | non_negative_difference
                 | moving_average                            (arg = <N> points)
                 | cumulative_sum
+    tag preds  := "<tag>" = '<v>' | != | <> | =~ /re/ | !~ /re/
     durations  := s, m, h, d
+
+Streaming: ``influxql_streaming(query, stream)`` runs the dashboard-panel
+core (single mean/sum/count/min/max + tag filters + GROUP BY time(N)[,tag])
+as an incremental Structured Streaming aggregation — equivalence-tested
+row-for-row against this batch translator on replayed data.
 
 Translation notes:
   - `time` maps to the measurement's event-time column (``ts``).
@@ -410,12 +422,20 @@ def _holt_winters(df: DataFrame, m: re.Match, mhw: re.Match, time_col: str) -> D
     h, season = int(mhw.group("h")), int(mhw.group("m"))
     if h < 1:
         raise ValueError("holt_winters() needs a forecast horizon >= 1")
+    inner = mhw.group("agg").lower()
+    if inner not in ("mean", "sum", "count", "min", "max", "first", "last", "median"):
+        raise ValueError(f"holt_winters() does not support inner aggregate {inner!r}")
     group = (m.group("group") or "").strip()
     mb = _RX_BUCKET.match(group) if group.lower().startswith("time(") else None
     if mb is None:
         raise ValueError("holt_winters() requires GROUP BY time()")
     if (m.group("fill") or "none").lower() != "none":
         raise ValueError("fill() is not supported with holt_winters()")
+    if m.group("tz"):
+        # tz-aligned buckets are not uniformly spaced in UTC across a DST
+        # change, so `last + k*step` forecast instants would drift off the
+        # local grid — reject rather than silently mislabel
+        raise ValueError("holt_winters() does not support tz(); use UTC buckets")
     step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
     tag = mb.group("tag")
     bucket = _bucket_col(time_col, step_us, m.group("tz"))
@@ -984,3 +1004,89 @@ def grafana_target_to_influxql(
     if target.get("orderByTime"):
         q += f" ORDER BY time {target['orderByTime']}"
     return q
+
+
+_UNIT_NAME = {"s": "second", "m": "minute", "h": "hour", "d": "day"}
+
+
+def influxql_streaming(
+    query: str,
+    stream: DataFrame,
+    time_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Translate an InfluxQL panel query into a CONTINUOUS Structured
+    Streaming aggregation — the reference's actual operating mode (Grafana
+    polls InfluxDB while the Flink job keeps writing; here the panel query
+    itself runs incrementally instead).
+
+    Supported shape: the dashboard panel core — one aggregate
+    (mean/sum/count/min/max) over WHERE tag filters, GROUP BY time(N)
+    [, tag]. GROUP BY time(N) maps to an event-time ``window()`` (required:
+    streaming aggregation state is evicted by watermark only through an
+    event-time window), so append-mode output emits each bucket exactly
+    once when it seals — identical rows to the batch translator on the
+    same data (equivalence-tested). Time-range WHEREs, fill(), selectors
+    and transformations are batch-only: fill needs the full spine, and
+    derivative-family functions need the sealed series — run those over
+    the sink table the stream maintains.
+
+    Scale: the same single-shuffle keyed window aggregation as the
+    engine's streaming pipeline (map-side partial agg into windowed state;
+    watermark bounds state).
+    """
+    q = query.strip().rstrip(";")
+    m = _RX.match(q)
+    if not m:
+        raise ValueError(f"unsupported InfluxQL: {query!r}")
+    if (m.group("fill") or "none").lower() != "none":
+        raise ValueError("fill() is batch-only (needs the full spine)")
+    if m.group("tz"):
+        raise ValueError("tz() is batch-only")
+    if m.group("limit"):
+        raise ValueError("LIMIT is not meaningful on an unbounded stream")
+    df = stream
+    if m.group("where"):
+        for cond in re.split(r"\s+AND\s+", m.group("where"), flags=re.IGNORECASE):
+            cond = cond.strip()
+            while cond.startswith("(") and cond.endswith(")"):
+                cond = cond[1:-1].strip()
+            if _RX_TIME.match(cond):
+                raise ValueError(
+                    "time-range WHERE is batch-only; a stream is unbounded"
+                )
+            mg = _RX_TAG.match(cond)
+            if mg:
+                c = F.col(mg.group("tag"))
+                df = df.where(
+                    c == mg.group("val") if mg.group("op") == "=" else c != mg.group("val")
+                )
+                continue
+            mrx = _RX_TAG_REGEX.match(cond)
+            if mrx:
+                c = F.col(mrx.group("tag")).rlike(mrx.group("rx"))
+                df = df.where(c if mrx.group("op") == "=~" else ~c)
+                continue
+            raise ValueError(f"unsupported streaming WHERE clause: {cond!r}")
+    proj = m.group("proj").strip()
+    magg = _RX_AGG.match(proj)
+    if not magg or magg.group("fn").lower() not in ("mean", "sum", "count", "min", "max"):
+        raise ValueError(
+            "streaming supports a single mean/sum/count/min/max aggregate"
+        )
+    group = (m.group("group") or "").strip()
+    mb = _RX_BUCKET.match(group) if group.lower().startswith("time(") else None
+    if mb is None:
+        raise ValueError("streaming requires GROUP BY time(N)")
+    duration = f"{mb.group('n')} {_UNIT_NAME[mb.group('u').lower()]}"
+    tag = mb.group("tag")
+    tag_cols = [tag] if tag else []
+    agg_col = _agg_column(
+        magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
+    ).alias(magg.group("fn").lower())
+    return (
+        df.withWatermark(time_col, watermark)
+        .groupBy(F.window(time_col, duration).alias("__w"), *tag_cols)
+        .agg(agg_col)
+        .select(F.col("__w.start").alias("time"), *tag_cols, magg.group("fn").lower())
+    )
