@@ -813,3 +813,57 @@ def test_fill_spine_equals_bucket_image_any_zone(spark):
             for r in _fill_spine(spark, lo, hi, step_us, tz).collect()
         }
         assert spine == image, (tz, step_us, sorted(spine ^ image))
+
+
+def test_mode_and_distinct_aggregates(spark):
+    """MODE(): most frequent value, ties take the LOWEST value (InfluxDB
+    contract); DISTINCT(): multi-row distinct values per bucket, epoch-0
+    timestamp when ungrouped."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", 2.0),
+            ("2024-01-01 00:00:01", 2.0),
+            ("2024-01-01 00:00:02", 1.0),
+            ("2024-01-01 00:00:03", 1.0),
+            ("2024-01-01 00:00:04", 3.0),
+            # second minute: 3.0 dominates
+            ("2024-01-01 00:01:00", 3.0),
+            ("2024-01-01 00:01:01", 3.0),
+            ("2024-01-01 00:01:02", 1.0),
+        ],
+        ["ts", "value"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    t = {"m": df}
+    # global mode: counts {1.0: 3, 2.0: 2, 3.0: 3} -> tie 1.0 vs 3.0 -> 1.0
+    assert influxql('SELECT mode("value") FROM "m"', t).collect()[0]["mode"] == 1.0
+    rows = influxql(
+        "SELECT mode(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:02:00' "
+        "GROUP BY time(1m) ORDER BY time ASC",
+        t,
+    ).collect()
+    assert [(str(r["time"]), r["mode"]) for r in rows] == [
+        ("2024-01-01 00:00:00", 1.0),  # tie {1.0:2, 2.0:2} -> lowest
+        ("2024-01-01 00:01:00", 3.0),
+    ]
+    # distinct, ungrouped: epoch-0 timestamps, sorted values
+    drows = influxql('SELECT distinct("value") FROM "m"', t).collect()
+    assert [(str(r["time"]), r["distinct"]) for r in drows] == [
+        ("1970-01-01 00:00:00", 1.0),
+        ("1970-01-01 00:00:00", 2.0),
+        ("1970-01-01 00:00:00", 3.0),
+    ]
+    # distinct per minute bucket
+    drows2 = influxql(
+        "SELECT distinct(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:02:00' "
+        "GROUP BY time(1m)",
+        t,
+    ).collect()
+    assert [(str(r["time"]), r["distinct"]) for r in drows2] == [
+        ("2024-01-01 00:00:00", 1.0),
+        ("2024-01-01 00:00:00", 2.0),
+        ("2024-01-01 00:00:00", 3.0),
+        ("2024-01-01 00:01:00", 1.0),
+        ("2024-01-01 00:01:00", 3.0),
+    ]

@@ -28,9 +28,10 @@ neighbors):
                 | holt_winters[_with_fit](<agg>("<field>"), h, m)
                   (seasonal forecast; functions/forecast.py)
     agg        := mean | sum | count | min | max | first | last | median
-                  | stddev | spread
+                  | mode (ties -> lowest value) | stddev | spread
                   | percentile (arg = 0..100; NEAREST-RANK, actual sample)
                   | integral (arg = unit seconds; GROUP BY time only)
+                  | distinct (multi-row: one row per distinct value)
     trans      := derivative | non_negative_derivative      (arg = <N><u>)
                 | difference | non_negative_difference
                 | moving_average                            (arg = <N> points)
@@ -80,10 +81,13 @@ _RX = re.compile(
     re.IGNORECASE | re.VERBOSE,
 )
 _RX_AGG = re.compile(
-    r'^(?P<fn>mean|sum|count|min|max|first|last|median|stddev|spread|percentile|integral)'
+    r'^(?P<fn>mean|sum|count|min|max|first|last|median|mode|stddev|spread|percentile|integral)'
     r'\(\s*"?(?P<field>\w+)"?\s*(?:,\s*(?P<agg_arg>[-+]?\d+(?:\.\d+)?))?\s*\)$',
     re.IGNORECASE,
 )
+# DISTINCT(field) — multi-row "aggregate": the distinct field values (per
+# bucket when grouped); handled outside _agg_column like the selectors
+_RX_DISTINCT = re.compile(r'^distinct\(\s*"?(?P<field>\w+)"?\s*\)$', re.IGNORECASE)
 _RX_FIELD = re.compile(r'^"?(?P<field>\w+)"?$')
 _RX_TRANS = re.compile(
     r"^(?P<fn>non_negative_derivative|derivative|non_negative_difference"
@@ -159,6 +163,31 @@ def _agg_column(fn: str, field: str, time_col: str = "ts", arg: str | None = Non
         return F.max_by(col, F.col(time_col))
     if fn == "median":  # middle value; even counts average the two middles
         return F.percentile(col, F.lit(0.5))
+    if fn == "mode":
+        # most frequent value; ties take the LOWEST value (InfluxDB MODE()
+        # contract — deterministic, unlike Spark/DuckDB mode()). Fold over
+        # the ascending-sorted sample list tracking (current run, best
+        # run); strictly-greater comparison keeps the first (smallest)
+        # value among equal counts. Group-bounded like percentile above.
+        vals = F.array_sort(F.collect_list(col.cast("double")))
+        init = F.struct(
+            F.lit(None).cast("double").alias("cur"),
+            F.lit(0).cast("long").alias("n"),
+            F.lit(None).cast("double").alias("best"),
+            F.lit(0).cast("long").alias("bn"),
+        )
+
+        def _step(acc, x):
+            n = F.when(acc["cur"].eqNullSafe(x), acc["n"] + 1).otherwise(F.lit(1).cast("long"))
+            better = n > acc["bn"]
+            return F.struct(
+                x.alias("cur"),
+                n.alias("n"),
+                F.when(better, x).otherwise(acc["best"]).alias("best"),
+                F.when(better, n).otherwise(acc["bn"]).alias("bn"),
+            )
+
+        return F.aggregate(vals, init, _step)["best"]
     if fn == "stddev":  # sample stddev (InfluxDB STDDEV())
         return F.stddev_samp(col)
     return F.max(col) - F.min(col)  # spread = max − min
@@ -489,6 +518,45 @@ def _holt_winters(df: DataFrame, m: re.Match, mhw: re.Match, time_col: str) -> D
     return out.limit(int(m.group("limit"))) if m.group("limit") else out
 
 
+def _distinct(df: DataFrame, m: re.Match, mdi: re.Match, time_col: str) -> DataFrame:
+    """DISTINCT(field) — the distinct field values: per bucket(/series) when
+    grouped by time(N)[, tag], else globally with InfluxDB's epoch-0
+    timestamp. Multi-row output, so it dispatches like the selectors rather
+    than through _agg_column. Plan: select + dropDuplicates — one
+    hash-aggregate shuffle on (bucket, tag, value), map-side combined."""
+    field = mdi.group("field")
+    if (m.group("fill") or "none").lower() != "none":
+        raise ValueError("fill() is not supported with distinct()")
+    order_dir = (m.group("dir") or "ASC").upper()
+    group = (m.group("group") or "").strip()
+    if not group:
+        out = df.select(
+            F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("time"),
+            F.col(field).alias("distinct"),
+        ).distinct()
+    elif group.lower().startswith("time("):
+        mb = _RX_BUCKET.match(group)
+        if not mb:
+            raise ValueError(f"unsupported GROUP BY: {group!r}")
+        step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
+        tag = mb.group("tag")
+        tag_cols = [tag] if tag else []
+        bucket = _bucket_col(time_col, step_us, m.group("tz"))
+        out = df.select(bucket, *tag_cols, F.col(field).alias("distinct")).distinct()
+    else:
+        tag = group.strip('"')
+        out = df.select(
+            F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("time"),
+            F.col(tag),
+            F.col(field).alias("distinct"),
+        ).distinct()
+    out = out.orderBy(
+        F.col("time").asc() if order_dir == "ASC" else F.col("time").desc(),
+        F.col("distinct").asc(),
+    )
+    return out.limit(int(m.group("limit"))) if m.group("limit") else out
+
+
 def _split_projections(proj: str) -> list[str]:
     """Split a SELECT list on top-level commas (commas inside parentheses —
     aggregate arguments — don't split)."""
@@ -705,6 +773,9 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
     mhw = _RX_HW.match(proj)
     if mhw:
         return _holt_winters(df, m, mhw, time_col)
+    mdi = _RX_DISTINCT.match(proj)
+    if mdi:
+        return _distinct(df, m, mdi, time_col)
     mtrans = _RX_TRANS.match(proj)
     if mtrans:
         proj = mtrans.group("inner").strip()

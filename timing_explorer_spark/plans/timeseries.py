@@ -1463,3 +1463,81 @@ def q_influxql_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY time(1d) ORDER BY time ASC"
     )
     return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_mode_series",
+    oracle="""
+        WITH counts AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                                  * 86400000000) AS time,
+                   value,
+                   COUNT(*) AS cnt
+            FROM events
+            WHERE event_type = 'error'
+              AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY 1, 2
+        )
+        SELECT time, value AS mode FROM (
+            SELECT time, value,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY time ORDER BY cnt DESC, value ASC) AS rn
+            FROM counts
+        )
+        WHERE rn = 1
+    """,
+    doc=(
+        "InfluxQL MODE(value) per day — most frequent value with InfluxDB's "
+        "deterministic tie rule (lowest value wins), which Spark mode() and "
+        "DuckDB mode() both lack: implemented as a fold over the "
+        "ascending-sorted group samples (functions/influxql.py::_agg_column)"
+        ", oracle-checked against an explicit count-desc/value-asc "
+        "row_number ranking so both engines break ties identically."
+    ),
+    tags=("timeseries", "influxql", "stats"),
+)
+def q_influxql_mode_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT mode(\"value\") FROM \"events\" "
+        "WHERE \"event_type\" = 'error' "
+        "AND time >= '2024-01-01 00:00:00' AND time <= '2024-01-15 00:00:00' "
+        "GROUP BY time(1d) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_distinct_series",
+    oracle="""
+        SELECT DISTINCT
+               make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                              * 86400000000) AS time,
+               ROUND(value) AS distinct
+        FROM events
+        WHERE event_type = 'signup'
+          AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-08 00:00:00'
+    """,
+    doc=(
+        "InfluxQL DISTINCT(field) per day bucket — the multi-row "
+        "'aggregate' (one row per distinct value per bucket; InfluxDB "
+        "semantics). Rounded to integers so the distinct set per day is "
+        "small and stable. Plan: select + dropDuplicates = one map-side-"
+        "combined hash-aggregate shuffle on (bucket, value)."
+    ),
+    tags=("timeseries", "influxql", "distinct"),
+)
+def q_influxql_distinct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    e = load(spark, sf_dir, "events").withColumn("value", F.rint(F.col("value")))
+    q = (
+        "SELECT distinct(\"value\") FROM \"events\" "
+        "WHERE \"event_type\" = 'signup' "
+        "AND time >= '2024-01-01 00:00:00' AND time <= '2024-01-08 00:00:00' "
+        "GROUP BY time(1d) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": e})
