@@ -867,3 +867,57 @@ def test_mode_and_distinct_aggregates(spark):
         ("2024-01-01 00:01:00", 1.0),
         ("2024-01-01 00:01:00", 3.0),
     ]
+
+
+def test_mode_fold_matches_python_reference(spark):
+    """Hypothesis: the mode() fold (sorted-run scan inside F.aggregate)
+    equals the Python reference (max count, ties -> lowest value) for any
+    multiset of values."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        vals=st.lists(
+            st.integers(min_value=-5, max_value=5).map(lambda v: v / 2.0),
+            min_size=1,
+            max_size=25,
+        )
+    )
+    def run(vals):
+        from collections import Counter
+
+        df = spark.createDataFrame(
+            [("2024-01-01 00:00:00", v) for v in vals], ["ts", "value"]
+        ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+        got = influxql('SELECT mode("value") FROM "m"', {"m": df}).collect()[0]["mode"]
+        counts = Counter(vals)
+        best_n = max(counts.values())
+        want = min(v for v, n in counts.items() if n == best_n)
+        assert got == want, (vals, got, want)
+
+    run()
+
+
+def test_top_with_tag_series(spark):
+    """top(value, N) with GROUP BY time, tag: N per (bucket, series), each
+    row keeping its own timestamp and tag."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "a", 1.0),
+            ("2024-01-01 00:00:01", "a", 5.0),
+            ("2024-01-01 00:00:02", "b", 9.0),
+            ("2024-01-01 00:00:03", "b", 2.0),
+        ],
+        ["ts", "key", "value"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "key", "value")
+    rows = influxql(
+        'SELECT top("value", 1) FROM "m" '
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:01:00' "
+        'GROUP BY time(1m), "key"',
+        {"m": df},
+    ).collect()
+    assert {(str(r["time"]), r["key"], r["top"]) for r in rows} == {
+        ("2024-01-01 00:00:01", "a", 5.0),
+        ("2024-01-01 00:00:02", "b", 9.0),
+    }

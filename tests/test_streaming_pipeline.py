@@ -513,3 +513,53 @@ def test_influxql_streaming_matches_batch(spark, tmp_path):
     ):
         with _pytest.raises(ValueError):
             influxql_streaming(bad, stream)
+
+
+def test_influxql_streaming_tag_series_and_regex(spark, tmp_path):
+    """Streaming equivalence widened: tag-grouped series with a regex tag
+    predicate — one output series per tag, counts matching the batch
+    translator on sealed windows."""
+    from timing_explorer_spark.functions.influxql import (
+        influxql,
+        influxql_streaming,
+    )
+    from timing_explorer_spark.streaming.pipeline import (
+        sensor_stream_from_files,
+        write_generator_files,
+    )
+
+    indir = str(tmp_path / "in")
+    write_generator_files(spark, indir, n_events=200, files=2)
+    panel = (
+        "SELECT count(\"value\") FROM \"sensors\" WHERE \"key\" =~ /temp|pressure/ "
+        "GROUP BY time(2s), \"key\""
+    )
+    out = influxql_streaming(panel, sensor_stream_from_files(spark, indir))
+    q = (
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (str(r["time"]), r["key"], r["count"])
+        for r in spark.read.parquet(str(tmp_path / "out")).collect()
+    }
+    batch_df = spark.read.schema("key string, ts timestamp, value double").parquet(indir)
+    rows = influxql(
+        "SELECT count(\"value\") FROM \"sensors\" WHERE \"key\" =~ /temp|pressure/ "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:01:00' "
+        "GROUP BY time(2s), \"key\"",
+        {"sensors": batch_df},
+    ).collect()
+    max_ts = batch_df.agg({"ts": "max"}).collect()[0][0]
+    expect = {
+        (str(r["time"]), r["key"], r["count"])
+        for r in rows
+        # sealed = window end <= final watermark (max event time, 0s delay)
+        if r["time"].timestamp() + 2 <= max_ts.timestamp()
+    }
+    assert got == expect and len(got) >= 8  # >= 4 sealed windows x 2 keys
