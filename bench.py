@@ -83,6 +83,13 @@ def bench_session(app_name: str = "timing-explorer-spark-bench"):
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     spark.conf.set("spark.sql.adaptive.enabled", "false")
+    # Cached-relation batch size 10k -> 64k (r5 lever (c), A/B/A-measured at
+    # sf1: q01 0.198->0.163 s, events window 0.119->0.086 s): bigger
+    # columnar batches amortize the per-batch scan-loop overhead across 6.5x
+    # more rows. Memory cost is per in-flight batch per task — fine for the
+    # pinned working set; set BEFORE warm_cache (applies when the
+    # InMemoryRelation materializes).
+    spark.conf.set("spark.sql.inMemoryColumnarStorage.batchSize", "65536")
     # Prefer ShuffledHashJoin over SortMergeJoin when the build side fits a
     # per-partition hash map (Catalyst still guards with canBuildLocalHashMap
     # and falls back to SMJ otherwise): with the warm cache bucketed by join
