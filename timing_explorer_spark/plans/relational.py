@@ -203,23 +203,41 @@ def q05_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     # broadcast builds per execution (build o, execute o⋈c, build oc) and
     # measured ~2x slower at sf0.1/sf1 (r5 A/B: 0.34 vs 0.15-0.22 s); at
     # cluster scale AQE re-plans join order from runtime stats anyway.
-    # customer/orders are projected to their join-relevant columns so the
+    # customer/orders project to their join-relevant columns so the
     # broadcast (or shuffle) side carries 2 ints per row, not the full row.
+    # The three nation-chain dims are FLATTENED into one broadcast
+    # (supplier⋈nation⋈region keyed on (suppkey, nationkey)) — star-schema
+    # denormalization: the hot fused map stage probes 3 hash tables per
+    # lineitem row instead of 5 (the fact-side work IS hash probes here;
+    # q05 stage profile r5). The snr pre-join is supplier-grain, built once
+    # per execution from three tiny inputs.
     c = load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = load(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     ).select("o_orderkey", "o_custkey")
     l = load(spark, sf_dir, "lineitem")
-    s = F.broadcast(load(spark, sf_dir, "supplier"))
-    n = F.broadcast(load(spark, sf_dir, "nation"))
-    r = F.broadcast(load(spark, sf_dir, "region"))
+    snr = (
+        load(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            load(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            load(spark, sf_dir, "region").select("r_regionkey"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_nationkey", "n_name")
+    )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
-        .join(s, (l.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
-        .join(n, s.s_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        .join(
+            F.broadcast(snr),
+            (l.l_suppkey == F.col("s_suppkey"))
+            & (c.c_nationkey == F.col("s_nationkey")),
+        )
         .transform(
             lambda joined: grouped_exact_sum(
                 joined, ["n_name"], "revenue",
