@@ -141,6 +141,7 @@ def test_exact_sum_invariant_under_repartition(spark, vals, n_parts):
         "q_winsorized_stats",
         "q_zorder_layout",
         "q_boilerplate_span_coverage",
+        "q_exact_substr_trim",
         "q_int8_embedding_topk",
         # statistical/behavioral suite: exact-moment regressions and
         # correlation, decimal-rounded-log information metrics, value-grain

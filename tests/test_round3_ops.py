@@ -391,3 +391,24 @@ def test_cusum_closed_form_equals_recurrence(spark):
         )
         assert [r.cpos for r in got] == exp_pos
         assert [r.cneg for r in got] == exp_neg
+
+
+def test_exact_substr_trim_consistent_with_coverage(spark, sf_smoke):
+    """The trim op removes EXACTLY the positions the boilerplate-coverage op
+    counts: kept_tokens == n_tokens - covered_tokens per document, and the
+    corpus genuinely shrinks (some doc has covered spans at this SF)."""
+    from timing_explorer_spark.plans import all_queries
+
+    cov = {
+        r["doc_id"]: (r["n_tokens"], r["covered_tokens"])
+        for r in all_queries()["q_boilerplate_span_coverage"].build(spark, sf_smoke).collect()
+    }
+    trim = all_queries()["q_exact_substr_trim"].build(spark, sf_smoke).collect()
+    assert len(trim) == len(cov)
+    removed_any = False
+    for r in trim:
+        n, covered = cov[r["doc_id"]]
+        assert r["n_tokens"] == n
+        assert r["kept_tokens"] == n - covered, r["doc_id"]
+        removed_any |= covered > 0
+    assert removed_any

@@ -648,3 +648,126 @@ def q_benford_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.log(F.lit(10.0)).cast("decimal(27,8)").cast("double")
         ).alias("benford_share"),
     )
+
+
+@register(
+    "q_exact_substr_trim",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        sp AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, GREATEST(LEN(toks) - 3, 1)),
+                       i -> struct_pack(
+                           pos := i,
+                           span := array_to_string(list_slice(toks, i, i + 4), ' ')
+                       ))) AS s
+            FROM w
+        ),
+        spans AS (SELECT doc_id, s.pos AS pos, s.span AS span FROM sp),
+        boiler AS (
+            SELECT span FROM spans GROUP BY span
+            HAVING COUNT(DISTINCT doc_id) >= 3
+        ),
+        hits AS (
+            SELECT s.doc_id, s.pos FROM spans s JOIN boiler b USING (span)
+        ),
+        covered AS (
+            SELECT DISTINCT doc_id, pos + k.k AS pos
+            FROM hits CROSS JOIN (SELECT UNNEST(range(5)) AS k) k
+        ),
+        px AS (
+            SELECT doc_id,
+                   UNNEST(list_transform(
+                       range(1, LEN(toks) + 1),
+                       i -> struct_pack(pos := i, tok := toks[i]))) AS s
+            FROM w
+        ),
+        positions AS (SELECT doc_id, s.pos AS pos, s.tok AS tok FROM px),
+        kept AS (
+            SELECT p.doc_id, p.pos, p.tok
+            FROM positions p
+            ANTI JOIN covered c ON p.doc_id = c.doc_id AND p.pos = c.pos
+        ),
+        agg AS (
+            SELECT doc_id,
+                   COUNT(*) AS kept_tokens,
+                   md5(string_agg(tok, ' ' ORDER BY pos)) AS cleaned_md5
+            FROM kept GROUP BY doc_id
+        )
+        SELECT w.doc_id,
+               LEN(w.toks)                  AS n_tokens,
+               COALESCE(a.kept_tokens, 0)  AS kept_tokens,
+               COALESCE(a.cleaned_md5, md5('')) AS cleaned_md5
+        FROM w LEFT JOIN agg a USING (doc_id)
+    """,
+    doc=(
+        "ExactSubstr-style corpus TRIM (Lee et al. 2022 'Deduplicating "
+        "Training Data', the REMOVE step their suffix-array pipeline "
+        "produces): q_boilerplate_span_coverage finds the token positions "
+        "covered by cross-document repeated 5-token spans (document "
+        "frequency >= 3); this query actually REMOVES them, emitting the "
+        "cleaned per-document token stream (verified by md5 so the full "
+        "text is checked without shipping it). All declarative: span DF "
+        "table -> broadcast boilerplate set -> positions anti-join on "
+        "(doc_id, pos) -> ordered reassembly via sorted collect_list per "
+        "document (bounded by document length). At 100 TB the span keys "
+        "group on xxhash64 and the anti-join co-shuffles fact-sized tables "
+        "on (doc_id, pos) — no driver-side anything, no all-pairs shape."
+    ),
+    tags=("quality", "dedup", "boilerplate", "llm-pipeline"),
+)
+def q_exact_substr_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import track_cache
+
+    K = 5
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("w")
+    )
+    n = F.size("w")
+    idx = F.when(n >= K, F.sequence(F.lit(1), n - K + 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    spans = track_cache(
+        d.select("doc_id", "w", F.explode(idx).alias("pos")).select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", F.slice("w", F.col("pos"), K)).alias("span"),
+        )
+    )
+    boiler = (
+        spans.groupBy("span")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") >= 3)
+        .select("span")
+    )
+    hits = spans.join(F.broadcast(boiler), "span").select("doc_id", "pos")
+    covered = hits.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("pos"), F.col("pos") + (K - 1))).alias("pos"),
+    ).distinct()
+    positions = d.select(
+        "doc_id", F.posexplode("w").alias("p0", "tok")
+    ).select("doc_id", (F.col("p0") + 1).alias("pos"), "tok")
+    kept = positions.join(covered, ["doc_id", "pos"], "left_anti")
+    cleaned = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "tok"))), lambda x: x["tok"]
+        ),
+        " ",
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_tokens"), F.md5(cleaned).alias("cleaned_md5")
+    )
+    return (
+        d.select("doc_id", n.alias("n_tokens"))
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce(F.col("kept_tokens"), F.lit(0).cast("long")).alias("kept_tokens"),
+            F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
