@@ -921,3 +921,92 @@ def test_top_with_tag_series(spark):
         ("2024-01-01 00:00:01", "a", 5.0),
         ("2024-01-01 00:00:02", "b", 9.0),
     }
+
+
+# ---- pagination (LIMIT/OFFSET points, SLIMIT/SOFFSET series) & bucket offset
+
+
+def test_limit_offset_per_series(spark, sensors):
+    """With a tag in GROUP BY, LIMIT/OFFSET page points PER SERIES in time
+    order (InfluxDB's contract) — buckets 2..3 of each key's 10s series."""
+    q = (
+        "SELECT count(\"value\") FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:50' "
+        "GROUP BY time(10s), \"key\" ORDER BY time ASC LIMIT 2 OFFSET 1"
+    )
+    rows = influxql(q, {"sensors": sensors}).collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r["key"], []).append(r["time"].second)
+    assert set(by_key) == {"temp", "pressure"}
+    for secs in by_key.values():
+        assert sorted(secs) == [10, 20]  # skipped bucket 0, kept 2 buckets
+
+
+def test_limit_offset_global(spark, sensors):
+    """Ungrouped: LIMIT/OFFSET page the global time-ordered points."""
+    base = (
+        "SELECT mean(\"value\") FROM \"sensors\" "
+        "WHERE \"key\" = 'temp' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30' "
+        "GROUP BY time(1s) ORDER BY time ASC"
+    )
+    full = [r["time"] for r in influxql(base, {"sensors": sensors}).collect()]
+    page = influxql(base + " LIMIT 5 OFFSET 7", {"sensors": sensors}).collect()
+    assert [r["time"] for r in page] == full[7:12]
+
+
+def test_slimit_soffset_series_pagination(spark, sensors):
+    """SLIMIT/SOFFSET keep whole SERIES by lexical tag order: of
+    {pressure, temp}, SOFFSET 1 SLIMIT 1 keeps only temp — every point."""
+    q = (
+        "SELECT count(\"value\") FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30' "
+        "GROUP BY time(10s), \"key\" SLIMIT 1 SOFFSET 1"
+    )
+    rows = influxql(q, {"sensors": sensors}).collect()
+    assert {r["key"] for r in rows} == {"temp"}
+    assert len(rows) == 3  # all of temp's buckets survive
+
+
+def test_bucket_offset_grid(spark, sensors):
+    """GROUP BY time(10s, 3s): boundaries at :03/:13/:23... — each full
+    shifted bucket still holds exactly 100 samples per key, and a negative
+    offset lands on the identical grid (floor semantics)."""
+    q = (
+        "SELECT count(\"value\") FROM \"sensors\" WHERE \"key\" = 'temp' "
+        "AND time >= '2024-01-01 00:00:03' AND time < '2024-01-01 00:00:23' "
+        "GROUP BY time(10s, 3s) ORDER BY time ASC"
+    )
+    rows = influxql(q, {"sensors": sensors}).collect()
+    assert [(r["time"].second, r["count"]) for r in rows] == [(3, 100), (13, 100)]
+    qneg = q.replace("time(10s, 3s)", "time(10s, -7s)")
+    assert influxql(qneg, {"sensors": sensors}).collect() == rows
+
+
+def test_bucket_offset_composes_with_fill(spark):
+    """fill() spine aligns to the shifted grid: labels are offset-grid
+    boundaries and the manufactured hole still fills."""
+    df = spark.createDataFrame(
+        [("2024-01-01 00:00:03", 1.0), ("2024-01-01 00:00:23", 5.0)], ["ts", "value"]
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "value")
+    q = (
+        "SELECT sum(\"value\") FROM \"m\" "
+        "WHERE time >= '2024-01-01 00:00:03' AND time <= '2024-01-01 00:00:25' "
+        "GROUP BY time(10s, 3s) fill(0) ORDER BY time ASC"
+    )
+    rows = influxql(q, {"m": df}).collect()
+    assert [(r["time"].second, r["sum"]) for r in rows] == [(3, 1.0), (13, 0.0), (23, 5.0)]
+
+
+def test_pagination_guards(spark, sensors):
+    """Unsupported pagination combinations raise instead of silently
+    ignoring a matched clause."""
+    for bad, msg in [
+        ("SELECT top(\"value\", 2) FROM \"sensors\" OFFSET 1", "top()"),
+        ("SELECT mean(\"value\") FROM \"sensors\" SLIMIT 2", "SLIMIT"),
+        ("SELECT elapsed(\"value\") FROM \"sensors\" SOFFSET 1", "elapsed"),
+        ("SELECT mean(\"value\"), max(\"value\") FROM \"sensors\" OFFSET 1", "multi"),
+    ]:
+        with pytest.raises(ValueError):
+            influxql(bad, {"sensors": sensors})

@@ -374,6 +374,10 @@ _SANCTIONED_NESTED_LOOP = {
 #      the window input is one row per entity/chunk, already reduced):
 #      q_pareto_revenue, q_sequence_packing, q_neardup_keep_best,
 #      q_semantic_dedup_keep_best
+#  (d) series-cardinality ranking for InfluxQL SLIMIT/SOFFSET
+#      (row_number over the DISTINCT tag values only — the series set,
+#      never data rows; functions/influxql.py::_series_filter):
+#      q_influxql_slimit
 # At 100 TB, class (c) would switch to the two-pass distributed prefix-scan
 # (per-partition totals broadcast as offsets — the pattern
 # plans/text_pipeline.py::q_sequence_packing documents); (a)/(b) stay
@@ -389,6 +393,7 @@ _SANCTIONED_GLOBAL_WINDOW = {
     "q_event_transitions",
     "q_influxql_moving_average",
     "q_influxql_elapsed",
+    "q_influxql_slimit",
     "q_sequence_packing",
     "q_neardup_keep_best",
     "q_semantic_dedup_keep_best",

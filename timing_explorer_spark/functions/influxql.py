@@ -11,10 +11,18 @@ neighbors):
 
     SELECT <proj> FROM <measurement>
       [WHERE <tag> = '<v>' [AND ...] [AND time >= '<ts>'] [AND time < '<ts>']]
-      [GROUP BY time(<N><u>)[, <tag>] [fill(null | none | linear | previous | <number>)]]
+      [GROUP BY time(<N><u>[, <off><u>])[, <tag>]
+                [fill(null | none | linear | previous | <number>)]]
       [ORDER BY time [ASC|DESC]]
-      [LIMIT <n>]
+      [LIMIT <n>] [OFFSET <k>]    (points: per series when grouped by a tag,
+                                   global otherwise — InfluxDB's contract)
+      [SLIMIT <n>] [SOFFSET <k>]  (series pagination, lexical tag order)
       [tz('<IANA zone>')]     (bucket alignment to local wall clock)
+
+    time(N, off) is InfluxQL's offset_interval: it shifts the bucket grid
+    (time(1d, 6h) = daily buckets starting at 06:00; negative offsets
+    normalize onto the same grid), composing with tz(), fill() spines, and
+    the streaming path (window() startTime) identically.
 
     SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
       | SHOW TAG VALUES FROM m WITH KEY = "k"     (Grafana template variables)
@@ -73,10 +81,13 @@ _UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000
 _RX = re.compile(
     r"""^\s*SELECT\s+(?P<proj>.+?)\s+FROM\s+"?(?P<meas>\w+)"?
         (?:\s+WHERE\s+(?P<where>.+?))?
-        (?:\s+GROUP\s+BY\s+(?P<group>time\(\d+[smhd]\)(?:\s*,\s*"?\w+"?)?|"?\w+"?)
+        (?:\s+GROUP\s+BY\s+(?P<group>time\(\d+[smhd](?:\s*,\s*-?\d+[smhd])?\)(?:\s*,\s*"?\w+"?)?|"?\w+"?)
             (?:\s+fill\((?P<fill>null|none|linear|previous|[-+]?\d+(?:\.\d+)?)\))?)?
         (?:\s+ORDER\s+BY\s+time(?:\s+(?P<dir>ASC|DESC))?)?
         (?:\s+LIMIT\s+(?P<limit>\d+))?
+        (?:\s+OFFSET\s+(?P<offset>\d+))?
+        (?:\s+SLIMIT\s+(?P<slimit>\d+))?
+        (?:\s+SOFFSET\s+(?P<soffset>\d+))?
         (?:\s+tz\('(?P<tz>[^']+)'\))?\s*$""",
     re.IGNORECASE | re.VERBOSE,
 )
@@ -101,7 +112,12 @@ _RX_FIELD_CMP = re.compile(
     r"""(?P<num>[-+]?\d+(?:\.\d+)?)$"""
 )
 _RX_TIME = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORECASE)
-_RX_BUCKET = re.compile(r'^time\((?P<n>\d+)(?P<u>[smhd])\)(?:\s*,\s*"?(?P<tag>\w+)"?)?$', re.IGNORECASE)
+_RX_BUCKET = re.compile(
+    r'^time\((?P<n>\d+)(?P<u>[smhd])'
+    r'(?:\s*,\s*(?P<off>-?\d+)(?P<offu>[smhd]))?\)'
+    r'(?:\s*,\s*"?(?P<tag>\w+)"?)?$',
+    re.IGNORECASE,
+)
 # regex tag predicate: "key" =~ /pattern/ or !~ /pattern/ (Grafana template
 # variables in "All"/multi mode render these)
 _RX_TAG_REGEX = re.compile(r'^"?(?P<tag>\w+)"?\s*(?P<op>=~|!~)\s*/(?P<rx>[^/]*)/$')
@@ -253,44 +269,76 @@ def _show(m: re.Match, tables: dict[str, DataFrame], time_col: str) -> DataFrame
     )
 
 
-def _bucket_col(time_col: str, step_us: int, tz: str | None) -> Column:
-    """GROUP BY time(N) bucket start as a UTC instant. With tz(), buckets
-    align to the zone's local wall clock (InfluxDB's tz() clause — daily
-    buckets start at local midnight): floor in local time, convert the
+def _bucket_us(mb: re.Match) -> tuple[int, int]:
+    """(step_us, offset_us) from a GROUP BY time(N[,off]) match. The second
+    argument is InfluxQL's offset_interval — it SHIFTS the bucket grid
+    (time(1d, 6h) = daily buckets starting 06:00), may be negative, and
+    composes with every aggregate/selector path the same way."""
+    step_us = int(mb.group("n")) * _UNIT_US[mb.group("u").lower()]
+    off_us = (
+        int(mb.group("off")) * _UNIT_US[mb.group("offu").lower()]
+        if mb.groupdict().get("off")
+        else 0
+    )
+    # Python's % normalizes negative offsets onto the same grid
+    # (time(1d,-6h) and time(1d,18h) floor to identical boundaries).
+    return step_us, off_us % step_us
+
+
+def _bucket_col(time_col: str, step_us: int, tz: str | None, off_us: int = 0) -> Column:
+    """GROUP BY time(N[, off]) bucket start as a UTC instant. With tz(),
+    buckets align to the zone's local wall clock (InfluxDB's tz() clause —
+    daily buckets start at local midnight): floor in local time, convert the
     boundary back to the UTC instant. Fixed-offset exact; at a DST
     transition the boundary shifts with the wall clock, matching InfluxDB.
+    A nonzero offset_interval shifts the grid: floor((t-off)/step)*step+off
+    (applied in local time under tz(), like InfluxDB).
     """
     if tz is None:
         return F.timestamp_micros(
-            (F.floor(F.unix_micros(F.col(time_col)) / F.lit(step_us)) * F.lit(step_us)).cast(
-                "bigint"
-            )
+            (
+                F.floor((F.unix_micros(F.col(time_col)) - F.lit(off_us)) / F.lit(step_us))
+                * F.lit(step_us)
+                + F.lit(off_us)
+            ).cast("bigint")
         ).alias("time")
     local = F.from_utc_timestamp(F.col(time_col), tz)
     floored = F.timestamp_micros(
-        (F.floor(F.unix_micros(local) / F.lit(step_us)) * F.lit(step_us)).cast("bigint")
+        (
+            F.floor((F.unix_micros(local) - F.lit(off_us)) / F.lit(step_us))
+            * F.lit(step_us)
+            + F.lit(off_us)
+        ).cast("bigint")
     )
     return F.to_utc_timestamp(floored, tz).alias("time")
 
 
-def _spine_start(t_lo: str, step_us: int, tz: str | None) -> Column:
+def _spine_start(t_lo: str, step_us: int, tz: str | None, off_us: int = 0) -> Column:
     """First spine bucket for fill(): floor of the range start, in the same
-    (UTC or tz-local) alignment the bucket column uses."""
+    (UTC or tz-local, offset-shifted) alignment the bucket column uses."""
     if tz is None:
         return F.timestamp_micros(
             (
-                F.floor(F.unix_micros(F.lit(t_lo).cast("timestamp")) / F.lit(step_us))
+                F.floor(
+                    (F.unix_micros(F.lit(t_lo).cast("timestamp")) - F.lit(off_us))
+                    / F.lit(step_us)
+                )
                 * F.lit(step_us)
+                + F.lit(off_us)
             ).cast("bigint")
         )
     local = F.from_utc_timestamp(F.lit(t_lo).cast("timestamp"), tz)
     floored = F.timestamp_micros(
-        (F.floor(F.unix_micros(local) / F.lit(step_us)) * F.lit(step_us)).cast("bigint")
+        (
+            F.floor((F.unix_micros(local) - F.lit(off_us)) / F.lit(step_us))
+            * F.lit(step_us)
+            + F.lit(off_us)
+        ).cast("bigint")
     )
     return F.to_utc_timestamp(floored, tz)
 
 
-def _fill_spine(spark, t_lo: str, t_hi: str, step_us: int, tz: str | None):
+def _fill_spine(spark, t_lo: str, t_hi: str, step_us: int, tz: str | None, off_us: int = 0):
     """The fill() time spine: one row per GROUP BY time() bucket start in
     [t_lo, t_hi], matching _bucket_col's alignment exactly.
 
@@ -309,7 +357,7 @@ def _fill_spine(spark, t_lo: str, t_hi: str, step_us: int, tz: str | None):
     """
     if tz is None:
         seq = F.sequence(
-            _spine_start(t_lo, step_us, None),
+            _spine_start(t_lo, step_us, None, off_us),
             F.lit(t_hi).cast("timestamp"),
             F.expr(f"INTERVAL {step_us} MICROSECOND"),
         )
@@ -317,10 +365,14 @@ def _fill_spine(spark, t_lo: str, t_hi: str, step_us: int, tz: str | None):
     local_lo = F.timestamp_micros(
         (
             F.floor(
-                F.unix_micros(F.from_utc_timestamp(F.lit(t_lo).cast("timestamp"), tz))
+                (
+                    F.unix_micros(F.from_utc_timestamp(F.lit(t_lo).cast("timestamp"), tz))
+                    - F.lit(off_us)
+                )
                 / F.lit(step_us)
             )
             * F.lit(step_us)
+            + F.lit(off_us)
         ).cast("bigint")
     )
     local_hi = F.from_utc_timestamp(F.lit(t_hi).cast("timestamp"), tz)
@@ -333,6 +385,81 @@ def _fill_spine(spark, t_lo: str, t_hi: str, step_us: int, tz: str | None):
         .select(F.explode(seq).alias("time"))
         .where(F.col("time") <= F.lit(t_hi).cast("timestamp"))
         .distinct()
+    )
+
+
+def _no_pagination(m: re.Match, what: str) -> None:
+    """OFFSET/SLIMIT/SOFFSET are implemented for the core aggregate/raw
+    paths; selectors and multi-stat shapes reject them loudly rather than
+    silently ignoring a matched clause."""
+    if m.group("offset") or m.group("slimit") or m.group("soffset"):
+        raise ValueError(f"OFFSET/SLIMIT/SOFFSET are not supported with {what}")
+
+
+def _series_filter(out: DataFrame, m: re.Match, series_tag: str | None) -> DataFrame:
+    """SLIMIT/SOFFSET — paginate SERIES (InfluxDB: SLIMIT N returns every
+    point from N series; SOFFSET skips series). Series order is the tag
+    value's lexical order, InfluxDB's series-key order for a single tag.
+    Scale: ranks only the DISTINCT tag values (series cardinality, not fact
+    rows) and semi-joins the broadcast survivors back — no window over data.
+    """
+    slimit = int(m.group("slimit")) if m.group("slimit") else None
+    soffset = int(m.group("soffset")) if m.group("soffset") else 0
+    if slimit is None and not soffset:
+        return out
+    if not series_tag:
+        raise ValueError("SLIMIT/SOFFSET require GROUP BY <tag>")
+    from pyspark.sql import Window
+
+    ranked = (
+        out.select(series_tag)
+        .distinct()
+        .withColumn("__sn", F.row_number().over(Window.orderBy(series_tag)))
+    )
+    cond = F.col("__sn") > soffset
+    if slimit is not None:
+        cond &= F.col("__sn") <= soffset + slimit
+    return out.join(F.broadcast(ranked.where(cond).select(series_tag)), series_tag)
+
+
+def _points_limit(
+    out: DataFrame, m: re.Match, series_tag: str | None, order_dir: str
+) -> DataFrame:
+    """LIMIT/OFFSET — paginate POINTS in time order (InfluxDB: per SERIES
+    when the query groups by a tag, global otherwise; fill()-generated rows
+    count, so this runs after fill). The per-series window partitions on the
+    tag (bounded by the queried time range / interval); the global OFFSET
+    path first bounds the input to OFFSET+LIMIT rows via TakeOrdered, so its
+    one-partition row_number scans a LIMIT-sized set, never the fact table.
+    """
+    limit = int(m.group("limit")) if m.group("limit") else None
+    offset = int(m.group("offset")) if m.group("offset") else 0
+    if limit is None and not offset:
+        return out
+    tcol = F.col("time").asc() if order_dir == "ASC" else F.col("time").desc()
+    if series_tag:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(series_tag).orderBy(tcol)
+        cond = F.col("__rn") > offset
+        if limit is not None:
+            cond &= F.col("__rn") <= offset + limit
+        return (
+            out.withColumn("__rn", F.row_number().over(w)).where(cond).drop("__rn")
+        )
+    if not offset:
+        return out.limit(limit)
+    if "time" not in out.columns:
+        raise ValueError("OFFSET requires a time-ordered result")
+    if limit is None:
+        raise ValueError("OFFSET without LIMIT is not supported")
+    from pyspark.sql import Window
+
+    bounded = out.orderBy(tcol).limit(offset + limit)
+    return (
+        bounded.withColumn("__rn", F.row_number().over(Window.orderBy(tcol)))
+        .where(F.col("__rn") > offset)
+        .drop("__rn")
     )
 
 
@@ -353,6 +480,7 @@ def _top_bottom(df: DataFrame, m: re.Match, mtb: re.Match, time_col: str) -> Dat
     """
     from pyspark.sql import Window
 
+    _no_pagination(m, "top()/bottom()")
     fn = mtb.group("fn").lower()
     field, n = mtb.group("field"), int(mtb.group("n"))
     if n < 1:
@@ -371,9 +499,9 @@ def _top_bottom(df: DataFrame, m: re.Match, mtb: re.Match, time_col: str) -> Dat
         mb = _RX_BUCKET.match(group)
         if not mb:
             raise ValueError(f"unsupported GROUP BY: {group!r}")
-        step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
+        step_us, off_us = _bucket_us(mb)
         tag = mb.group("tag")
-        bucket = _bucket_col(time_col, step_us, m.group("tz"))
+        bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
         tag_cols = [tag] if tag else []
         w = Window.partitionBy("__b", *tag_cols).orderBy(*order)
         out = (
@@ -407,6 +535,7 @@ def _elapsed(df: DataFrame, m: re.Match, mel: re.Match, time_col: str) -> DataFr
     """
     from pyspark.sql import Window
 
+    _no_pagination(m, "elapsed()")
     if m.group("group"):
         raise ValueError("elapsed() operates on raw points; GROUP BY is not supported")
     field = mel.group("field")
@@ -446,6 +575,7 @@ def _holt_winters(df: DataFrame, m: re.Match, mhw: re.Match, time_col: str) -> D
     """
     import pandas as pd
 
+    _no_pagination(m, "holt_winters()")
     fn = mhw.group("fn").lower()
     with_fit = fn == "holt_winters_with_fit"
     h, season = int(mhw.group("h")), int(mhw.group("m"))
@@ -465,9 +595,9 @@ def _holt_winters(df: DataFrame, m: re.Match, mhw: re.Match, time_col: str) -> D
         # change, so `last + k*step` forecast instants would drift off the
         # local grid — reject rather than silently mislabel
         raise ValueError("holt_winters() does not support tz(); use UTC buckets")
-    step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
+    step_us, off_us = _bucket_us(mb)
     tag = mb.group("tag")
-    bucket = _bucket_col(time_col, step_us, m.group("tz"))
+    bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
     tag_cols = [tag] if tag else []
     agg = (
         df.select(bucket, *tag_cols, mhw.group("field"), F.col(time_col))
@@ -524,6 +654,7 @@ def _distinct(df: DataFrame, m: re.Match, mdi: re.Match, time_col: str) -> DataF
     timestamp. Multi-row output, so it dispatches like the selectors rather
     than through _agg_column. Plan: select + dropDuplicates — one
     hash-aggregate shuffle on (bucket, tag, value), map-side combined."""
+    _no_pagination(m, "distinct()")
     field = mdi.group("field")
     if (m.group("fill") or "none").lower() != "none":
         raise ValueError("fill() is not supported with distinct()")
@@ -538,10 +669,10 @@ def _distinct(df: DataFrame, m: re.Match, mdi: re.Match, time_col: str) -> DataF
         mb = _RX_BUCKET.match(group)
         if not mb:
             raise ValueError(f"unsupported GROUP BY: {group!r}")
-        step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
+        step_us, off_us = _bucket_us(mb)
         tag = mb.group("tag")
         tag_cols = [tag] if tag else []
-        bucket = _bucket_col(time_col, step_us, m.group("tz"))
+        bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
         out = df.select(bucket, *tag_cols, F.col(field).alias("distinct")).distinct()
     else:
         tag = group.strip('"')
@@ -582,6 +713,7 @@ def _split_projections(proj: str) -> list[str]:
 def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
     """SELECT agg1(f), agg2(f), ... [GROUP BY time(N)[, tag]] — each item a
     plain aggregate; fill() applies to every aggregate column."""
+    _no_pagination(m, "multi-aggregate SELECT")
     aggs = []
     names: list[str] = []
     for p in projs:
@@ -616,9 +748,9 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
     mb = _RX_BUCKET.match(gb)
     if not mb:
         raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
-    step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
+    step_us, off_us = _bucket_us(mb)
     tag = mb.group("tag")
-    bucket = _bucket_col(time_col, step_us, m.group("tz"))
+    bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
     keys = ["time"] + ([tag] if tag else [])
     out = df.select(bucket, *df.columns).groupBy(*keys).agg(*aggs)
     fill = (m.group("fill") or "none").lower()
@@ -630,7 +762,7 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
         if t_lo is None or t_hi is None:
             raise ValueError("fill() requires an explicit time range in WHERE")
         spark = df.sparkSession
-        spine = _fill_spine(spark, t_lo, t_hi, step_us, m.group("tz"))
+        spine = _fill_spine(spark, t_lo, t_hi, step_us, m.group("tz"), off_us)
         if tag:
             spine = F.broadcast(spine.join(df.select(tag).distinct()))
         out = F.broadcast(spine).join(out, keys, "left")
@@ -800,15 +932,18 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
                     magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
                 ).alias(magg.group("fn").lower())
             )
+            result = _series_filter(result, m, tag_only)
+            # one row per series, no time column: LIMIT keeps its original
+            # (global) reading here; per-series LIMIT>=1 would be a no-op
             if m.group("limit"):
                 result = result.limit(int(m.group("limit")))
             return result
         mb = _RX_BUCKET.match(gb)
         if not mb:
             raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
-        step_us = int(mb.group("n")) * _UNIT_US[mb.group("u")]
+        step_us, off_us = _bucket_us(mb)
         tag = mb.group("tag")
-        bucket = _bucket_col(time_col, step_us, m.group("tz"))
+        bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
         alias = magg.group("fn").lower()
         keys = ["time"] + ([tag] if tag else [])
         if alias == "integral":
@@ -939,7 +1074,7 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             if t_lo is None or t_hi is None:
                 raise ValueError("fill() requires an explicit time range in WHERE")
             spark = df.sparkSession
-            spine = _fill_spine(spark, t_lo, t_hi, step_us, m.group("tz"))
+            spine = _fill_spine(spark, t_lo, t_hi, step_us, m.group("tz"), off_us)
             if tag:
                 spine = F.broadcast(spine.join(df.select(tag).distinct()))
             out = F.broadcast(spine).join(out, keys, "left")
@@ -1005,10 +1140,11 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             raise ValueError(f"unsupported projection: {proj!r}")
         result = df.select(F.col(time_col).alias("time"), mf.group("field"))
 
+    series_tag = tag if m.group("group") else None
+    result = _series_filter(result, m, series_tag)
+    result = _points_limit(result, m, series_tag, order_dir)
     if "time" in result.columns:
         result = result.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
-    if m.group("limit"):
-        result = result.limit(int(m.group("limit")))
     return result
 
 
@@ -1150,6 +1286,14 @@ def influxql_streaming(
     if mb is None:
         raise ValueError("streaming requires GROUP BY time(N)")
     duration = f"{mb.group('n')} {_UNIT_NAME[mb.group('u').lower()]}"
+    # time(N, off) grid shift maps directly onto window()'s startTime
+    # (normalized into [0, step) — same grid InfluxDB floors onto)
+    _, off_us = _bucket_us(mb)
+    win = (
+        F.window(time_col, duration, duration, f"{off_us} microseconds")
+        if off_us
+        else F.window(time_col, duration)
+    )
     tag = mb.group("tag")
     tag_cols = [tag] if tag else []
     agg_col = _agg_column(
@@ -1157,7 +1301,7 @@ def influxql_streaming(
     ).alias(magg.group("fn").lower())
     return (
         df.withWatermark(time_col, watermark)
-        .groupBy(F.window(time_col, duration).alias("__w"), *tag_cols)
+        .groupBy(win.alias("__w"), *tag_cols)
         .agg(agg_col)
         .select(F.col("__w.start").alias("time"), *tag_cols, magg.group("fn").lower())
     )

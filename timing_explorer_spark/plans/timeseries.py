@@ -1541,3 +1541,122 @@ def q_influxql_distinct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY time(1d) ORDER BY time ASC"
     )
     return influxql(q, {"events": e})
+
+
+@register(
+    "q_influxql_time_offset",
+    oracle="""
+        SELECT make_timestamp(CAST(
+                   FLOOR((epoch_us(ts) - 21600000000) / 86400000000)
+                   * 86400000000 + 21600000000 AS BIGINT)) AS time,
+               CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value)
+                   AS mean
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+        GROUP BY 1
+    """,
+    doc=(
+        "InfluxQL GROUP BY time(1d, 6h) — the offset_interval clause: the "
+        "daily bucket grid shifted to start at 06:00 (the 'business day' "
+        "alignment idiom). functions/influxql.py::_bucket_us normalizes "
+        "negative offsets onto the same grid (time(1d,-18h) is identical) "
+        "and the shift composes with tz(), fill() spines, and the "
+        "streaming path's window(..., startTime). Plan shape is unchanged "
+        "from any bucketed aggregate: map-side partial agg, one exchange."
+    ),
+    tags=("timeseries", "influxql", "bucket"),
+)
+def q_influxql_time_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT mean(\"value\") FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-15 00:00:00' "
+        "GROUP BY time(1d, 6h) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_limit_offset",
+    oracle="""
+        SELECT time, event_type, count FROM (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000)
+                       AS BIGINT) * 86400000000) AS time,
+                   event_type,
+                   COUNT(value) AS count,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY make_timestamp(CAST(FLOOR(epoch_us(ts)
+                           / 86400000000) AS BIGINT) * 86400000000)) AS rn
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY 1, 2
+        ) WHERE rn > 2 AND rn <= 5
+    """,
+    doc=(
+        "InfluxQL LIMIT 3 OFFSET 2 on a tag-grouped bucket series — "
+        "InfluxDB's point pagination: with a tag in GROUP BY the limit "
+        "applies PER SERIES in time order (buckets 3..5 of every "
+        "event_type series), not globally. Plan: row_number over a "
+        "tag-partitioned window on the aggregate — partitions are bounded "
+        "by the queried range/interval, never fact-sized; ungrouped "
+        "queries instead bound the input with TakeOrdered(offset+limit) "
+        "before a one-partition row_number over that LIMIT-sized set "
+        "(functions/influxql.py::_points_limit)."
+    ),
+    tags=("timeseries", "influxql", "pagination"),
+)
+def q_influxql_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT count(\"value\") FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-15 00:00:00' "
+        "GROUP BY time(1d), \"event_type\" ORDER BY time ASC LIMIT 3 OFFSET 2"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_slimit",
+    oracle="""
+        WITH series AS (
+            SELECT event_type,
+                   ROW_NUMBER() OVER (ORDER BY event_type) AS sn
+            FROM (SELECT DISTINCT event_type FROM events
+                  WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                    AND ts <= TIMESTAMP '2024-01-08 00:00:00')
+        )
+        SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000)
+                   AS BIGINT) * 86400000000) AS time,
+               e.event_type,
+               CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value)
+                   AS mean
+        FROM events e JOIN series s ON e.event_type = s.event_type
+        WHERE s.sn > 1 AND s.sn <= 3
+          AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "InfluxQL SLIMIT 2 SOFFSET 1 — SERIES pagination (series 2..3 in "
+        "lexical tag order, every point of each kept series; InfluxDB's "
+        "series-key order for a single tag). Scale: only the DISTINCT tag "
+        "values are ranked (series cardinality, not fact rows) and the "
+        "broadcast survivor set semi-joins the aggregate — no window over "
+        "data rows (functions/influxql.py::_series_filter)."
+    ),
+    tags=("timeseries", "influxql", "pagination"),
+)
+def q_influxql_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT mean(\"value\") FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-08 00:00:00' "
+        "GROUP BY time(1d), \"event_type\" ORDER BY time ASC SLIMIT 2 SOFFSET 1"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
