@@ -89,9 +89,14 @@ def _alias(agg: str) -> str:
     return "percentile" if agg.startswith("percentile") else agg
 
 
-def _bucket(step: str) -> str:
+def _bucket(step: str, off: str | None = None) -> str:
     s = _step_us(step)
-    return f"make_timestamp(CAST(FLOOR(epoch_us(ts) / {s}) * {s} AS BIGINT))"
+    o = _step_us(off) % s if off else 0
+    if not o:
+        return f"make_timestamp(CAST(FLOOR(epoch_us(ts) / {s}) * {s} AS BIGINT))"
+    return (
+        f"make_timestamp(CAST(FLOOR((epoch_us(ts) - {o}) / {s}) * {s} + {o} AS BIGINT))"
+    )
 
 
 def _base_sql(preds: list[str], rng, time_expr: str | None) -> str:
@@ -270,6 +275,128 @@ def _grid() -> list[tuple]:
     cases.append(("raw_eq", None, ["eq"], 0, None, None, None))
     cases.append(("raw_regex_num", None, ["re", "gt"], 2, None, None, None))
     return cases
+
+
+def _pagination_grid() -> list[tuple[str, str, str]]:
+    """(name, influx statement, duck oracle) for LIMIT/OFFSET/SLIMIT/SOFFSET
+    and time(step, off) shifted-grid shapes — the clauses the main grid
+    excludes. Oracles rendered independently (row_number / series-rank SQL),
+    not derived from the translator."""
+    rng = ("2024-01-01 00:00:00", "2024-01-15 00:00:00")
+    t = f"ts >= TIMESTAMP '{rng[0]}' AND ts <= TIMESTAMP '{rng[1]}'"
+    it = f"time >= '{rng[0]}' AND time <= '{rng[1]}'"
+    cases = []
+    # per-series LIMIT/OFFSET over time+tag buckets
+    for name, lim, off in [("ps_limit", 3, 0), ("ps_limit_offset", 4, 2), ("ps_offset_tail", 99, 5)]:
+        suffix = f" LIMIT {lim}" + (f" OFFSET {off}" if off else "")
+        cases.append((
+            name,
+            f'SELECT count("value") FROM "events" WHERE {it} '
+            f'GROUP BY time(1d), "event_type" ORDER BY time ASC{suffix}',
+            f"""
+            SELECT time, event_type, count FROM (
+                SELECT {_bucket('1d')} AS time, event_type, COUNT(value) AS count,
+                       ROW_NUMBER() OVER (PARTITION BY event_type
+                                          ORDER BY {_bucket('1d')}) AS rn
+                FROM events WHERE {t} GROUP BY 1, 2
+            ) WHERE rn > {off} AND rn <= {off + lim}
+            """,
+        ))
+    # global LIMIT/OFFSET over an untagged bucket series (unique times)
+    for name, lim, off in [("g_limit", 5, 0), ("g_limit_offset", 4, 3)]:
+        suffix = f" LIMIT {lim}" + (f" OFFSET {off}" if off else "")
+        cases.append((
+            name,
+            f'SELECT sum("value") FROM "events" WHERE {it} '
+            f"GROUP BY time(1d) ORDER BY time ASC{suffix}",
+            f"""
+            SELECT time, sum FROM (
+                SELECT {_bucket('1d')} AS time,
+                       CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) AS sum,
+                       ROW_NUMBER() OVER (ORDER BY {_bucket('1d')}) AS rn
+                FROM events WHERE {t} GROUP BY 1
+            ) WHERE rn > {off} AND rn <= {off + lim}
+            """,
+        ))
+    # SLIMIT/SOFFSET series pagination (lexical tag order)
+    for name, sl, so in [("slimit", 2, 0), ("slimit_soffset", 2, 1), ("soffset_tail", 99, 3)]:
+        suffix = f" SLIMIT {sl}" + (f" SOFFSET {so}" if so else "")
+        cases.append((
+            name,
+            f'SELECT mean("value") FROM "events" WHERE {it} '
+            f'GROUP BY time(1d), "event_type"{suffix}',
+            f"""
+            WITH s AS (
+                SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) AS sn
+                FROM (SELECT DISTINCT event_type FROM events WHERE {t})
+            )
+            SELECT {_bucket('1d')} AS time, e.event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE)
+                       / COUNT(value) AS mean
+            FROM events e JOIN s ON e.event_type = s.event_type
+            WHERE s.sn > {so} AND s.sn <= {so + sl} AND {t}
+            GROUP BY 1, 2
+            """,
+        ))
+    # shifted bucket grids, positive and negative offsets, with a tag and
+    # composed with per-series pagination
+    for name, step, off in [("grid_6h", "1d", "6h"), ("grid_neg", "1d", "-6h"),
+                            ("grid_90m", "6h", "90m")]:
+        cases.append((
+            name,
+            f'SELECT max("value") FROM "events" WHERE {it} '
+            f'GROUP BY time({step}, {off}), "event_type"',
+            f"SELECT {_bucket(step, off)} AS time, event_type, MAX(value) AS max "
+            f"FROM events WHERE {t} GROUP BY 1, 2",
+        ))
+    cases.append((
+        "grid_plus_pagination",
+        f'SELECT count("value") FROM "events" WHERE {it} '
+        f'GROUP BY time(1d, 6h), "event_type" ORDER BY time ASC LIMIT 2 OFFSET 1 '
+        f"SLIMIT 2 SOFFSET 2",
+        f"""
+        WITH s AS (
+            SELECT event_type, ROW_NUMBER() OVER (ORDER BY event_type) AS sn
+            FROM (SELECT DISTINCT event_type FROM events WHERE {t})
+        ),
+        a AS (
+            SELECT {_bucket('1d', '6h')} AS time, e.event_type,
+                   COUNT(value) AS count
+            FROM events e JOIN s ON e.event_type = s.event_type
+            WHERE s.sn > 2 AND s.sn <= 4 AND {t}
+            GROUP BY 1, 2
+        )
+        SELECT time, event_type, count FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                         ORDER BY time) AS rn FROM a
+        ) WHERE rn > 1 AND rn <= 3
+        """,
+    ))
+    return cases
+
+
+def test_influxql_pagination_offset_grid(spark, sf_smoke):
+    events = load(spark, sf_smoke, "events")
+    con = duckdb_connection(sf_smoke)
+    failures = []
+    cases = _pagination_grid()
+    for name, iq, dq in cases:
+        try:
+            s_cols, s_rows = spark_canonical(influxql(iq, {"events": events}))
+            d_cols, d_rows = duckdb_canonical(con, dq)
+        except Exception as e:  # noqa: BLE001 - report with the query text
+            failures.append(f"{name}: ERROR {e}\n  influx: {iq}\n  duck:   {dq}")
+            continue
+        if s_cols != d_cols:
+            failures.append(f"{name}: columns {s_cols} != {d_cols}\n  influx: {iq}")
+        elif s_rows != d_rows:
+            diff_a = [r for r in s_rows if r not in d_rows][:3]
+            diff_b = [r for r in d_rows if r not in s_rows][:3]
+            failures.append(
+                f"{name}: {len(s_rows)} vs {len(d_rows)} rows; "
+                f"spark-only {diff_a} duck-only {diff_b}\n  influx: {iq}\n  duck:   {dq}"
+            )
+    assert not failures, f"{len(failures)}/{len(cases)} mismatches:\n" + "\n".join(failures)
 
 
 def test_influxql_duckdb_equivalence_grid(spark, sf_smoke):

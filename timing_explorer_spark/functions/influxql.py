@@ -447,10 +447,15 @@ def _points_limit(
         return (
             out.withColumn("__rn", F.row_number().over(w)).where(cond).drop("__rn")
         )
-    if not offset:
-        return out.limit(limit)
     if "time" not in out.columns:
-        raise ValueError("OFFSET requires a time-ordered result")
+        # scalar results (single row): plain limit, no time order to take
+        if offset:
+            raise ValueError("OFFSET requires a time-ordered result")
+        return out.limit(limit)
+    if not offset:
+        # TakeOrderedAndProject — the first N points in time order, never
+        # an arbitrary N (this runs BEFORE the cosmetic final orderBy)
+        return out.orderBy(tcol).limit(limit)
     if limit is None:
         raise ValueError("OFFSET without LIMIT is not supported")
     from pyspark.sql import Window
