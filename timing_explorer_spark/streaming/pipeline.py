@@ -240,3 +240,37 @@ def run_pipeline_available_now(
         q.awaitTermination()
     return out
 
+
+
+def session_windows_stream(
+    sensors: DataFrame, gap: str = "5 seconds", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Keyed SESSION windows over the stream — the window type the reference
+    lacks entirely (SURVEY §2.2: tumbling only, PseudoWindow.java:82) but a
+    general engine must offer. ``session_window(ts, gap)`` maintains merging
+    session state incrementally; append mode + watermark seals a session
+    only once the watermark passes its end + gap, so each (key, session) is
+    emitted exactly once with its final extent. Batch equivalence: the same
+    expression over the collected rows (pinned in
+    tests/test_streaming_sessions.py); the batch oracle-backed counterpart
+    over raw events is ``q_session_windows``.
+
+    Scale: state is per (key, open session) — bounded by key cardinality x
+    sessions inside the watermark horizon, merged in the state store, one
+    shuffle on key. Same plan shape a 1000-executor deployment runs.
+    """
+    return (
+        sensors.withWatermark("ts", watermark)
+        .groupBy(F.col("key"), F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        )
+        .select(
+            "key",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )
