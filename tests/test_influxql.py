@@ -1010,3 +1010,67 @@ def test_pagination_guards(spark, sensors):
     ]:
         with pytest.raises(ValueError):
             influxql(bad, {"sensors": sensors})
+
+
+def test_resolve_time_expr_forms():
+    """The three operand families Grafana/clients actually render: quoted
+    ISO (optionally with arithmetic), bare epoch with unit suffix (bare
+    integers are nanoseconds in InfluxQL), and now() with +/- durations.
+    now is injected for determinism."""
+    from timing_explorer_spark.functions.influxql import _resolve_time_expr
+
+    fixed = "2024-01-01 00:00:30"
+    assert _resolve_time_expr("'2024-01-01 00:00:10'", None) == "2024-01-01 00:00:10"
+    assert (
+        _resolve_time_expr("'2024-01-01 00:00:10' + 6h", None)
+        == "2024-01-01 06:00:10"
+    )
+    # Grafana renders $timeFilter as epoch-ms: time >= 1704067210000ms
+    assert _resolve_time_expr("1704067210000ms", None) == "2024-01-01 00:00:10"
+    # bare integer = nanoseconds (InfluxQL default precision)
+    assert _resolve_time_expr("1704067210000000000", None) == "2024-01-01 00:00:10"
+    assert _resolve_time_expr("1704067210s", None) == "2024-01-01 00:00:10"
+    assert _resolve_time_expr("now()", fixed) == "2024-01-01 00:00:30"
+    assert _resolve_time_expr("now() - 20s", fixed) == "2024-01-01 00:00:10"
+    assert _resolve_time_expr("now() - 1m + 500ms", fixed) == "2023-12-31 23:59:30.500000"
+    assert _resolve_time_expr("now() - 1w", fixed) == "2023-12-25 00:00:30"
+    with pytest.raises(ValueError):
+        _resolve_time_expr("yesterday", fixed)
+    with pytest.raises(ValueError):
+        _resolve_time_expr("now() * 2", fixed)
+
+
+def test_now_relative_range_matches_absolute(spark, sensors):
+    """WHERE time >= now() - 20s with an injected now must equal the
+    absolute-range translation — including the GROUP BY time() spine, whose
+    bounds derive from the resolved t_lo/t_hi."""
+    rel = (
+        "SELECT mean(\"value\") FROM \"sensors\" WHERE \"key\" = 'temp' "
+        "AND time >= now() - 20s AND time < now() GROUP BY time(5s) fill(null)"
+    )
+    absq = (
+        "SELECT mean(\"value\") FROM \"sensors\" WHERE \"key\" = 'temp' "
+        "AND time >= '2024-01-01 00:00:10' AND time < '2024-01-01 00:00:30' "
+        "GROUP BY time(5s) fill(null)"
+    )
+    got = influxql(rel, {"sensors": sensors}, now="2024-01-01 00:00:30").orderBy("time")
+    want = influxql(absq, {"sensors": sensors}).orderBy("time")
+    assert [tuple(r) for r in got.collect()] == [tuple(r) for r in want.collect()]
+    assert got.count() == 4
+
+
+def test_epoch_ms_range_matches_quoted(spark, sensors):
+    """Grafana's raw $timeFilter (epoch-ms suffix) equals the quoted-ISO
+    form: 1704067210000ms == '2024-01-01 00:00:10'."""
+    eq = (
+        "SELECT count(\"value\") FROM \"sensors\" "
+        "WHERE time >= 1704067210000ms AND time < 1704067220000ms"
+    )
+    quoted = (
+        "SELECT count(\"value\") FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:10' AND time < '2024-01-01 00:00:20'"
+    )
+    a = influxql(eq, {"sensors": sensors}).collect()
+    b = influxql(quoted, {"sensors": sensors}).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert a[0]["count"] == 200  # 10s * 10 samples/s * 2 keys

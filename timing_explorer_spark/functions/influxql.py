@@ -111,7 +111,69 @@ _RX_FIELD_CMP = re.compile(
     r"""^"?(?P<field>\w+)"?\s*(?P<op>>=|<=|!=|<>|>|<|=)\s*"""
     r"""(?P<num>[-+]?\d+(?:\.\d+)?)$"""
 )
-_RX_TIME = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*'(?P<ts>[^']+)'$", re.IGNORECASE)
+_RX_TIME = re.compile(r"^time\s*(?P<op>>=|<=|>|<)\s*(?P<expr>.+)$", re.IGNORECASE)
+# InfluxQL duration literals (now() arithmetic) in µs; ns handled by
+# integer division (our timestamps are µs-precision like the engine's).
+_DUR_US = {
+    "u": 1,
+    "µ": 1,
+    "ms": 1_000,
+    "s": 1_000_000,
+    "m": 60_000_000,
+    "h": 3_600_000_000,
+    "d": 86_400_000_000,
+    "w": 604_800_000_000,
+}
+
+
+def _dur_to_us(n: int, unit: str) -> int:
+    unit = unit.lower()
+    return n // 1000 if unit == "ns" else n * _DUR_US[unit]
+_RX_TIME_TERM = re.compile(
+    r"^(?:'(?P<iso>[^']+)'|(?P<epoch>\d+)(?P<eunit>ns|u|µ|ms|s)?|(?P<now>now\(\)))",
+    re.IGNORECASE,
+)
+_RX_TIME_ARITH = re.compile(r"\s*(?P<sign>[-+])\s*(?P<n>\d+)(?P<u>ns|u|µ|ms|s|m|h|d|w)")
+
+
+def _resolve_time_expr(expr: str, now) -> str:
+    """An InfluxQL time operand -> absolute 'YYYY-MM-DD HH:MM:SS[.ffffff]'
+    string (UTC). Accepts the three forms clients actually send: a quoted
+    timestamp ('2024-01-01 00:00:00' — what the reference dashboards test
+    uses), a bare epoch integer with unit suffix (1610000000000ms — what
+    Grafana's $timeFilter really renders), and now() — each optionally
+    followed by ±duration arithmetic (now() - 90s, '2024-01-02' + 6h).
+    ``now`` is the injection point for determinism (tests pass a fixed
+    instant; default is the wall clock)."""
+    import datetime as _dt
+
+    s = expr.strip()
+    mt = _RX_TIME_TERM.match(s)
+    if not mt:
+        raise ValueError(f"unsupported time operand: {expr!r}")
+    if mt.group("iso"):
+        base = _dt.datetime.fromisoformat(mt.group("iso"))
+    elif mt.group("epoch") is not None:
+        unit = (mt.group("eunit") or "ns").lower()  # bare ints are ns in InfluxQL
+        us = _dur_to_us(int(mt.group("epoch")), unit)
+        base = _dt.datetime(1970, 1, 1) + _dt.timedelta(microseconds=us)
+    else:
+        if now is None:
+            base = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+        elif isinstance(now, str):
+            base = _dt.datetime.fromisoformat(now)
+        else:
+            base = now
+    rest = s[mt.end() :]
+    pos = 0
+    while pos < len(rest.rstrip()):
+        ma = _RX_TIME_ARITH.match(rest, pos)
+        if not ma:
+            raise ValueError(f"unsupported time arithmetic: {expr!r}")
+        delta = _dt.timedelta(microseconds=_dur_to_us(int(ma.group("n")), ma.group("u")))
+        base = base + delta if ma.group("sign") == "+" else base - delta
+        pos = ma.end()
+    return base.strftime("%Y-%m-%d %H:%M:%S.%f") if base.microsecond else base.strftime("%Y-%m-%d %H:%M:%S")
 _RX_BUCKET = re.compile(
     r'^time\((?P<n>\d+)(?P<u>[smhd])'
     r'(?:\s*,\s*(?P<off>-?\d+)(?P<offu>[smhd]))?\)'
@@ -775,11 +837,15 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
     return out.limit(int(m.group("limit"))) if m.group("limit") else out
 
 
-def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> DataFrame:
+def influxql(
+    query: str, tables: dict[str, DataFrame], time_col: str = "ts", now=None
+) -> DataFrame:
     """Translate one InfluxQL statement into a DataFrame plan.
 
     ``tables`` maps measurement name -> DataFrame with an event-time column
-    ``time_col`` plus field/tag columns.
+    ``time_col`` plus field/tag columns. ``now`` fixes the instant now()
+    resolves to (str or datetime; default wall clock) — tests and replays
+    inject it for determinism.
     """
     q = query.strip().rstrip(";")
     ms = _RX_SHOW.match(q)
@@ -806,14 +872,14 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
                     break
         if end < 0:
             raise ValueError("unbalanced parentheses in FROM subquery")
-        inner = influxql(q[start + 1 : end].strip(), tables, time_col)
+        inner = influxql(q[start + 1 : end].strip(), tables, time_col, now)
         if "time" not in inner.columns:
             raise ValueError(
                 "FROM-subquery must produce a time column (use GROUP BY time)"
             )
         inner = inner.withColumnRenamed("time", time_col)
         outer_sql = q[:start] + '"__subquery"' + q[end + 1 :]
-        return influxql(outer_sql, {**tables, "__subquery": inner}, time_col)
+        return influxql(outer_sql, {**tables, "__subquery": inner}, time_col, now)
     m = _RX.match(q)
     if not m:
         raise ValueError(f"unsupported InfluxQL: {query!r}")
@@ -828,7 +894,8 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
             cond = cond.strip()
             mt = _RX_TIME.match(cond)
             if mt:
-                ts = F.lit(mt.group("ts")).cast("timestamp")
+                resolved = _resolve_time_expr(mt.group("expr"), now)
+                ts = F.lit(resolved).cast("timestamp")
                 op = mt.group("op")
                 df = df.where(
                     F.col(time_col) >= ts
@@ -840,9 +907,20 @@ def influxql(query: str, tables: dict[str, DataFrame], time_col: str = "ts") -> 
                     else F.col(time_col) < ts
                 )
                 if op in (">=", ">"):
-                    t_lo = mt.group("ts")
+                    t_lo = resolved
+                elif op == "<":
+                    # InfluxDB spine semantics: buckets whose START lies in
+                    # [floor(lo), hi) — a bucket starting exactly at a strict
+                    # upper bound is excluded. The spine builder treats t_hi
+                    # inclusively, so back it off by 1µs (our precision).
+                    import datetime as _dt
+
+                    t_hi = (
+                        _dt.datetime.fromisoformat(resolved)
+                        - _dt.timedelta(microseconds=1)
+                    ).strftime("%Y-%m-%d %H:%M:%S.%f")
                 else:
-                    t_hi = mt.group("ts")
+                    t_hi = resolved
                 continue
             # Grafana parenthesizes rendered tag conditions: ("key" = 'x')
             while cond.startswith("(") and cond.endswith(")"):

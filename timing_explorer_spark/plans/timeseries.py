@@ -1660,3 +1660,48 @@ def q_influxql_slimit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY time(1d), \"event_type\" ORDER BY time ASC SLIMIT 2 SOFFSET 1"
     )
     return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_now_relative",
+    oracle="""
+        WITH spine AS (
+            SELECT UNNEST(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                          TIMESTAMP '2024-01-07 12:00:00',
+                                          INTERVAL 12 HOUR)) AS time
+        ),
+        agg AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 43200000000) AS BIGINT)
+                                  * 43200000000) AS time,
+                   CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE) / COUNT(value)
+                       AS mean
+            FROM events
+            WHERE event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+            GROUP BY 1
+        )
+        SELECT s.time, a.mean FROM spine s LEFT JOIN agg a ON s.time = a.time
+    """,
+    doc=(
+        "Grafana's live $timeFilter as actually rendered — WHERE time >= "
+        "now() - 3d AND time < now() — with now() pinned to 2024-01-08 for "
+        "determinism (functions/influxql.py::_resolve_time_expr). Exercises "
+        "duration arithmetic on now() AND the strict-< spine contract: the "
+        "bucket starting exactly at the exclusive upper bound is NOT in the "
+        "fill spine (InfluxDB emits buckets whose start lies in [lo, hi))."
+    ),
+    tags=("timeseries", "influxql", "gapfill"),
+)
+def q_influxql_now_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT mean(\"value\") FROM \"events\" "
+        "WHERE \"event_type\" = 'click' "
+        "AND time >= now() - 3d AND time < now() "
+        "GROUP BY time(12h) fill(null) ORDER BY time ASC"
+    )
+    return influxql(
+        q, {"events": load(spark, sf_dir, "events")}, now="2024-01-08 00:00:00"
+    )
