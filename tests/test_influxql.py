@@ -1074,3 +1074,142 @@ def test_epoch_ms_range_matches_quoted(spark, sensors):
     b = influxql(quoted, {"sensors": sensors}).collect()
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     assert a[0]["count"] == 200  # 10s * 10 samples/s * 2 keys
+
+
+@pytest.fixture(scope="module")
+def sensors2(sensors):
+    # second tag: a site derived from the sample's sub-second phase — two
+    # deterministic values per key, so (key, site) yields 4 series
+    return sensors.withColumn(
+        "site", F.when((F.col("value") * 10 % 2) < 1, "east").otherwise("west")
+    ).cache()
+
+
+def test_multi_tag_groupby_matches_manual(spark, sensors2):
+    """GROUP BY time(10s), "key", "site" — one series per TAG TUPLE."""
+    q = (
+        "SELECT count(\"value\") FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30' "
+        "GROUP BY time(10s), \"key\", \"site\""
+    )
+    got = influxql(q, {"sensors": sensors2})
+    assert got.columns == ["time", "key", "site", "count"]
+    manual = (
+        sensors2.where(F.col("ts") < F.lit("2024-01-01 00:00:30").cast("timestamp"))
+        .groupBy(
+            F.window("ts", "10 seconds").start.alias("time"), "key", "site"
+        )
+        .agg(F.count("value").alias("count"))
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, manual.collect()))
+    assert got.count() == 3 * 4  # 3 buckets x (2 keys x 2 sites)
+
+
+def test_group_by_star_expands_all_tags(spark, sensors2):
+    """GROUP BY * = every tag column (string-typed), tag-only and bucketed."""
+    explicit = influxql(
+        'SELECT mean("value") FROM "sensors" GROUP BY "key", "site"',
+        {"sensors": sensors2},
+    )
+    star = influxql(
+        'SELECT mean("value") FROM "sensors" GROUP BY *', {"sensors": sensors2}
+    )
+    assert star.columns == explicit.columns
+    assert sorted(map(tuple, star.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+    bucketed = influxql(
+        'SELECT sum("value") FROM "sensors" GROUP BY time(10s), *',
+        {"sensors": sensors2},
+    )
+    assert bucketed.columns == ["time", "key", "site", "sum"]
+
+
+def test_multi_tag_fill_spine_per_observed_series(spark, sensors2):
+    """fill(null) with two tags: the spine covers every OBSERVED tag tuple
+    (InfluxDB fills per existing series, never inventing tag combos)."""
+    q = (
+        "SELECT mean(\"value\") FROM \"sensors\" WHERE \"key\" = 'temp' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:40' "
+        "GROUP BY time(10s), \"key\", \"site\" fill(null)"
+    )
+    rows = influxql(q, {"sensors": sensors2}).collect()
+    # 4 spine buckets x (1 key x 2 sites); bucket 30-40s has no data (the
+    # generator stops at 60s of 100ms samples = 0..59.9s, but key filter
+    # keeps data through 59s — range cut at 40 keeps all 4 buckets observed)
+    assert len(rows) == 4 * 2
+    assert {(r["key"], r["site"]) for r in rows} == {("temp", "east"), ("temp", "west")}
+
+
+def test_slimit_orders_series_by_tag_tuple(spark, sensors2):
+    """SLIMIT/SOFFSET with two tags paginate series in tuple-lexical order:
+    (pressure,east) (pressure,west) (temp,east) (temp,west)."""
+    q = (
+        "SELECT count(\"value\") FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30' "
+        "GROUP BY time(30s), \"key\", \"site\" SLIMIT 2 SOFFSET 1"
+    )
+    rows = influxql(q, {"sensors": sensors2}).collect()
+    assert {(r["key"], r["site"]) for r in rows} == {
+        ("pressure", "west"),
+        ("temp", "east"),
+    }
+
+
+def test_from_multi_measurement_union(spark, sensors):
+    """FROM "a", "b" — per-measurement results (never merged), stacked under
+    a leading measurement column; each block equals its single-FROM run."""
+    temp = sensors.where(F.col("key") == "temp")
+    pres = sensors.where(F.col("key") == "pressure")
+    tables = {"temp_m": temp, "pressure_m": pres}
+    q = (
+        "SELECT count(\"value\") FROM \"temp_m\", \"pressure_m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30' "
+        "GROUP BY time(10s)"
+    )
+    got = influxql(q, tables)
+    assert got.columns == ["measurement", "time", "count"]
+    rows = got.collect()
+    assert len(rows) == 6
+    single = influxql(
+        "SELECT count(\"value\") FROM \"temp_m\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30' "
+        "GROUP BY time(10s)",
+        tables,
+    ).collect()
+    block = [(r["time"], r["count"]) for r in rows if r["measurement"] == "temp_m"]
+    assert sorted(block) == sorted((r["time"], r["count"]) for r in single)
+
+
+def test_from_regex_matches_measurements(spark, sensors):
+    """FROM /regex/ — unanchored match over registered measurements, sorted;
+    no match is a loud error."""
+    tables = {
+        "cpu_east": sensors.where(F.col("key") == "temp"),
+        "cpu_west": sensors.where(F.col("key") == "pressure"),
+        "mem": sensors,
+    }
+    got = influxql('SELECT count("value") FROM /^cpu_/', tables)
+    assert [r["measurement"] for r in got.collect()] == ["cpu_east", "cpu_west"]
+    with pytest.raises(ValueError):
+        influxql('SELECT count("value") FROM /nothing/', tables)
+
+
+def test_select_into_registers_measurement(spark, sensors):
+    """SELECT ... INTO "target" FROM ... — the continuous-query form:
+    materializes the result as a new measurement, re-queryable in the same
+    tables mapping; downsample-then-requery round-trips."""
+    tables = {"sensors": sensors}
+    out = influxql(
+        "SELECT mean(\"value\") INTO \"daily\" FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30' "
+        "GROUP BY time(10s), \"key\"",
+        tables,
+    )
+    assert "daily" in tables
+    assert out.count() == 6
+    requery = influxql('SELECT max("mean") FROM "daily" GROUP BY "key"', tables)
+    rows = {r["key"]: r["max"] for r in requery.collect()}
+    assert set(rows) == {"temp", "pressure"}
+    # max of 10s-bucket means of the temp sawtooth (0.0..0.9 per second) = 0.45
+    assert abs(rows["temp"] - 0.45) < 1e-12

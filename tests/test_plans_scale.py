@@ -345,6 +345,8 @@ _SANCTIONED_NESTED_LOOP = {
     # InfluxQL fill spine crossed with the distinct tag set: O(days x #tags)
     # broadcast — the translator's multi-series gap-fill contract
     "q_influxql_spread_series",
+    # same contract, two tags: spine x distinct (event_type, region) tuples
+    "q_influxql_multi_tag_fill",
     # observation horizon + cohort total: two deliberate 1-row broadcasts
     "q_kaplan_meier",
     # corpus bigram total: 1-row broadcast onto the capped top-50

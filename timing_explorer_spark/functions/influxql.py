@@ -9,10 +9,16 @@ query they run today" loop for the query *language*, not just the semantics.
 Supported grammar (everything the dashboards use, plus the obvious
 neighbors):
 
-    SELECT <proj> FROM <measurement>
-      [WHERE <tag> = '<v>' [AND ...] [AND time >= '<ts>'] [AND time < '<ts>']]
-      [GROUP BY time(<N><u>[, <off><u>])[, <tag>]
+    SELECT <proj> [INTO "<target>"] FROM <measurement>[, <measurement> ...]
+      (FROM may also be /regex/ — the statement runs per matched measurement
+       and results stack under a leading `measurement` column, mirroring
+       InfluxDB's never-merged per-measurement series blocks; INTO registers
+       the result as a new measurement in the tables mapping — the CQ form)
+      [WHERE <tag> = '<v>' [AND ...] [AND time >= <t>] [AND time < <t>]]
+      (<t> := '<ts>' | <epoch><ns|u|ms|s> | now(), each ± <N><unit> ...)
+      [GROUP BY time(<N><u>[, <off><u>])[, <tag> ...] | <tag>[, <tag> ...] | *
                 [fill(null | none | linear | previous | <number>)]]
+      (* expands to every tag column; multiple tags = one series per tuple)
       [ORDER BY time [ASC|DESC]]
       [LIMIT <n>] [OFFSET <k>]    (points: per series when grouped by a tag,
                                    global otherwise — InfluxDB's contract)
@@ -79,9 +85,11 @@ from .numeric import exact_avg, exact_sum
 _UNIT_US = {"s": 1_000_000, "m": 60_000_000, "h": 3_600_000_000, "d": 86_400_000_000}
 
 _RX = re.compile(
-    r"""^\s*SELECT\s+(?P<proj>.+?)\s+FROM\s+"?(?P<meas>\w+)"?
+    r"""^\s*SELECT\s+(?P<proj>.+?)
+        (?P<intoclause>\s+INTO\s+"?(?P<into>\w+)"?)?
+        \s+FROM\s+(?P<meas>"?\w+"?(?:\s*,\s*"?\w+"?)*|/[^/]+/)
         (?:\s+WHERE\s+(?P<where>.+?))?
-        (?:\s+GROUP\s+BY\s+(?P<group>time\(\d+[smhd](?:\s*,\s*-?\d+[smhd])?\)(?:\s*,\s*"?\w+"?)?|"?\w+"?)
+        (?:\s+GROUP\s+BY\s+(?P<group>time\(\d+[smhd](?:\s*,\s*-?\d+[smhd])?\)(?:\s*,\s*(?:"?\w+"?|\*))*|\*|"?\w+"?(?:\s*,\s*"?\w+"?)*)
             (?:\s+fill\((?P<fill>null|none|linear|previous|[-+]?\d+(?:\.\d+)?)\))?)?
         (?:\s+ORDER\s+BY\s+time(?:\s+(?P<dir>ASC|DESC))?)?
         (?:\s+LIMIT\s+(?P<limit>\d+))?
@@ -177,9 +185,31 @@ def _resolve_time_expr(expr: str, now) -> str:
 _RX_BUCKET = re.compile(
     r'^time\((?P<n>\d+)(?P<u>[smhd])'
     r'(?:\s*,\s*(?P<off>-?\d+)(?P<offu>[smhd]))?\)'
-    r'(?:\s*,\s*"?(?P<tag>\w+)"?)?$',
+    r'(?:\s*,\s*(?P<tags>(?:"?\w+"?|\*)(?:\s*,\s*(?:"?\w+"?|\*))*))?$',
     re.IGNORECASE,
 )
+
+
+def _tag_columns(df: DataFrame, time_col: str) -> list[str]:
+    """InfluxDB tags are always strings: the measurement's tag set is its
+    string-typed columns (the same convention SHOW TAG KEYS uses)."""
+    return [c for c, t in df.dtypes if c != time_col and t == "string"]
+
+
+def _group_tags(raw: str | None, df: DataFrame, time_col: str) -> list[str]:
+    """The tag list of a GROUP BY clause: comma-separated names (quoted or
+    bare), with ``*`` expanding to every tag column (InfluxDB's GROUP BY *).
+    Order is preserved; duplicates collapse to the first occurrence."""
+    if not raw:
+        return []
+    tags: list[str] = []
+    for part in raw.split(","):
+        part = part.strip().strip('"')
+        expanded = _tag_columns(df, time_col) if part == "*" else [part]
+        for t in expanded:
+            if t not in tags:
+                tags.append(t)
+    return tags
 # regex tag predicate: "key" =~ /pattern/ or !~ /pattern/ (Grafana template
 # variables in "All"/multi mode render these)
 _RX_TAG_REGEX = re.compile(r'^"?(?P<tag>\w+)"?\s*(?P<op>=~|!~)\s*/(?P<rx>[^/]*)/$')
@@ -458,39 +488,40 @@ def _no_pagination(m: re.Match, what: str) -> None:
         raise ValueError(f"OFFSET/SLIMIT/SOFFSET are not supported with {what}")
 
 
-def _series_filter(out: DataFrame, m: re.Match, series_tag: str | None) -> DataFrame:
+def _series_filter(out: DataFrame, m: re.Match, series_tags: list[str]) -> DataFrame:
     """SLIMIT/SOFFSET — paginate SERIES (InfluxDB: SLIMIT N returns every
     point from N series; SOFFSET skips series). Series order is the tag
-    value's lexical order, InfluxDB's series-key order for a single tag.
-    Scale: ranks only the DISTINCT tag values (series cardinality, not fact
+    tuple's lexical order — InfluxDB's series-key order (tag keys appear in
+    GROUP BY order here, values compared lexically).
+    Scale: ranks only the DISTINCT tag tuples (series cardinality, not fact
     rows) and semi-joins the broadcast survivors back — no window over data.
     """
     slimit = int(m.group("slimit")) if m.group("slimit") else None
     soffset = int(m.group("soffset")) if m.group("soffset") else 0
     if slimit is None and not soffset:
         return out
-    if not series_tag:
+    if not series_tags:
         raise ValueError("SLIMIT/SOFFSET require GROUP BY <tag>")
     from pyspark.sql import Window
 
     ranked = (
-        out.select(series_tag)
+        out.select(*series_tags)
         .distinct()
-        .withColumn("__sn", F.row_number().over(Window.orderBy(series_tag)))
+        .withColumn("__sn", F.row_number().over(Window.orderBy(*series_tags)))
     )
     cond = F.col("__sn") > soffset
     if slimit is not None:
         cond &= F.col("__sn") <= soffset + slimit
-    return out.join(F.broadcast(ranked.where(cond).select(series_tag)), series_tag)
+    return out.join(F.broadcast(ranked.where(cond).select(*series_tags)), series_tags)
 
 
 def _points_limit(
-    out: DataFrame, m: re.Match, series_tag: str | None, order_dir: str
+    out: DataFrame, m: re.Match, series_tags: list[str], order_dir: str
 ) -> DataFrame:
     """LIMIT/OFFSET — paginate POINTS in time order (InfluxDB: per SERIES
     when the query groups by a tag, global otherwise; fill()-generated rows
     count, so this runs after fill). The per-series window partitions on the
-    tag (bounded by the queried time range / interval); the global OFFSET
+    tags (bounded by the queried time range / interval); the global OFFSET
     path first bounds the input to OFFSET+LIMIT rows via TakeOrdered, so its
     one-partition row_number scans a LIMIT-sized set, never the fact table.
     """
@@ -499,10 +530,10 @@ def _points_limit(
     if limit is None and not offset:
         return out
     tcol = F.col("time").asc() if order_dir == "ASC" else F.col("time").desc()
-    if series_tag:
+    if series_tags:
         from pyspark.sql import Window
 
-        w = Window.partitionBy(series_tag).orderBy(tcol)
+        w = Window.partitionBy(*series_tags).orderBy(tcol)
         cond = F.col("__rn") > offset
         if limit is not None:
             cond &= F.col("__rn") <= offset + limit
@@ -567,9 +598,8 @@ def _top_bottom(df: DataFrame, m: re.Match, mtb: re.Match, time_col: str) -> Dat
         if not mb:
             raise ValueError(f"unsupported GROUP BY: {group!r}")
         step_us, off_us = _bucket_us(mb)
-        tag = mb.group("tag")
+        tag_cols = _group_tags(mb.group("tags"), df, time_col)
         bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
-        tag_cols = [tag] if tag else []
         w = Window.partitionBy("__b", *tag_cols).orderBy(*order)
         out = (
             base.select(bucket.alias("__b"), *tag_cols, F.col(time_col), val)
@@ -578,12 +608,12 @@ def _top_bottom(df: DataFrame, m: re.Match, mtb: re.Match, time_col: str) -> Dat
             .select(sel_time, *tag_cols, val.alias(fn))
         )
     else:
-        tag = group.strip('"')
-        w = Window.partitionBy(tag).orderBy(*order)
+        tag_cols = _group_tags(group, df, time_col)
+        w = Window.partitionBy(*tag_cols).orderBy(*order)
         out = (
             base.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= n)
-            .select(sel_time, F.col(tag), val.alias(fn))
+            .select(sel_time, *tag_cols, val.alias(fn))
         )
     out = out.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
     return out.limit(int(m.group("limit"))) if m.group("limit") else out
@@ -663,9 +693,8 @@ def _holt_winters(df: DataFrame, m: re.Match, mhw: re.Match, time_col: str) -> D
         # local grid — reject rather than silently mislabel
         raise ValueError("holt_winters() does not support tz(); use UTC buckets")
     step_us, off_us = _bucket_us(mb)
-    tag = mb.group("tag")
+    tag_cols = _group_tags(mb.group("tags"), df, time_col)
     bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
-    tag_cols = [tag] if tag else []
     agg = (
         df.select(bucket, *tag_cols, mhw.group("field"), F.col(time_col))
         .groupBy("time", *tag_cols)
@@ -737,15 +766,14 @@ def _distinct(df: DataFrame, m: re.Match, mdi: re.Match, time_col: str) -> DataF
         if not mb:
             raise ValueError(f"unsupported GROUP BY: {group!r}")
         step_us, off_us = _bucket_us(mb)
-        tag = mb.group("tag")
-        tag_cols = [tag] if tag else []
+        tag_cols = _group_tags(mb.group("tags"), df, time_col)
         bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
         out = df.select(bucket, *tag_cols, F.col(field).alias("distinct")).distinct()
     else:
-        tag = group.strip('"')
+        tag_cols = _group_tags(group, df, time_col)
         out = df.select(
             F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("time"),
-            F.col(tag),
+            *tag_cols,
             F.col(field).alias("distinct"),
         ).distinct()
     out = out.orderBy(
@@ -809,16 +837,15 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
     if not gb.lower().startswith("time("):
         if (m.group("fill") or "none").lower() != "none":
             raise ValueError("fill() requires GROUP BY time()")
-        tag_only = gb.strip('"')
-        out = df.groupBy(tag_only).agg(*aggs)
+        out = df.groupBy(*_group_tags(gb, df, time_col)).agg(*aggs)
         return out.limit(int(m.group("limit"))) if m.group("limit") else out
     mb = _RX_BUCKET.match(gb)
     if not mb:
         raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
     step_us, off_us = _bucket_us(mb)
-    tag = mb.group("tag")
+    tags = _group_tags(mb.group("tags"), df, time_col)
     bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
-    keys = ["time"] + ([tag] if tag else [])
+    keys = ["time"] + tags
     out = df.select(bucket, *df.columns).groupBy(*keys).agg(*aggs)
     fill = (m.group("fill") or "none").lower()
     if fill not in ("none", "null"):
@@ -830,8 +857,8 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
             raise ValueError("fill() requires an explicit time range in WHERE")
         spark = df.sparkSession
         spine = _fill_spine(spark, t_lo, t_hi, step_us, m.group("tz"), off_us)
-        if tag:
-            spine = F.broadcast(spine.join(df.select(tag).distinct()))
+        if tags:
+            spine = F.broadcast(spine.join(df.select(*tags).distinct()))
         out = F.broadcast(spine).join(out, keys, "left")
     out = out.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
     return out.limit(int(m.group("limit"))) if m.group("limit") else out
@@ -883,7 +910,63 @@ def influxql(
     m = _RX.match(q)
     if not m:
         raise ValueError(f"unsupported InfluxQL: {query!r}")
-    meas = m.group("meas")
+    if m.group("into"):
+        # SELECT ... INTO "target" FROM ... — InfluxQL's continuous-query /
+        # downsampling-materialization form. Translate the SELECT without the
+        # INTO clause, then REGISTER the result as a new measurement in the
+        # caller's table mapping (the DataFrame analog of writing points:
+        # the plan is lazy; persist/write it like any other DataFrame).
+        # Deviations from InfluxDB, by design: the target is replaced, not
+        # appended to, and the query returns the materialized rows rather
+        # than a written-point count (more useful from a DataFrame API).
+        target = m.group("into")
+        stripped = q[: m.start("intoclause")] + q[m.end("intoclause") :]
+        result = influxql(stripped, tables, time_col, now)
+        tables[target] = (
+            result.withColumnRenamed("time", time_col)
+            if "time" in result.columns
+            else result
+        )
+        return result
+    meas_raw = m.group("meas").strip()
+    if meas_raw.startswith("/") or "," in meas_raw:
+        # FROM /regex/ or FROM "a", "b" — InfluxDB runs the statement against
+        # EACH matched measurement independently and never merges series
+        # across measurements. Mirror that exactly: translate per measurement
+        # (WHERE/GROUP BY/fill/LIMIT all apply per measurement, so per-
+        # measurement LIMIT semantics fall out for free) and union the
+        # results under a leading `measurement` column — the relational
+        # rendering of InfluxDB's per-measurement series blocks. The plan is
+        # a union of independent subplans: no extra shuffle vs. running the
+        # statements separately.
+        import functools
+
+        if meas_raw.startswith("/"):
+            if not meas_raw.endswith("/"):
+                raise ValueError(f"unterminated measurement regex: {meas_raw!r}")
+            rx = re.compile(meas_raw[1:-1])  # unanchored, like InfluxDB
+            names = sorted(n for n in tables if rx.search(n))
+            if not names:
+                raise ValueError(f"no measurement matches {meas_raw!r}")
+        else:
+            names = [p.strip().strip('"') for p in meas_raw.split(",")]
+        frames = []
+        for name in names:
+            single = q[: m.start("meas")] + f'"{name}"' + q[m.end("meas") :]
+            frames.append(
+                influxql(single, tables, time_col, now).select(
+                    F.lit(name).alias("measurement"), "*"
+                )
+            )
+        out = functools.reduce(lambda a, b: a.unionByName(b), frames)
+        order = [F.col("measurement").asc()]
+        if "time" in out.columns:
+            direction = (m.group("dir") or "ASC").upper()
+            order.append(
+                F.col("time").asc() if direction == "ASC" else F.col("time").desc()
+            )
+        return out.orderBy(*order)
+    meas = meas_raw.strip('"')
     if meas not in tables:
         raise ValueError(f"unknown measurement {meas!r}")
     df = tables[meas]
@@ -1009,13 +1092,13 @@ def influxql(
                 raise ValueError("transformations require GROUP BY time()")
             if (m.group("fill") or "none").lower() != "none":
                 raise ValueError("fill() requires GROUP BY time()")
-            tag_only = gb.strip('"')
-            result = df.groupBy(tag_only).agg(
+            tags_only = _group_tags(gb, df, time_col)
+            result = df.groupBy(*tags_only).agg(
                 _agg_column(
                     magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
                 ).alias(magg.group("fn").lower())
             )
-            result = _series_filter(result, m, tag_only)
+            result = _series_filter(result, m, tags_only)
             # one row per series, no time column: LIMIT keeps its original
             # (global) reading here; per-series LIMIT>=1 would be a no-op
             if m.group("limit"):
@@ -1025,10 +1108,10 @@ def influxql(
         if not mb:
             raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
         step_us, off_us = _bucket_us(mb)
-        tag = mb.group("tag")
+        tags = _group_tags(mb.group("tags"), df, time_col)
         bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
         alias = magg.group("fn").lower()
-        keys = ["time"] + ([tag] if tag else [])
+        keys = ["time"] + tags
         if alias == "integral":
             # INTEGRAL(field[, unit]): trapezoidal area under consecutive
             # points WITHIN each bucket (InfluxDB does not interpolate
@@ -1045,7 +1128,7 @@ def influxql(
             field = magg.group("field")
             pts = df.select(
                 bucket,
-                *([tag] if tag else []),
+                *tags,
                 F.col(field).cast("double").alias("__v"),
                 F.unix_micros(F.col(time_col)).alias("__t"),
             )
@@ -1053,7 +1136,7 @@ def influxql(
             # by value too makes the lag pairing deterministic across
             # engines (same-t pairs contribute zero area, and the pair
             # crossing into a tie group is fixed by the v-order).
-            w_i = Window.partitionBy("time", *([tag] if tag else [])).orderBy("__t", "__v")
+            w_i = Window.partitionBy("time", *tags).orderBy("__t", "__v")
             pv, pt = F.lag("__v").over(w_i), F.lag("__t").over(w_i)
             # Fixed-point accumulation (engine convention, functions/
             # numeric.py): per-pair area numerator rint((v+pv)*1e4)*dt_us is
@@ -1077,7 +1160,7 @@ def influxql(
             )
         else:
             out = (
-                df.select(bucket, *([tag] if tag else []), magg.group("field"), F.col(time_col))
+                df.select(bucket, *tags, magg.group("field"), F.col(time_col))
                 .groupBy(*keys)
                 .agg(
                     _agg_column(
@@ -1097,7 +1180,7 @@ def influxql(
             from pyspark.sql import Window
 
             name = mtrans.group("fn").lower()
-            w_d = Window.partitionBy(*([tag] if tag else [])).orderBy("time")
+            w_d = Window.partitionBy(*tags).orderBy("time")
             if name in ("derivative", "non_negative_derivative"):
                 # (vₜ − vₜ₋₁) · unit / (tₜ − tₜ₋₁); default unit = interval;
                 # first point of each series has no predecessor -> dropped
@@ -1158,14 +1241,14 @@ def influxql(
                 raise ValueError("fill() requires an explicit time range in WHERE")
             spark = df.sparkSession
             spine = _fill_spine(spark, t_lo, t_hi, step_us, m.group("tz"), off_us)
-            if tag:
-                spine = F.broadcast(spine.join(df.select(tag).distinct()))
+            if tags:
+                spine = F.broadcast(spine.join(df.select(*tags).distinct()))
             out = F.broadcast(spine).join(out, keys, "left")
             if fill == "previous":
                 from pyspark.sql import Window
 
                 w_prev = (
-                    Window.partitionBy(*([tag] if tag else []))
+                    Window.partitionBy(*tags)
                     .orderBy("time")
                     .rowsBetween(Window.unboundedPreceding, 0)
                 )
@@ -1182,12 +1265,12 @@ def influxql(
                 from pyspark.sql import Window
 
                 w_prev = (
-                    Window.partitionBy(*([tag] if tag else []))
+                    Window.partitionBy(*tags)
                     .orderBy("time")
                     .rowsBetween(Window.unboundedPreceding, 0)
                 )
                 w_next = (
-                    Window.partitionBy(*([tag] if tag else []))
+                    Window.partitionBy(*tags)
                     .orderBy("time")
                     .rowsBetween(0, Window.unboundedFollowing)
                 )
@@ -1223,9 +1306,9 @@ def influxql(
             raise ValueError(f"unsupported projection: {proj!r}")
         result = df.select(F.col(time_col).alias("time"), mf.group("field"))
 
-    series_tag = tag if m.group("group") else None
-    result = _series_filter(result, m, series_tag)
-    result = _points_limit(result, m, series_tag, order_dir)
+    series_tags = tags if m.group("group") else []
+    result = _series_filter(result, m, series_tags)
+    result = _points_limit(result, m, series_tags, order_dir)
     if "time" in result.columns:
         result = result.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
     return result
@@ -1335,6 +1418,12 @@ def influxql_streaming(
         raise ValueError("tz() is batch-only")
     if m.group("limit"):
         raise ValueError("LIMIT is not meaningful on an unbounded stream")
+    if m.group("into"):
+        raise ValueError(
+            "INTO is batch-only; attach a writeStream sink to materialize"
+        )
+    if m.group("meas").strip().startswith("/") or "," in m.group("meas"):
+        raise ValueError("streaming reads ONE measurement (the given stream)")
     df = stream
     if m.group("where"):
         for cond in re.split(r"\s+AND\s+", m.group("where"), flags=re.IGNORECASE):
@@ -1377,8 +1466,7 @@ def influxql_streaming(
         if off_us
         else F.window(time_col, duration)
     )
-    tag = mb.group("tag")
-    tag_cols = [tag] if tag else []
+    tag_cols = _group_tags(mb.group("tags"), df, time_col)
     agg_col = _agg_column(
         magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
     ).alias(magg.group("fn").lower())

@@ -1705,3 +1705,176 @@ def q_influxql_now_relative(spark: SparkSession, sf_dir: str) -> DataFrame:
     return influxql(
         q, {"events": load(spark, sf_dir, "events")}, now="2024-01-08 00:00:00"
     )
+
+
+@register(
+    "q_influxql_multi_tag_fill",
+    oracle="""
+        WITH spine AS (
+            SELECT s.time, t.event_type, t.region
+            FROM (SELECT UNNEST(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+                                                TIMESTAMP '2024-01-15 00:00:00',
+                                                INTERVAL 1 DAY)) AS time) s
+            CROSS JOIN (SELECT DISTINCT event_type,
+                               'r' || CAST(user_id % 3 AS VARCHAR) AS region
+                        FROM events
+                        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+                          AND ts <= TIMESTAMP '2024-01-15 00:00:00') t
+        ),
+        agg AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                                  * 86400000000) AS time,
+                   event_type,
+                   'r' || CAST(user_id % 3 AS VARCHAR) AS region,
+                   CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE)
+                       / COUNT(value) AS mean
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-15 00:00:00'
+            GROUP BY 1, 2, 3
+        )
+        SELECT s.time, s.event_type, s.region, a.mean
+        FROM spine s
+        LEFT JOIN agg a
+          ON s.time = a.time AND s.event_type = a.event_type
+         AND s.region = a.region
+    """,
+    doc=(
+        "Multi-tag GROUP BY time(1d), \"event_type\", \"region\" fill(null) — "
+        "one series per TAG TUPLE, the spine covering every observed tuple "
+        "(InfluxDB fills per existing series; functions/influxql.py "
+        "_group_tags). The second tag is user-derived, the idiom of mapping "
+        "a dimension onto an InfluxDB tag."
+    ),
+    tags=("timeseries", "influxql", "gapfill"),
+)
+def q_influxql_multi_tag_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    events = load(spark, sf_dir, "events").withColumn(
+        "region", F.concat(F.lit("r"), (F.col("user_id") % 3).cast("string"))
+    )
+    q = (
+        "SELECT mean(\"value\") FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-15 00:00:00' "
+        "GROUP BY time(1d), \"event_type\", \"region\" fill(null) "
+        "ORDER BY time ASC"
+    )
+    return influxql(q, {"events": events})
+
+
+@register(
+    "q_influxql_group_by_star",
+    oracle="""
+        SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 604800000000) AS BIGINT)
+                              * 604800000000) AS time,
+               event_type, props,
+               COUNT(value) AS count
+        FROM events
+        WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+        GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "GROUP BY time(7d), * — star expands to every tag column "
+        "(string-typed, the SHOW TAG KEYS set: event_type and props here), "
+        "matching InfluxDB's GROUP BY * series explosion."
+    ),
+    tags=("timeseries", "influxql"),
+)
+def q_influxql_group_by_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT count(\"value\") FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+        "GROUP BY time(7d), *"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_from_regex",
+    oracle="""
+        SELECT 'events_click' AS measurement,
+               make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                              * 86400000000) AS time,
+               COUNT(value) AS count
+        FROM events
+        WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY 2
+        UNION ALL
+        SELECT 'events_view' AS measurement,
+               make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                              * 86400000000) AS time,
+               COUNT(value) AS count
+        FROM events
+        WHERE event_type = 'view'
+          AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+        GROUP BY 2
+    """,
+    doc=(
+        "FROM /^events_/ — regex measurement selection: the statement runs "
+        "against EACH matched measurement independently (InfluxDB never "
+        "merges series across measurements) and stacks the per-measurement "
+        "blocks under a leading measurement column. The plan is a union of "
+        "independent bucketed aggregates — no cross-measurement shuffle."
+    ),
+    tags=("timeseries", "influxql"),
+)
+def q_influxql_from_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    events = load(spark, sf_dir, "events")
+    tables = {
+        "events_click": events.where(F.col("event_type") == "click"),
+        "events_view": events.where(F.col("event_type") == "view"),
+        "unrelated": events,
+    }
+    q = (
+        "SELECT count(\"value\") FROM /^events_/ "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00' "
+        "GROUP BY time(1d)"
+    )
+    return influxql(q, tables)
+
+
+@register(
+    "q_influxql_select_into",
+    oracle="""
+        WITH daily AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 86400000000) AS BIGINT)
+                                  * 86400000000) AS time,
+                   event_type,
+                   CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE)
+                       / COUNT(value) AS mean
+            FROM events
+            WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <  TIMESTAMP '2024-01-29 00:00:00'
+            GROUP BY 1, 2
+        )
+        SELECT event_type, MAX(mean) AS max FROM daily GROUP BY event_type
+    """,
+    doc=(
+        "SELECT ... INTO \"daily\" ... then re-query the materialized "
+        "measurement — InfluxQL's continuous-query / downsampling idiom "
+        "run as two statements over one tables mapping. The INTO result is "
+        "a lazy DataFrame registered under the target name; the requery "
+        "composes plans (downsample -> max) exactly like a CQ-fed panel."
+    ),
+    tags=("timeseries", "influxql"),
+)
+def q_influxql_select_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    tables = {"events": load(spark, sf_dir, "events")}
+    influxql(
+        "SELECT mean(\"value\") INTO \"daily\" FROM \"events\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-29 00:00:00' "
+        "GROUP BY time(1d), \"event_type\"",
+        tables,
+    )
+    return influxql('SELECT max("mean") FROM "daily" GROUP BY "event_type"', tables)
