@@ -349,6 +349,10 @@ _SANCTIONED_NESTED_LOOP = {
     "q_influxql_multi_tag_fill",
     # observation horizon + cohort total: two deliberate 1-row broadcasts
     "q_kaplan_meier",
+    # DSIR: 1-row distribution-totals broadcast onto the bounded K-bucket
+    # count table (K=4096) — never onto fact rows
+    "q_dsir_importance_weights",
+    "q_dsir_resample",
     # corpus bigram total: 1-row broadcast onto the capped top-50
     "q_bigram_pmi",
     # <=40-row checkpoint broadcast range-joined against word/doc grains

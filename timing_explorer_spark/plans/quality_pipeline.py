@@ -771,3 +771,98 @@ def q_exact_substr_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("cleaned_md5"), F.md5(F.lit(""))).alias("cleaned_md5"),
         )
     )
+
+
+_DSIR_ORACLE_WEIGHTS = """
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(lower(text), ' ') AS w
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, lang, UNNEST(w) AS gram FROM toks
+        UNION ALL
+        SELECT doc_id, lang,
+               UNNEST(list_transform(range(greatest(len(w) - 1, 0)),
+                                     i -> w[i+1] || ' ' || w[i+2])) AS gram
+        FROM toks
+    ),
+    bucketed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(gram), 1, 4)) AS INT) % 4096 AS bucket
+        FROM grams
+    ),
+    counts AS (
+        SELECT bucket,
+               SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+               COUNT(*) AS cr
+        FROM bucketed GROUP BY bucket
+    ),
+    totals AS (SELECT SUM(ct) AS tt, SUM(cr) AS tr FROM counts),
+    ratio AS (
+        SELECT bucket,
+               CAST(LN(ct + 1) AS DECIMAL(27,8))
+               - CAST(LN((SELECT tt FROM totals) + 4096) AS DECIMAL(27,8))
+               - CAST(LN(cr + 1) AS DECIMAL(27,8))
+               + CAST(LN((SELECT tr FROM totals) + 4096) AS DECIMAL(27,8)) AS lr
+        FROM counts
+    )
+    SELECT b.doc_id, CAST(SUM(r.lr) AS DOUBLE) AS log_weight
+    FROM bucketed b JOIN ratio r ON b.bucket = r.bucket
+    GROUP BY b.doc_id
+"""
+
+
+@register(
+    "q_dsir_importance_weights",
+    oracle=_DSIR_ORACLE_WEIGHTS,
+    doc=(
+        "DSIR importance log-weights (Xie et al. 2023, arXiv:2302.03169): "
+        "hashed unigram+bigram bag models of a TARGET domain (here the "
+        "lang='en' slice) vs the raw corpus; log w = sum c_k(ln p_k - "
+        "ln q_k), Laplace-smoothed, K=4096 md5 buckets. Every ln term is "
+        "DECIMAL(27,8)-quantized before the exact decimal sum, so the "
+        "result is order-independent and engine-portable. Plan: one "
+        "bucket-grain pass builds both distributions, the K-row log-ratio "
+        "table broadcasts, and per-doc weights take ONE shuffle "
+        "(operators/dsir.py)."
+    ),
+    tags=("text", "quality", "selection", "llm-pipeline"),
+)
+def q_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_log_weights
+
+    docs = load(spark, sf_dir, "documents")
+    return dsir_log_weights(docs, F.col("lang") == "en")
+
+
+@register(
+    "q_dsir_resample",
+    oracle=f"""
+        WITH weights AS ({_DSIR_ORACLE_WEIGHTS}),
+        keyed AS (
+            SELECT doc_id, log_weight,
+                   CAST(CAST(log_weight AS DECIMAL(27,8))
+                        + CAST(-LN(-LN((CAST(('0x' || substr(md5('42' ||
+                              CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+                              / 4294967297.0)) AS DECIMAL(27,8))
+                        AS DOUBLE) AS key
+            FROM weights
+        )
+        SELECT doc_id, log_weight, key FROM keyed
+        ORDER BY key DESC, doc_id ASC LIMIT 100
+    """,
+    doc=(
+        "DSIR resampling: Gumbel-top-k without replacement proportional to "
+        "softmax(log_weight), with DETERMINISTIC Gumbel noise derived from "
+        "md5(seed || doc_id) — the same corpus and seed select the same "
+        "documents on any engine at any partitioning. Plan: map-side key + "
+        "TakeOrdered(n); no full sort (operators/dsir.py::dsir_resample)."
+    ),
+    tags=("text", "quality", "selection", "llm-pipeline", "topk"),
+)
+def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dsir import dsir_log_weights, dsir_resample
+
+    docs = load(spark, sf_dir, "documents")
+    w = dsir_log_weights(docs, F.col("lang") == "en")
+    return dsir_resample(w, n=100)
