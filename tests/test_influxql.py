@@ -1213,3 +1213,92 @@ def test_select_into_registers_measurement(spark, sensors):
     assert set(rows) == {"temp", "pressure"}
     # max of 10s-bucket means of the temp sawtooth (0.0..0.9 per second) = 0.45
     assert abs(rows["temp"] - 0.45) < 1e-12
+
+
+def test_aggregate_scalar_math_and_alias(spark, sensors):
+    """SELECT mean("value") * 8 AS scaled — unit-conversion math applies to
+    the aggregate BEFORE fill (the fill constant is emitted verbatim)."""
+    q = (
+        "SELECT mean(\"value\") * 8 AS scaled FROM \"sensors\" "
+        "WHERE \"key\" = 'temp' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:02:30' "
+        "GROUP BY time(30s) fill(7)"
+    )
+    rows = influxql(q, {"sensors": sensors}).orderBy("time").collect()
+    assert rows[0].__fields__ == ["time", "scaled"]
+    assert len(rows) == 5
+    # observed buckets: mean 0.45 * 8 = 3.6; data ends at 59.9s -> buckets
+    # 60s+ are filled with the verbatim constant 7 (never 56)
+    assert abs(rows[0]["scaled"] - 3.6) < 1e-9
+    assert abs(rows[1]["scaled"] - 3.6) < 1e-9
+    assert rows[2]["scaled"] == 7.0 and rows[4]["scaled"] == 7.0
+
+
+def test_scalar_agg_math_no_group(spark, sensors):
+    q = (
+        "SELECT count(\"value\") / 10 AS per_decisecond FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:10'"
+    )
+    r = influxql(q, {"sensors": sensors}).first()
+    assert r["per_decisecond"] == 20.0  # 200 samples / 10
+
+
+def test_raw_field_math_requires_alias(spark, sensors):
+    got = influxql(
+        'SELECT "value" * 2 AS doubled FROM "sensors" '
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:01'",
+        {"sensors": sensors},
+    )
+    assert got.columns == ["time", "doubled"]
+    vals = sorted(r["doubled"] for r in got.collect())
+    assert vals == sorted(
+        r["value"] * 2
+        for r in influxql(
+            'SELECT "value" FROM "sensors" '
+            "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:01'",
+            {"sensors": sensors},
+        ).collect()
+    )
+    with pytest.raises(ValueError):
+        influxql('SELECT "value" * 2 FROM "sensors"', {"sensors": sensors})
+
+
+def test_field_to_field_math(spark, sensors):
+    two = sensors.withColumn("value2", F.col("value") * 3)
+    got = influxql(
+        'SELECT "value2" - "value" AS delta FROM "sensors" '
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:01'",
+        {"sensors": two},
+    )
+    assert all(abs(r["delta"]) < 2.0 for r in got.collect())
+    assert got.count() == 20
+
+
+def test_multi_agg_aliases(spark, sensors):
+    q = (
+        "SELECT mean(\"value\") AS lo_mean, max(\"value\") AS hi FROM \"sensors\" "
+        "WHERE time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:10' "
+        "GROUP BY time(5s)"
+    )
+    got = influxql(q, {"sensors": sensors})
+    assert got.columns == ["time", "lo_mean", "hi"]
+    with pytest.raises(ValueError):
+        influxql(
+            'SELECT mean("value") AS x, max("value") AS x FROM "sensors"',
+            {"sensors": sensors},
+        )
+
+
+def test_alias_on_selector_and_transformation(spark, sensors):
+    top = influxql(
+        'SELECT top("value", 3) AS best FROM "sensors"', {"sensors": sensors}
+    )
+    assert top.columns == ["time", "best"]
+    der = influxql(
+        "SELECT derivative(mean(\"value\"), 1s) AS rate FROM \"sensors\" "
+        "WHERE \"key\" = 'temp' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-01 00:00:30' "
+        "GROUP BY time(10s)",
+        {"sensors": sensors},
+    )
+    assert der.columns == ["time", "rate"]

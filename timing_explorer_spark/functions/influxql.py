@@ -34,6 +34,12 @@ neighbors):
       | SHOW TAG VALUES FROM m WITH KEY = "k"     (Grafana template variables)
 
     proj       := "<field>" | <agg>("<field>"[, <p>])
+                | <agg>(...) <op> <number>      (unit-conversion math on the
+                  aggregate, applied BEFORE fill — the constant is verbatim)
+                | "<field>" <op> "<field>" | "<field>" <op> <number>
+                  (raw per-point arithmetic; AS alias required)
+                | <any of the above> AS <name>  (output column naming;
+                  multi-stat items may each carry their own AS)
                 | <agg>(...), <agg>(...), ...   (multi-stat; fill(null) only)
                 | <trans>(<agg>("<field>")[, <arg>])
                 | top("<field>", N) | bottom("<field>", N)   (selectors:
@@ -231,6 +237,31 @@ _RX_HW = re.compile(
     r'\s*(?P<h>\d+)\s*,\s*(?P<m>\d+)\s*\)$',
     re.IGNORECASE,
 )
+# <proj> AS <name> — user-named output column (Grafana's per-target alias)
+_RX_AS = re.compile(r'^(?P<expr>.+?)\s+AS\s+"?(?P<alias>\w+)"?$', re.IGNORECASE)
+# <agg>(...) <op> <number> — scalar arithmetic on an aggregate result
+# (SELECT mean("value") * 8 ... — the unit-conversion idiom)
+_RX_AGG_MATH = re.compile(
+    r'^(?P<inner>\w+\(.*?\))\s*(?P<op>[-+*/])\s*(?P<num>[-+]?\d+(?:\.\d+)?)$'
+)
+# "a" <op> "b" / "a" <op> <number> — raw field arithmetic
+# (SELECT "user" + "system", SELECT "bytes" / 1024)
+_RX_FIELD_MATH = re.compile(
+    r'^"?(?P<f1>\w+)"?\s*(?P<op>[-+*/])\s*"?(?P<f2>[\w.]+)"?$'
+)
+
+
+def _split_alias(p: str) -> tuple[str, str | None]:
+    ma = _RX_AS.match(p.strip())
+    return (ma.group("expr"), ma.group("alias")) if ma else (p.strip(), None)
+
+
+def _apply_math(col: Column, op: str, num: float) -> Column:
+    c = col.cast("double")
+    k = F.lit(num)
+    if op == "/" and num == 0:
+        raise ValueError("division by zero in projection arithmetic")
+    return c + k if op == "+" else c - k if op == "-" else c * k if op == "*" else c / k
 
 
 def _agg_column(fn: str, field: str, time_col: str = "ts", arg: str | None = None) -> Column:
@@ -812,6 +843,7 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
     aggs = []
     names: list[str] = []
     for p in projs:
+        p, al = _split_alias(p)
         ma = _RX_AGG.match(p)
         if not ma:
             raise ValueError(
@@ -820,11 +852,16 @@ def _multi_agg(m, projs, df: DataFrame, time_col: str, t_lo, t_hi) -> DataFrame:
         base = ma.group("fn").lower()
         if base == "integral":
             raise ValueError("integral() is not supported in multi-aggregate SELECT")
-        name = base
-        k = 1
-        while name in names:  # InfluxDB duplicate-name suffixing
-            name = f"{base}_{k}"
-            k += 1
+        if al:
+            if al in names:
+                raise ValueError(f"duplicate AS alias {al!r}")
+            name = al
+        else:
+            name = base
+            k = 1
+            while name in names:  # InfluxDB duplicate-name suffixing
+                name = f"{base}_{k}"
+                k += 1
         names.append(name)
         aggs.append(
             _agg_column(base, ma.group("field"), time_col, ma.group("agg_arg")).alias(name)
@@ -1060,20 +1097,41 @@ def influxql(
     if len(projs) > 1:
         # Multi-aggregate SELECT (Grafana multi-stat panels): every item
         # must be a plain aggregate; duplicate names get _1/_2 suffixes
-        # (InfluxDB's column naming). Transformations stay single-select.
+        # (InfluxDB's column naming) unless AS-aliased. Transformations
+        # stay single-select.
         return _multi_agg(m, projs, df, time_col, t_lo, t_hi)
+    proj, user_alias = _split_alias(proj)
+
+    def _finish(out: DataFrame) -> DataFrame:
+        # AS alias renames the VALUE column (always last: every path emits
+        # time/tags first, the value last)
+        if user_alias and user_alias != out.columns[-1]:
+            out = out.withColumnRenamed(out.columns[-1], user_alias)
+        return out
+
+    # scalar arithmetic on a plain aggregate: mean("v") * 8 — applied to
+    # the aggregate BEFORE fill() (InfluxDB: the fill constant is emitted
+    # verbatim, never scaled)
+    mam = _RX_AGG_MATH.match(proj)
+    post_op: str | None = None
+    post_num = 0.0
+    if mam and _RX_AGG.match(mam.group("inner").strip()):
+        proj = mam.group("inner").strip()
+        post_op, post_num = mam.group("op"), float(mam.group("num"))
+        if post_op == "/" and post_num == 0:
+            raise ValueError("division by zero in projection arithmetic")
     mtb = _RX_TOPBOT.match(proj)
     if mtb:
-        return _top_bottom(df, m, mtb, time_col)
+        return _finish(_top_bottom(df, m, mtb, time_col))
     mel = _RX_ELAPSED.match(proj)
     if mel:
-        return _elapsed(df, m, mel, time_col)
+        return _finish(_elapsed(df, m, mel, time_col))
     mhw = _RX_HW.match(proj)
     if mhw:
-        return _holt_winters(df, m, mhw, time_col)
+        return _finish(_holt_winters(df, m, mhw, time_col))
     mdi = _RX_DISTINCT.match(proj)
     if mdi:
-        return _distinct(df, m, mdi, time_col)
+        return _finish(_distinct(df, m, mdi, time_col))
     mtrans = _RX_TRANS.match(proj)
     if mtrans:
         proj = mtrans.group("inner").strip()
@@ -1093,17 +1151,22 @@ def influxql(
             if (m.group("fill") or "none").lower() != "none":
                 raise ValueError("fill() requires GROUP BY time()")
             tags_only = _group_tags(gb, df, time_col)
+            vname = magg.group("fn").lower()
             result = df.groupBy(*tags_only).agg(
                 _agg_column(
                     magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
-                ).alias(magg.group("fn").lower())
+                ).alias(vname)
             )
+            if post_op:
+                result = result.withColumn(
+                    vname, _apply_math(F.col(vname), post_op, post_num)
+                )
             result = _series_filter(result, m, tags_only)
             # one row per series, no time column: LIMIT keeps its original
             # (global) reading here; per-series LIMIT>=1 would be a no-op
             if m.group("limit"):
                 result = result.limit(int(m.group("limit")))
-            return result
+            return _finish(result)
         mb = _RX_BUCKET.match(gb)
         if not mb:
             raise ValueError(f"unsupported GROUP BY: {m.group('group')!r}")
@@ -1235,6 +1298,8 @@ def influxql(
                     *keys, F.sum(F.col(alias).cast("double")).over(w_c).alias(name)
                 )
             alias = name
+        if post_op:
+            out = out.withColumn(alias, _apply_math(F.col(alias), post_op, post_num))
         fill = (m.group("fill") or "none").lower()
         if fill != "none":
             if t_lo is None or t_hi is None:
@@ -1295,23 +1360,57 @@ def influxql(
                 )
         result = out
     elif magg:
+        vname = magg.group("fn").lower()
         result = df.agg(
             _agg_column(
                 magg.group("fn"), magg.group("field"), time_col, magg.group("agg_arg")
-            ).alias(magg.group("fn").lower())
+            ).alias(vname)
         )
+        if post_op:
+            result = result.withColumn(
+                vname, _apply_math(F.col(vname), post_op, post_num)
+            )
     else:
+        mfm = _RX_FIELD_MATH.match(proj)
         mf = _RX_FIELD.match(proj)
-        if not mf:
+        if mfm and not mf:
+            # raw field arithmetic: "a" + "b" or "a" / <number> — the output
+            # name is the expression in InfluxDB; here an AS alias is
+            # REQUIRED (loud contract instead of a generated name)
+            if not user_alias:
+                raise ValueError(
+                    f"field arithmetic needs an AS alias: {proj!r}"
+                )
+            a = F.col(mfm.group("f1")).cast("double")
+            rhs_txt = mfm.group("f2")
+            rhs_num = re.fullmatch(r"[-+]?\d+(?:\.\d+)?", rhs_txt)
+            op = mfm.group("op")
+            if rhs_num:
+                expr = _apply_math(a, op, float(rhs_txt))
+            else:
+                b = F.col(rhs_txt).cast("double")
+                if op == "+":
+                    expr = a + b
+                elif op == "-":
+                    expr = a - b
+                elif op == "*":
+                    expr = a * b
+                else:
+                    expr = a / b
+            result = df.select(
+                F.col(time_col).alias("time"), expr.alias(user_alias)
+            )
+        elif mf:
+            result = df.select(F.col(time_col).alias("time"), mf.group("field"))
+        else:
             raise ValueError(f"unsupported projection: {proj!r}")
-        result = df.select(F.col(time_col).alias("time"), mf.group("field"))
 
     series_tags = tags if m.group("group") else []
     result = _series_filter(result, m, series_tags)
     result = _points_limit(result, m, series_tags, order_dir)
     if "time" in result.columns:
         result = result.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
-    return result
+    return _finish(result)
 
 
 def grafana_target_to_influxql(

@@ -1878,3 +1878,74 @@ def q_influxql_select_into(spark: SparkSession, sf_dir: str) -> DataFrame:
         tables,
     )
     return influxql('SELECT max("mean") FROM "daily" GROUP BY "event_type"', tables)
+
+
+@register(
+    "q_influxql_agg_math",
+    oracle="""
+        WITH spine AS (
+            -- the 2-day epoch grid floors 2024-01-01 onto 2023-12-31
+            SELECT UNNEST(generate_series(TIMESTAMP '2023-12-31 00:00:00',
+                                          TIMESTAMP '2024-01-21 00:00:00',
+                                          INTERVAL 2 DAY)) AS time
+        ),
+        agg AS (
+            SELECT make_timestamp(CAST(FLOOR(epoch_us(ts) / 172800000000) AS BIGINT)
+                                  * 172800000000) AS time,
+                   CAST(SUM(CAST(value AS DECIMAL(27,8))) AS DOUBLE)
+                       / COUNT(value) * 100 AS mean_pct
+            FROM events
+            WHERE event_type = 'click'
+              AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+              AND ts <= TIMESTAMP '2024-01-21 00:00:00'
+            GROUP BY 1
+        )
+        SELECT s.time, a.mean_pct FROM spine s LEFT JOIN agg a ON s.time = a.time
+    """,
+    doc=(
+        "Projection arithmetic + AS alias: SELECT mean(\"value\") * 100 AS "
+        "mean_pct — Grafana's unit-conversion idiom. The scalar math applies "
+        "to the aggregate BEFORE fill() (a fill constant is emitted "
+        "verbatim, never scaled — InfluxDB's order of operations); the AS "
+        "alias names the output column."
+    ),
+    tags=("timeseries", "influxql", "gapfill"),
+)
+def q_influxql_agg_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT mean(\"value\") * 100 AS mean_pct FROM \"events\" "
+        "WHERE \"event_type\" = 'click' "
+        "AND time >= '2024-01-01 00:00:00' AND time <= '2024-01-21 00:00:00' "
+        "GROUP BY time(2d) fill(null) ORDER BY time ASC"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
+
+
+@register(
+    "q_influxql_field_math",
+    oracle="""
+        SELECT ts AS time, value / 100 AS load_ratio
+        FROM events
+        WHERE event_type = 'error'
+          AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+          AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+    """,
+    doc=(
+        "Raw field arithmetic: SELECT \"value\" / 100 AS load_ratio — "
+        "per-point map-side math, no shuffle; the AS alias is REQUIRED for "
+        "arithmetic projections (loud contract instead of InfluxDB's "
+        "generated expression names)."
+    ),
+    tags=("timeseries", "influxql"),
+)
+def q_influxql_field_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.influxql import influxql
+
+    q = (
+        "SELECT \"value\" / 100 AS load_ratio FROM \"events\" "
+        "WHERE \"event_type\" = 'error' "
+        "AND time >= '2024-01-01 00:00:00' AND time < '2024-01-08 00:00:00'"
+    )
+    return influxql(q, {"events": load(spark, sf_dir, "events")})
