@@ -43,6 +43,11 @@ OPS = (
     # EMB_PERTURB): brute-force baseline + the LSH scale path
     "q_embedding_nn",
     "q_ann_lsh_topk",
+    # r5 additions: DSIR selection over the 50k docs (one fact shuffle +
+    # K-bucket grain) and SemDeDup clustered semantic dedup over the 20k
+    # near-duplicate vectors (within-cluster pairs only)
+    "q_dsir_importance_weights",
+    "q_semdedup_pairs",
 )
 UI_PORT = 4058
 MAX_OVER_MEDIAN = 4.0

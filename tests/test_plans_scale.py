@@ -294,6 +294,9 @@ _SANCTIONED_PYTHON = {
     "q_semantic_dedup_keep_best",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
+    # SemDeDup: ivf_assign's Arrow matmul centroid scoring (the sanctioned
+    # dense-algebra shape); the pair stage itself is JVM HOF cosine
+    "q_semdedup_pairs",
     "q_vocab_heavy_hitters",
     "q_cms_word_freq",
     "q_media_fingerprints",

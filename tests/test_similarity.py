@@ -152,3 +152,43 @@ def test_int8_topk_recall_vs_float(spark, sf_oracle):
     approx_set = {(r.query_id, r.neighbor_id) for r in approx}
     recall = len(exact_set & approx_set) / len(exact_set)
     assert recall >= 0.9, f"int8 top-10 recall vs float ranking too low: {recall:.2f}"
+
+
+def test_semdedup_recall_and_precision(spark, sf_oracle):
+    """SemDeDup within-cluster pairs vs the exact all-pairs scan: every
+    emitted pair is exact-cosine-verified (precision 1.0); recall is the
+    designed trade — same-cluster near-dups are found, and on this fixture
+    the clustered pass recovers most of the exact pair set."""
+    from timing_explorer_spark.operators.similarity import (
+        embedding_neardup_pairs,
+        semdedup_pairs,
+    )
+
+    emb = load(spark, sf_oracle, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            emb, threshold=0.45, corpus_path=f"{sf_oracle}/embeddings.parquet"
+        ).collect()
+    }
+    got = semdedup_pairs(emb, threshold=0.45, n_clusters=4).collect()
+    got_pairs = {(r["id_a"], r["id_b"]) for r in got}
+    assert got_pairs <= exact  # precision 1.0: every pair is exact-verified
+    assert exact  # fixture must actually contain near-dups
+    recall = len(got_pairs) / len(exact)
+    assert recall >= 0.5, f"semdedup recall {recall:.2f}"
+    # every pair carries its exact cosine >= threshold
+    assert all(r["cos"] >= 0.45 for r in got)
+
+
+def test_semdedup_same_seed_deterministic(spark, sf_oracle):
+    from timing_explorer_spark.operators.similarity import semdedup_pairs
+
+    emb = load(spark, sf_oracle, "embeddings")
+    a = sorted(
+        (r["id_a"], r["id_b"]) for r in semdedup_pairs(emb, 0.45, 4).collect()
+    )
+    b = sorted(
+        (r["id_a"], r["id_b"]) for r in semdedup_pairs(emb, 0.45, 4).collect()
+    )
+    assert a == b

@@ -492,3 +492,54 @@ def random_projection(
             for j in range(out_dims)
         ],
     )
+
+
+def semdedup_pairs(
+    embs: DataFrame,
+    threshold: float = 0.45,
+    n_clusters: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centers: list[list[float]] | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+    only compares embeddings WITHIN a k-means cluster — the published scale
+    recipe for web-corpus semantic dedup (the paper prunes LAION/C4 this
+    way; cross-cluster near-dups are rare by construction, and skipping them
+    is the accepted recall trade).
+
+    Output: (bucket, id_a, id_b, cos) — within-cluster pairs with exact
+    cosine >= threshold (id_a < id_b). Feed into resolve_components +
+    keep-best for the full dedup stage (same composition as
+    q_semantic_dedup_keep_best, minus the all-pairs scan).
+
+    Scale shape: the corpus shuffles ONCE on the cluster id; the pair
+    blow-up is sum over clusters of |c|^2 instead of N^2 — with
+    n_clusters ~ sqrt(N) coarse lists this bounds each task to one
+    cluster's pair block, and a hot cluster splits under AQE skew-join
+    handling. The centroid model is O(k x dim) and broadcasts; cosine is
+    JVM-side HOF arithmetic (no Python in the pair stage).
+    """
+    if centers is None:
+        centers = ivf_train_centroids(
+            embs, n_centroids=n_clusters, seed=seed, vec_col=vec_col
+        )
+    assigned = ivf_assign(embs, centers, id_col, vec_col, n_probe=1).persist()
+    a = assigned.select(
+        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    )
+    b = assigned.select(
+        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "bucket",
+            "id_a",
+            "id_b",
+            cosine(as_double(F.col("__va")), as_double(F.col("__vb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= F.lit(threshold))
+    )

@@ -411,3 +411,28 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(F.col("saa").cast("double")) * F.sqrt(F.col("sbb").cast("double")))
         ).alias("cos_centroid"),
     )
+
+
+@register(
+    "q_semdedup_pairs",
+    oracle=None,  # k-means clustering is not SQL-expressible; recall vs the
+    # exact all-pairs scan asserted in tests/test_similarity.py
+    doc=(
+        "SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup "
+        "pairs compared only WITHIN k-means clusters — the published "
+        "web-corpus recipe that replaces the N^2 all-pairs scan with "
+        "sum-of-cluster-size^2 work. One corpus shuffle on the cluster id; "
+        "centroids broadcast; exact JVM-side cosine verifies every emitted "
+        "pair, so precision is 1.0 by construction and only recall is "
+        "approximate (cross-cluster pairs are skipped by design). "
+        "operators/similarity.py::semdedup_pairs."
+    ),
+    tags=("dedup", "similarity", "ann", "llm-pipeline"),
+)
+def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semdedup_pairs
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semdedup_pairs(emb, threshold=0.45, n_clusters=8).orderBy(
+        "id_a", "id_b"
+    )
