@@ -514,32 +514,67 @@ def semdedup_pairs(
     keep-best for the full dedup stage (same composition as
     q_semantic_dedup_keep_best, minus the all-pairs scan).
 
-    Scale shape: the corpus shuffles ONCE on the cluster id; the pair
-    blow-up is sum over clusters of |c|^2 instead of N^2 — with
-    n_clusters ~ sqrt(N) coarse lists this bounds each task to one
-    cluster's pair block, and a hot cluster splits under AQE skew-join
-    handling. The centroid model is O(k x dim) and broadcasts; cosine is
-    JVM-side HOF arithmetic (no Python in the pair stage).
+    Scale shape: the corpus shuffles ONCE onto (cluster, salt) keys; the
+    pair blow-up is sum over clusters of |c|^2 instead of N^2. Two
+    deliberate moves keep the CPU-heavy/byte-light pair stage wide and
+    cheap (the same lessons as jaccard_pairs):
+      - the self-join is SALTED over defaultParallelism keys — with only
+        n_clusters distinct join keys, a plain bucket equi-join lands on
+        <= n_clusters tasks and AQE's size-based coalescing folds the
+        multi-minute pair block into ~2 (measured at 20k vectors); side A
+        keeps its own salt, side B replicates to all salts (tiny: one
+        bounded id+vector table), so each pair meets exactly once and the
+        work spreads across every core;
+      - vectors are L2-NORMALIZED ONCE per row before the join, so the
+        per-pair score is a single dot-product fold instead of
+        dot + two norm recomputations (3x fewer HOF aggregates on the
+        quadratic stage).
+    The centroid model is O(k x dim) and broadcasts; the pair stage is
+    JVM-side HOF arithmetic (no Python).
     """
     if centers is None:
         centers = ivf_train_centroids(
             embs, n_centroids=n_clusters, seed=seed, vec_col=vec_col
         )
-    assigned = ivf_assign(embs, centers, id_col, vec_col, n_probe=1).persist()
-    a = assigned.select(
-        "bucket", F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    sc = embs.sparkSession.sparkContext
+    n_salt = max(sc.defaultParallelism, 1)
+    nrm = F.sqrt(
+        F.aggregate(
+            as_double(F.col(vec_col)), F.lit(0.0), lambda acc, x: acc + x * x
+        )
     )
-    b = assigned.select(
-        "bucket", F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-    )
-    return (
-        a.join(b, "bucket")
-        .where(F.col("id_a") < F.col("id_b"))
+    assigned = (
+        ivf_assign(embs, centers, id_col, vec_col, n_probe=1)
         .select(
             "bucket",
-            "id_a",
-            "id_b",
-            cosine(as_double(F.col("__va")), as_double(F.col("__vb"))).alias("cos"),
+            F.col(id_col),
+            F.transform(as_double(F.col(vec_col)), lambda x: x / nrm).alias("__vn"),
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_salt)).alias("__salt"),
         )
+        .persist()
+    )
+    a = assigned.select(
+        "bucket", "__salt", F.col(id_col).alias("id_a"), F.col("__vn").alias("__va")
+    ).repartition(n_salt, "bucket", "__salt")
+    b = assigned.select(
+        "bucket",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1))).alias("__salt"),
+        F.col(id_col).alias("id_b"),
+        F.col("__vn").alias("__vb"),
+    ).repartition(n_salt, "bucket", "__salt")
+    cos = F.aggregate(
+        F.zip_with(F.col("__va"), F.col("__vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    # shuffle_hash hint: a broadcast join would execute in the PROBE side's
+    # (narrow, source-partitioned) layout and serialize the quadratic pair
+    # block onto a couple of tasks; the shuffled hash join reuses the two
+    # explicit co-partitioned exchanges above, so the pair compute runs
+    # n_salt wide on every run (cold included)
+    return (
+        a.join(b.hint("shuffle_hash"), ["bucket", "__salt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("bucket", "id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= F.lit(threshold))
     )
