@@ -1302,3 +1302,29 @@ def test_alias_on_selector_and_transformation(spark, sensors):
         {"sensors": sensors},
     )
     assert der.columns == ["time", "rate"]
+
+
+def test_show_series_and_tag_values_in(spark, sensors2):
+    """SHOW SERIES renders measurement,k=v series keys (tag keys lexical);
+    SHOW TAG VALUES ... WITH KEY IN stacks (key, value) pairs."""
+    series = influxql("SHOW SERIES FROM sensors", {"sensors": sensors2})
+    got = [r["key"] for r in series.collect()]
+    assert got == sorted(got)
+    assert "sensors,key=temp,site=east" in got
+    assert len(got) == 4
+    # all-measurement form prefixes each block with its measurement name
+    allseries = influxql(
+        "SHOW SERIES", {"sensors": sensors2, "other": sensors2.limit(1)}
+    )
+    assert {r["key"].split(",")[0] for r in allseries.collect()} == {
+        "sensors",
+        "other",
+    }
+    tv = influxql(
+        'SHOW TAG VALUES FROM sensors WITH KEY IN ("key", "site")',
+        {"sensors": sensors2},
+    )
+    rows = [(r["key"], r["value"]) for r in tv.collect()]
+    assert rows == sorted(rows)
+    assert ("key", "temp") in rows and ("site", "west") in rows
+    assert len(rows) == 4

@@ -32,6 +32,8 @@ neighbors):
 
     SHOW MEASUREMENTS | SHOW TAG KEYS [FROM m] | SHOW FIELD KEYS [FROM m]
       | SHOW TAG VALUES FROM m WITH KEY = "k"     (Grafana template variables)
+      | SHOW TAG VALUES FROM m WITH KEY IN ("k1", "k2")
+      | SHOW SERIES [FROM m]      (measurement,k=v series keys, lexical)
 
     proj       := "<field>" | <agg>("<field>"[, <p>])
                 | <agg>(...) <op> <number>      (unit-conversion math on the
@@ -335,7 +337,9 @@ def _agg_column(fn: str, field: str, time_col: str = "ts", arg: str | None = Non
 _RX_SHOW = re.compile(
     r"""^\s*SHOW\s+(?:(?P<what>MEASUREMENTS|FIELD\s+KEYS|TAG\s+KEYS)
         (?:\s+FROM\s+"?(?P<meas>\w+)"?)?
-        |TAG\s+VALUES\s+FROM\s+"?(?P<meas2>\w+)"?\s+WITH\s+KEY\s*=\s*"?(?P<key>\w+)"?)
+        |TAG\s+VALUES\s+FROM\s+"?(?P<meas2>\w+)"?\s+WITH\s+KEY\s*
+            (?:=\s*"?(?P<key>\w+)"?|IN\s*\(\s*(?P<keys>[^)]+?)\s*\))
+        |(?P<series>SERIES)(?:\s+FROM\s+"?(?P<meas3>\w+)"?)?)
         \s*$""",
     re.IGNORECASE | re.VERBOSE,
 )
@@ -380,16 +384,50 @@ def _show(m: re.Match, tables: dict[str, DataFrame], time_col: str) -> DataFrame
         return _cols(m.group("meas"), want_tags=True)
     if what == "FIELDKEYS":
         return _cols(m.group("meas"), want_tags=False)
-    meas, key = m.group("meas2"), m.group("key")
+    if m.group("series"):
+        # SHOW SERIES [FROM m] — one row per series key: the measurement
+        # name plus its tag k=v pairs, tag keys in lexical order (InfluxDB's
+        # series-key rendering). One distinct per measurement over the tag
+        # columns — series cardinality, never fact rows.
+        names = (
+            [m.group("meas3")] if m.group("meas3") else sorted(tables)
+        )
+        frames = []
+        for name in names:
+            if name not in tables:
+                raise ValueError(f"unknown measurement {name!r}")
+            df = tables[name]
+            tag_cols = sorted(
+                c for c, t in df.dtypes if c != time_col and t == "string"
+            )
+            parts: list = [F.lit(name)]
+            for t in tag_cols:
+                parts.append(F.concat(F.lit(t + "="), F.col(t)))
+            frames.append(
+                df.select(*tag_cols)
+                .distinct()
+                .select(F.concat_ws(",", *parts).alias("key"))
+            )
+        import functools as _ft
+
+        return _ft.reduce(lambda a, b: a.unionByName(b), frames).orderBy("key")
+    meas = m.group("meas2")
     if meas not in tables:
         raise ValueError(f"unknown measurement {meas!r}")
-    return (
+    if m.group("keys"):
+        keys = [k.strip().strip('"').strip("'") for k in m.group("keys").split(",")]
+    else:
+        keys = [m.group("key")]
+    frames = [
         tables[meas]
-        .select(F.col(key).alias("value"))
+        .select(F.col(k).alias("value"))
         .distinct()
-        .orderBy("value")
-        .select(F.lit(key).alias("key"), "value")
-    )
+        .select(F.lit(k).alias("key"), "value")
+        for k in keys
+    ]
+    import functools as _ft
+
+    return _ft.reduce(lambda a, b: a.unionByName(b), frames).orderBy("key", "value")
 
 
 def _bucket_us(mb: re.Match) -> tuple[int, int]:
