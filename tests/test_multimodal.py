@@ -312,3 +312,102 @@ def test_ppm_stats_skip_mode(spark):
     out = {r["media_id"]: r for r in ppm_stats(media, on_error="skip").collect()}
     assert out[1]["decode_ok"] and out[1]["sum_r"] == 4 * 7
     assert not out[2]["decode_ok"] and out[2]["width"] is None
+
+
+def test_bmp_roundtrip_padding_and_orientation():
+    """BMP decode undoes BGR order, 4-byte row padding (w=5 -> 15-byte rows
+    pad to 16) and bottom-up storage; negative height = top-down, no flip."""
+    import numpy as np
+
+    from timing_explorer_spark.multimodal.codecs import (
+        decode_bmp_bytes,
+        encode_bmp_bytes,
+    )
+
+    px = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    raw = encode_bmp_bytes(px)
+    out = decode_bmp_bytes(raw)
+    assert (out.width, out.height) == (5, 4)
+    assert (out.pixels == px).all()
+    # hand-build a TOP-DOWN variant (negative height): same logical image
+    stride = (5 * 3 + 3) & ~3
+    rows = np.zeros((4, stride), dtype=np.uint8)
+    rows[:, : 5 * 3] = px[:, :, ::-1].reshape(4, 15)
+    td = (
+        raw[:22]
+        + (-4).to_bytes(4, "little", signed=True)
+        + raw[26:54]
+        + rows.tobytes()
+    )
+    out2 = decode_bmp_bytes(td)
+    assert (out2.pixels == px).all()
+
+
+def test_bmp_typed_errors():
+    import numpy as np
+    import pytest as _pt
+
+    from timing_explorer_spark.multimodal.codecs import (
+        decode_bmp_bytes,
+        encode_bmp_bytes,
+    )
+
+    raw = bytearray(encode_bmp_bytes(np.zeros((2, 2, 3), dtype=np.uint8)))
+    with _pt.raises(ValueError):
+        decode_bmp_bytes(b"PNG_not_bmp")
+    with _pt.raises(ValueError):
+        decode_bmp_bytes(bytes(raw[:40]))  # truncated header
+    with _pt.raises(ValueError):
+        decode_bmp_bytes(bytes(raw[:-3]))  # truncated raster
+    bad = bytearray(raw)
+    bad[30:34] = (1).to_bytes(4, "little")  # BI_RLE8
+    with _pt.raises(NotImplementedError):
+        decode_bmp_bytes(bytes(bad))
+    bad = bytearray(raw)
+    bad[28:30] = (8).to_bytes(2, "little")  # palette depth
+    with _pt.raises(NotImplementedError):
+        decode_bmp_bytes(bytes(bad))
+
+
+def test_property_bmp_roundtrip():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from timing_explorer_spark.multimodal.codecs import (
+        decode_bmp_bytes,
+        encode_bmp_bytes,
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        w=st.integers(min_value=1, max_value=17),
+        h=st.integers(min_value=1, max_value=9),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def roundtrip(w, h, seed):
+        import numpy as np
+
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint16).astype(np.uint8)
+        out = decode_bmp_bytes(encode_bmp_bytes(px))
+        assert (out.pixels == px).all()
+
+    roundtrip()
+
+
+def test_bmp_stats_skip_mode(spark):
+    import pandas as pd
+
+    from timing_explorer_spark.multimodal.binary_ops import bmp_stats
+
+    import numpy as np
+
+    from timing_explorer_spark.multimodal.codecs import encode_bmp_bytes
+
+    good = encode_bmp_bytes(np.full((2, 3, 3), 7, dtype=np.uint8))
+    media = spark.createDataFrame(
+        pd.DataFrame({"media_id": [1, 2], "payload": [good, b"BMgarbage"]})
+    )
+    rows = {r["media_id"]: r for r in bmp_stats(media, on_error="skip").collect()}
+    assert rows[1]["decode_ok"] is True and rows[1]["sum_r"] == 7 * 6
+    assert rows[2]["decode_ok"] is False and rows[2]["width"] is None

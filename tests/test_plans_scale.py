@@ -306,6 +306,7 @@ _SANCTIONED_PYTHON = {
     # decode-in-place where the bytes live — the sanctioned Python shape
     "q_media_wav_stats",
     "q_media_ppm_stats",
+    "q_media_bmp_stats",
     # per-series Nelder-Mead-fitted smoothing over the bounded GROUP BY
     # time() aggregate (applyInPandas; raw facts never reach Python)
     "q_influxql_holt_winters",

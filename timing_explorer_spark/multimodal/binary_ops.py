@@ -269,6 +269,33 @@ def synthetic_ppm_media(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(enc, schema="media_id long, payload binary")
 
 
+def synthetic_bmp_media(docs: DataFrame) -> DataFrame:
+    """Real 24-bit BMP payloads from ``documents``: per doc, a
+    ``w = 5 + doc_id % 11`` by ``h = 4 + doc_id % 5`` RGB image whose
+    TOP-DOWN row-major RGB byte stream is ``b(j) = (doc_id*17 + j*7) % 256``
+    — the encoder then applies the format's bottom-up order, BGR swap and
+    row padding, all of which the decoder must undo, so the closed-form
+    oracle stays a direct function of j."""
+
+    def enc(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .codecs import encode_bmp_bytes
+
+        for b in batches:
+            payloads = []
+            for doc_id in b["doc_id"]:
+                w = 5 + int(doc_id) % 11
+                h = 4 + int(doc_id) % 5
+                j = np.arange(w * h * 3, dtype=np.int64)
+                px = ((int(doc_id) * 17 + j * 7) % 256).astype(np.uint8)
+                payloads.append(encode_bmp_bytes(px.reshape(h, w, 3)))
+            yield pd.DataFrame({"media_id": b["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(enc, schema="media_id long, payload binary")
+
+
 def ppm_stats(media: DataFrame, on_error: str = "fail") -> DataFrame:
     """REAL image decode: parse each P6 payload (header + raster view), then
     integer pixel-level features — dimensions from the header, per-channel
@@ -276,6 +303,20 @@ def ppm_stats(media: DataFrame, on_error: str = "fail") -> DataFrame:
     ``on_error``: same contract as wav_stats — "fail" propagates the typed
     decode error, "skip" quarantines corrupt payloads as decode_ok=false
     rows with NULL features."""
+    return _raster_stats(media, "ppm", on_error)
+
+
+def bmp_stats(media: DataFrame, on_error: str = "fail") -> DataFrame:
+    """REAL image decode for uncompressed 24-bit Windows BMP — same feature
+    set and on_error contract as ppm_stats; the decoder undoes the format's
+    bottom-up row order, 4-byte row padding and BGR channel order
+    (multimodal/codecs.py::decode_bmp_bytes), so the emitted channel sums
+    are over the LOGICAL top-down RGB raster, identical in meaning to the
+    PPM path."""
+    return _raster_stats(media, "bmp", on_error)
+
+
+def _raster_stats(media: DataFrame, codec: str, on_error: str) -> DataFrame:
     if on_error not in ("fail", "skip"):
         raise ValueError("on_error must be 'fail' or 'skip'")
 
@@ -283,7 +324,9 @@ def ppm_stats(media: DataFrame, on_error: str = "fail") -> DataFrame:
         import numpy as np
         import pandas as pd
 
-        from .codecs import decode_ppm_bytes
+        from .codecs import decode_bmp_bytes, decode_ppm_bytes
+
+        decoder = decode_ppm_bytes if codec == "ppm" else decode_bmp_bytes
 
         for b in batches:
             out = {
@@ -298,7 +341,7 @@ def ppm_stats(media: DataFrame, on_error: str = "fail") -> DataFrame:
             }
             for p in b["payload"]:
                 try:
-                    img = decode_ppm_bytes(bytes(p))
+                    img = decoder(bytes(p))
                 except (ValueError, NotImplementedError):
                     if on_error == "fail":
                         raise

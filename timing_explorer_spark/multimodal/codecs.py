@@ -180,3 +180,86 @@ def encode_ppm_bytes(pixels: np.ndarray, maxval: int = 255) -> bytes:
     if c != 3:
         raise ValueError("PPM is RGB: pixels must have shape (h, w, 3)")
     return f"P6\n{w} {h}\n{maxval}\n".encode() + arr.tobytes()
+
+
+# --------------------------------------------------------------------------- BMP
+
+
+@dataclass
+class BmpData:
+    width: int
+    height: int
+    pixels: np.ndarray  # shape (height, width, 3), uint8, RGB, top-down
+
+
+def decode_bmp_bytes(payload: bytes) -> BmpData:
+    """Parse an uncompressed 24-bit Windows BMP (BITMAPINFOHEADER or the
+    larger V4/V5 headers): 14-byte file header ('BM', data offset at byte
+    10), DIB header (size at byte 14; width/height i32le at 18/22; bit
+    count u16le at 28; compression u32le at 30 — must be 0 = BI_RGB), then
+    the raster — rows padded to 4-byte multiples, BGR byte order, stored
+    bottom-up when height > 0 (top-down when negative, per the spec).
+    Everything is derived from the public BMP format description;
+    compressed (RLE/BITFIELDS) and palette depths raise typed errors."""
+    if payload[0:2] != b"BM":
+        raise ValueError("not a BMP file")
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = int.from_bytes(payload[10:14], "little")
+    dib_size = int.from_bytes(payload[14:18], "little")
+    if dib_size < 40:
+        raise NotImplementedError("BITMAPCOREHEADER (OS/2) BMP not supported")
+    width = int.from_bytes(payload[18:22], "little", signed=True)
+    height = int.from_bytes(payload[22:26], "little", signed=True)
+    bit_count = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0:
+        raise NotImplementedError(f"compressed BMP (method {compression}) not supported")
+    if bit_count != 24:
+        raise NotImplementedError(f"{bit_count}-bit BMP not supported (24-bit only)")
+    if width <= 0 or height == 0:
+        raise ValueError("corrupt BMP header: bad dimensions")
+    top_down = height < 0
+    h = abs(height)
+    stride = (width * 3 + 3) & ~3  # rows pad to 4-byte multiples
+    need = stride * h
+    raster = payload[data_off : data_off + need]
+    if len(raster) < need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, : width * 3]
+    img = rows.reshape(h, width, 3)
+    if not top_down:
+        img = img[::-1]  # bottom-up storage -> top-down logical order
+    return BmpData(width=width, height=h, pixels=img[:, :, ::-1].copy())  # BGR->RGB
+
+
+def encode_bmp_bytes(pixels: np.ndarray) -> bytes:
+    """Write an uncompressed 24-bit bottom-up BMP. ``pixels`` is uint8 RGB
+    with shape (h, w, 3), top-down logical order."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, c = arr.shape
+    if c != 3:
+        raise ValueError("BMP encoder takes RGB pixels of shape (h, w, 3)")
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = arr[:, :, ::-1].reshape(h, w * 3)  # RGB->BGR
+    raster = rows[::-1].tobytes()  # bottom-up
+    file_size = 54 + len(raster)
+    hdr = (
+        b"BM"
+        + file_size.to_bytes(4, "little")
+        + b"\x00\x00\x00\x00"
+        + (54).to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (2835).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+    )
+    return hdr + raster

@@ -239,3 +239,44 @@ def q_media_ppm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary_ops import ppm_stats, synthetic_ppm_media
 
     return ppm_stats(synthetic_ppm_media(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "q_media_bmp_stats",
+    oracle="""
+        WITH d AS (
+            SELECT doc_id, 5 + doc_id % 11 AS w, 4 + doc_id % 5 AS h
+            FROM documents
+        ),
+        px AS (
+            SELECT d.doc_id, d.w, d.h, g.j,
+                   (d.doc_id * 17 + g.j * 7) % 256 AS b
+            FROM d, LATERAL (
+                SELECT UNNEST(generate_series(0, d.w * d.h * 3 - 1)) AS j
+            ) g
+        )
+        SELECT doc_id                             AS media_id,
+               CAST(ANY_VALUE(w) AS INTEGER)      AS width,
+               CAST(ANY_VALUE(h) AS INTEGER)      AS height,
+               CAST(SUM(CASE WHEN j % 3 = 0 THEN b ELSE 0 END) AS BIGINT) AS sum_r,
+               CAST(SUM(CASE WHEN j % 3 = 1 THEN b ELSE 0 END) AS BIGINT) AS sum_g,
+               CAST(SUM(CASE WHEN j % 3 = 2 THEN b ELSE 0 END) AS BIGINT) AS sum_b,
+               CAST(MAX(b) AS BIGINT)             AS max_byte
+        FROM px
+        GROUP BY doc_id
+    """,
+    doc=(
+        "REAL image decode #2, oracle-checked: uncompressed 24-bit Windows "
+        "BMP payloads — the decoder must undo bottom-up row storage, 4-byte "
+        "row padding and BGR channel order before the per-channel sums "
+        "match DuckDB's closed-form pixel function over the logical "
+        "top-down RGB raster (multimodal/codecs.py::decode_bmp_bytes; "
+        "round-trip + hypothesis fuzz in tests/test_multimodal.py). Same "
+        "Arrow-batched decode-in-place shape as the PPM/WAV paths."
+    ),
+    tags=("multimodal", "image", "decode", "pandas-udf"),
+)
+def q_media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import bmp_stats, synthetic_bmp_media
+
+    return bmp_stats(synthetic_bmp_media(load(spark, sf_dir, "documents")))

@@ -1533,7 +1533,9 @@ def q_influxql_mode_series(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_influxql_distinct_series(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.influxql import influxql
 
-    e = load(spark, sf_dir, "events").withColumn("value", F.rint(F.col("value")))
+    # F.round = HALF_UP like DuckDB's ROUND; F.rint would round half-to-even
+    # and diverge on exact .5 values (present at sf0.1: 53.5, 2.5, ...)
+    e = load(spark, sf_dir, "events").withColumn("value", F.round(F.col("value"), 0))
     q = (
         "SELECT distinct(\"value\") FROM \"events\" "
         "WHERE \"event_type\" = 'signup' "
