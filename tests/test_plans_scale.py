@@ -361,6 +361,11 @@ _SANCTIONED_NESTED_LOOP = {
     "q_bigram_pmi",
     # <=40-row checkpoint broadcast range-joined against word/doc grains
     "q_heaps_law",
+    # contingency grid: margin-aggregate cross product (r x c, tiny) + 1-row
+    # corpus-total and dims broadcasts — never fact rows
+    "q_chi2_lang_source",
+    # 1-row seasonal-centering-mean broadcast onto the 24-row hod grain
+    "q_stl_decompose",
 }
 
 
@@ -421,6 +426,12 @@ _SANCTIONED_GLOBAL_WINDOW = {
     "q_ks_source_drift",
     "q_cumulative_distinct_users",
     "q_kaplan_meier",
+    # hypothesis_suite: rank window over the bounded distinct-cents value
+    # histogram (≤ ~50k rows at any SF), never the fact table
+    "q_mann_whitney_u",
+    # hypothesis_suite: moving-average windows over the O(time-range)
+    # hourly spine grain
+    "q_stl_decompose",
 }
 
 

@@ -149,6 +149,7 @@ def _load_modules() -> None:
     from . import tsdb  # noqa: F401
     from . import layout_pipeline  # noqa: F401
     from . import stats_suite  # noqa: F401
+    from . import hypothesis_suite  # noqa: F401
     from . import behavior  # noqa: F401
 
     _LOADED = True
