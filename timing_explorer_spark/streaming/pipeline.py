@@ -121,6 +121,32 @@ def event_time_windows(
     )
 
 
+def dedup_stream(
+    sensors: DataFrame,
+    keys: tuple[str, ...] = ("key",),
+    watermark: str = "10 seconds",
+    bounded_state: bool = True,
+) -> DataFrame:
+    """Streaming exact-dedup at ingest — the arrival-time counterpart of the
+    batch ``operators/dedup.py`` family (an LLM pipeline dedups documents as
+    they land, not after).
+
+    ``bounded_state=True`` (the only mode that survives an unbounded stream /
+    100 TB ingest) uses ``dropDuplicatesWithinWatermark``: a key's dedup
+    fingerprint is held ONLY until the watermark passes its event time +
+    delay, so state size is bounded by the arrival rate x watermark horizon
+    — the trade is that a duplicate arriving after eviction is re-emitted
+    (pinned in tests/test_streaming_dedup.py). ``bounded_state=False`` uses
+    plain ``dropDuplicates``: exact forever, but state grows with the
+    distinct-key count — acceptable only for bounded backfill replays.
+    """
+    wm = sensors.withWatermark("ts", watermark)
+    cols = list(keys)
+    if bounded_state:
+        return wm.dropDuplicatesWithinWatermark(cols)
+    return wm.dropDuplicates(cols)
+
+
 def m4_windows(sensors: DataFrame, duration: str = "1 second", watermark: str = "0 seconds") -> DataFrame:
     """Continuous M4 downsampling (VLDB'14) over the sensor stream: per
     (key, tumbling window) emit n/min/max/first/last — the streaming form of
