@@ -310,6 +310,10 @@ _SANCTIONED_PYTHON = {
     # per-series Nelder-Mead-fitted smoothing over the bounded GROUP BY
     # time() aggregate (applyInPandas; raw facts never reach Python)
     "q_influxql_holt_winters",
+    # unigram tokenizer inference: Arrow-batched Viterbi DP over the bounded
+    # distinct-word histogram only (operators/unigram.py); corpus rows never
+    # reach Python — the dictionary-encoding join brings pieces back
+    "q_unigram_tokenize_stats",
 }
 
 # Queries whose only nested-loop/cartesian shape is a deliberate 1-row

@@ -861,3 +861,64 @@ def q_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness"), "word")
         .limit(50)
     )
+
+
+@register(
+    "q_unigram_lm_vocab",
+    oracle=None,  # iterative EM — no closed-form SQL; math + determinism in pytest
+    doc=(
+        "SentencePiece-style unigram-LM tokenizer training (Kudo 2018, "
+        "Viterbi hard-EM variant): seed candidate substrings by weighted "
+        "frequency, alternate Viterbi segmentation / probability "
+        "re-estimation / pruning toward the target vocab. Every stage runs "
+        "on the bounded distinct-word HISTOGRAM, never raw documents — the "
+        "only Python is an Arrow-batched per-word DP over that grain with "
+        "the O(V) piece table in the closure, so training cost at 100 TB is "
+        "one word-count shuffle plus dictionary-sized work. Output is the "
+        "ranked (piece, logprob) model artifact. Rows-only driver check; "
+        "pytest pins objective monotonicity, round-trip segmentation, and "
+        "bit-identical vocabularies under repartitioning."
+    ),
+    tags=("text", "tokenizer", "unigram", "llm-pipeline"),
+)
+def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_train
+
+    vocab, _ = unigram_train(
+        load(spark, sf_dir, "documents"),
+        vocab_size=256,
+        max_piece_len=4,
+        n_iters=2,
+        seed_size=1024,
+    )
+    rows = sorted(vocab.items(), key=lambda kv: (-kv[1], kv[0]))
+    return spark.createDataFrame(
+        [(i, p, lp, len(p)) for i, (p, lp) in enumerate(rows)],
+        "rank int, piece string, logprob double, piece_len int",
+    )
+
+
+@register(
+    "q_unigram_tokenize_stats",
+    oracle=None,  # depends on the EM-trained vocab — rows-only; see pytest
+    doc=(
+        "Tokenizer INFERENCE via dictionary encoding: train the unigram LM, "
+        "then segment each DISTINCT word of the corpus exactly once and "
+        "broadcast-join the per-word piece counts back onto word "
+        "occurrences — a word occurring a million times costs one DP. "
+        "Reports per-source token counts and chars-per-token (the "
+        "compression-rate signal a tokenizer eval tracks). The join side is "
+        "the O(dictionary) segmented-word table; the corpus side is one "
+        "explode + groupBy — map-side combinable, no skew (word dictionary "
+        "is broadcast, occurrences never shuffle on word)."
+    ),
+    tags=("text", "tokenizer", "unigram", "llm-pipeline"),
+)
+def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import unigram_encode_stats, unigram_train
+
+    docs = load(spark, sf_dir, "documents")
+    vocab, _ = unigram_train(
+        docs, vocab_size=256, max_piece_len=4, n_iters=2, seed_size=1024
+    )
+    return unigram_encode_stats(docs, vocab, max_piece_len=4).orderBy("source")
