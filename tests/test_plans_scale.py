@@ -314,6 +314,9 @@ _SANCTIONED_PYTHON = {
     # distinct-word histogram only (operators/unigram.py); corpus rows never
     # reach Python — the dictionary-encoding join brings pieces back
     "q_unigram_tokenize_stats",
+    # CCNet perplexity scoring: same bounded dictionary-DP contract as
+    # q_unigram_tokenize_stats (operators/unigram.py::doc_perplexity)
+    "q_ccnet_perplexity_buckets",
 }
 
 # Queries whose only nested-loop/cartesian shape is a deliberate 1-row

@@ -207,6 +207,80 @@ def unigram_train(
     return vocab, objectives
 
 
+def doc_perplexity(
+    docs: DataFrame,
+    vocab: dict[str, float],
+    max_piece_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under a trained unigram LM, via dictionary
+    encoding: segment each DISTINCT word of the corpus exactly once (bounded
+    grain), broadcast-join (logp, n_pieces) back onto (doc, word) occurrences,
+    then one groupBy(doc) — ppl = exp(-Σ logp / Σ pieces). The corpus text
+    never reaches Python; scoring 100 TB costs one explode + one shuffle on
+    ``id_col`` plus dictionary-sized DP work."""
+    occurrences = docs.select(
+        F.col(id_col).alias("_doc"),
+        F.explode(F.split(F.col(text_col), r"\s+")).alias("word"),
+    ).where((F.length("word") > 0) & (F.length("word") <= 64))
+    distinct_words = occurrences.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    seg = viterbi_segment(distinct_words, vocab, max_piece_len).select(
+        "word", F.size("pieces").alias("n_pieces"), "logp"
+    )
+    return (
+        occurrences.join(F.broadcast(seg), on="word")
+        .groupBy("_doc")
+        .agg(
+            F.sum("n_pieces").alias("n_tokens"),
+            F.sum("logp").alias("sum_logp"),
+        )
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_tokens",
+            F.exp(-F.col("sum_logp") / F.col("n_tokens").cast("double")).alias("ppl"),
+        )
+    )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    vocab: dict[str, float],
+    max_piece_len: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"): score
+    every document's perplexity under a reference-trained LM, then split each
+    language into equal-frequency buckets (head = lowest perplexity =
+    best-matching-the-reference, ..., tail). CCNet uses per-language KenLM
+    5-gram models; here the LM is the unigram model of this module (the
+    bucketing pipeline — the part that is a DATAFLOW problem — is identical;
+    the LM family is pluggable). Returns one row per document:
+    (doc_id, lang, n_tokens, ppl, bucket 1..n_buckets).
+
+    The per-language ntile is a window over (lang) — bounded partitions only
+    when languages are few and docs many; for the 100 TB path the same split
+    comes from approx quantile cutpoints per lang (computed map-side) joined
+    back, avoiding the full sort. Both produce the head/middle/tail contract;
+    ntile is exact and is what the tests pin."""
+    from pyspark.sql import Window
+
+    ppl = doc_perplexity(docs, vocab, max_piece_len, text_col=text_col, id_col=id_col)
+    scored = docs.select(id_col, lang_col).join(ppl, on=id_col)
+    w = Window.partitionBy(lang_col).orderBy(F.asc("ppl"), F.asc(id_col))
+    return scored.select(
+        id_col,
+        lang_col,
+        "n_tokens",
+        "ppl",
+        F.ntile(n_buckets).over(w).alias("bucket"),
+    )
+
+
 def unigram_encode_stats(
     docs: DataFrame,
     vocab: dict[str, float],

@@ -899,6 +899,44 @@ def q_unigram_lm_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ccnet_perplexity_buckets",
+    oracle=None,  # LM is EM-trained — rows-only; formula + bucketing pinned in pytest
+    doc=(
+        "CCNet-style perplexity filtering (Wenzek et al. 2020): train the "
+        "unigram LM on a high-quality REFERENCE slice (sources src0-src3 "
+        "stand in for CCNet's Wikipedia), score EVERY document's perplexity "
+        "under it via dictionary encoding (each distinct word segmented "
+        "once, logp broadcast-joined back onto occurrences), then split "
+        "each language into equal-frequency head/middle/tail buckets — the "
+        "standard LLM-corpus quality gate. Reports per (lang, bucket): doc "
+        "count, token count, and the perplexity band [min, max]. Scale "
+        "shape: one explode + one doc_id shuffle + a per-lang split; the "
+        "only Python is the bounded dictionary DP."
+    ),
+    tags=("text", "quality", "perplexity", "llm-pipeline"),
+)
+def q_ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.unigram import ccnet_buckets, unigram_train
+
+    docs = load(spark, sf_dir, "documents")
+    reference = docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
+    vocab, _ = unigram_train(
+        reference, vocab_size=256, max_piece_len=4, n_iters=2, seed_size=1024
+    )
+    scored = ccnet_buckets(docs, vocab, max_piece_len=4, n_buckets=3)
+    return (
+        scored.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("ppl").alias("ppl_min"),
+            F.max("ppl").alias("ppl_max"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+@register(
     "q_unigram_tokenize_stats",
     oracle=None,  # depends on the EM-trained vocab — rows-only; see pytest
     doc=(
