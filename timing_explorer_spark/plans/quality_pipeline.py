@@ -866,3 +866,50 @@ def q_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load(spark, sf_dir, "documents")
     w = dsir_log_weights(docs, F.col("lang") == "en")
     return dsir_resample(w, n=100)
+
+
+@register(
+    "q_quality_classifier_train",
+    oracle=None,  # iterative GD — no closed-form SQL; math + determinism in pytest
+    doc=(
+        "Quality-classifier TRAINING (the step q_quality_logit deploys): "
+        "distributed L2-regularized logistic regression on hashed bag-of-"
+        "words features, labels = reference slice (src0-src3, the CCNet/"
+        "GPT-3 'positives are curated pages' setup). The training loop is "
+        "pure relational dataflow — long-format (doc, bucket, x) features, "
+        "per-iteration margin = broadcast-weight join + doc groupBy, "
+        "gradient = residual join + bucket groupBy, all reductions decimal-"
+        "exact so training is bit-identical under any partitioning "
+        "(operators/logreg.py). Per iteration only the O(n_buckets) weight "
+        "vector visits the driver. Output: a one-row training report "
+        "(sizes, first/last mean NLL, exact rank-statistic train AUC)."
+    ),
+    tags=("text", "quality", "classifier", "llm-pipeline"),
+)
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import track_cache
+    from ..operators.logreg import auc_rank, hashed_features, logreg_score, logreg_train
+
+    docs = load(spark, sf_dir, "documents")
+    labels = docs.select(
+        F.col("doc_id").alias("_doc"),
+        F.col("source").isin("src0", "src1", "src2", "src3").cast("double").alias("y"),
+    )
+    feats = track_cache(hashed_features(docs, n_buckets=32))
+    weights, losses = logreg_train(feats, labels, n_iters=8, lr=1.0, l2=1e-4)
+    auc = auc_rank(logreg_score(feats, weights), labels)
+    n_pos = labels.where("y = 1.0").count()
+    return spark.createDataFrame(
+        [
+            (
+                labels.count(),
+                n_pos,
+                len(weights),
+                float(losses[0]),
+                float(losses[-1]),
+                float(auc),
+            )
+        ],
+        "n_docs bigint, n_pos bigint, n_features int, "
+        "loss_first double, loss_last double, auc double",
+    )
