@@ -405,6 +405,9 @@ _SANCTIONED_NESTED_LOOP = {
 # plans/text_pipeline.py::q_sequence_packing documents); (a)/(b) stay
 # single-task by cardinality. NEW unpartitioned windows fail this audit.
 _SANCTIONED_GLOBAL_WINDOW = {
+    # cumulative explained-variance over the k (=8) PCA components — the
+    # window input is the O(k) model table, never the vector corpus
+    "q_embedding_pca_variance",
     "q02_cheapest_part_per_brand",
     "q20_dominant_suppliers",
     "q_concurrent_events",

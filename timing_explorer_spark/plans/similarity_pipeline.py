@@ -436,3 +436,53 @@ def q_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semdedup_pairs(emb, threshold=0.45, n_clusters=8).orderBy(
         "id_a", "id_b"
     )
+
+
+@register(
+    "q_embedding_pca_variance",
+    oracle=None,  # eigendecomposition — no SQL form; math pinned in pytest
+    doc=(
+        "Distributed PCA over the embedding corpus (the FAISS-style "
+        "pre-transform in front of ANN / semantic dedup): fit = ONE scan "
+        "emitting per-Arrow-batch (sum xx^T, sum x, n) partials — shuffle "
+        "volume is batches x d^2 regardless of corpus size — with the d x d "
+        "eigendecomposition on the driver; project = pure JVM zip_with dot "
+        "products (model rides as literals, map-only). Output: per "
+        "component, the model eigenvalue, the MEASURED variance of the "
+        "projected coordinate (recomputed distributed — the two agreeing is "
+        "the self-check), and explained-variance ratios. operators/pca.py."
+    ),
+    tags=("similarity", "embedding", "pca", "llm-pipeline"),
+)
+def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.pca import pca_fit, pca_project
+
+    emb = load(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    proj = pca_project(emb, model, "embedding", "pc")
+    per_coord = (
+        proj.select(F.posexplode("pc").alias("component", "y"))
+        .groupBy("component")
+        .agg(F.var_pop("y").alias("projected_variance"))
+    )
+    meta = spark.createDataFrame(
+        [
+            (j, ev, ev / model.total_variance)
+            for j, ev in enumerate(model.eigenvalues)
+        ],
+        "component int, eigenvalue double, explained_variance_ratio double",
+    )
+    w = Window.orderBy("component").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_coord.join(meta, on="component")
+        .select(
+            "component",
+            "eigenvalue",
+            "projected_variance",
+            "explained_variance_ratio",
+            F.sum("explained_variance_ratio").over(w).alias("cumulative_evr"),
+        )
+        .orderBy("component")
+    )
