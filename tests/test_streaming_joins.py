@@ -1,143 +1,158 @@
-"""Streaming joins: stream-stream (watermarked interval equi-join) and
-stream-static enrichment — the streaming shapes beyond the reference's
-single-stream pipeline that a Spark-first engine provides natively."""
+"""Stream-stream interval join semantics (streaming/joins.py) — pinned on
+pyspark 4.1: batch equivalence of the inner join across micro-batch
+boundaries, the left-outer emit-on-watermark contract, and bounded join
+state (eviction driven by watermark + interval, the 100 TB property).
+"""
 
 from __future__ import annotations
 
+import time
+
 from pyspark.sql import functions as F
 
-from timing_explorer_spark.streaming.pipeline import (
-    sensor_stream_from_files,
-    write_generator_files,
+from timing_explorer_spark.streaming.joins import (
+    interval_join_batch,
+    interval_join_streams,
 )
+from timing_explorer_spark.streaming.pipeline import sensor_stream_from_files
 
 
-def test_stream_stream_interval_join(spark, tmp_path):
-    """temp and pressure sub-streams of the same generator joined on exact
-    event time: every temp reading pairs with exactly the one pressure
-    reading at the same timestamp (the generator emits both per tick)."""
-    data = str(tmp_path / "input")
-    write_generator_files(spark, data, n_events=200, files=4)
+def _write_batch(spark, path: str, rows: list[tuple[str, str, float]]) -> None:
+    df = spark.createDataFrame(rows, ["key", "ts", "value"]).select(
+        "key", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.1)  # file-source batch order follows modification time
 
-    src = sensor_stream_from_files(spark, data)
-    temp = (
-        src.where(F.col("key") == "temp")
-        .select(F.col("ts").alias("t_ts"), F.col("value").alias("t_val"))
-        .withWatermark("t_ts", "5 seconds")
-    )
-    pressure = (
-        src.where(F.col("key") == "pressure")
-        .select(F.col("ts").alias("p_ts"), F.col("value").alias("p_val"))
-        .withWatermark("p_ts", "5 seconds")
-    )
-    joined = temp.join(
-        pressure,
-        F.expr("t_ts = p_ts"),
-        "inner",
-    )
+
+def _run(spark, ldir, rdir, outdir, ckpt, how="inner", **kw):
+    l = sensor_stream_from_files(spark, ldir, max_files_per_trigger=1)
+    r = sensor_stream_from_files(spark, rdir, max_files_per_trigger=1)
+    out = interval_join_streams(l, r, how=how, **kw)
     q = (
-        joined.writeStream.format("parquet")
-        .option("path", str(tmp_path / "out"))
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        out.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    out = spark.read.parquet(str(tmp_path / "out"))
-    assert out.count() == 200  # one pair per tick
-    # Pair correctness: pressure = sin(2*pi*temp) at every joined tick.
-    import math
-
-    bad = out.where(
-        F.abs(F.col("p_val") - F.sin(F.col("t_val") * F.lit(2 * math.pi))) > 1e-9
-    ).count()
-    assert bad == 0
+    progress = list(q.recentProgress)
+    rows = sorted(
+        spark.read.parquet(outdir).collect(),
+        key=lambda x: (x["key"], x["left_ts"], x["right_ts"] or x["left_ts"]),
+    )
+    return rows, progress
 
 
-def test_stream_static_enrichment_join(spark, tmp_path):
-    """Stream enriched against a static dimension (broadcast per micro-batch,
-    no streaming state): the standard lookup-join shape."""
-    data = str(tmp_path / "input")
-    write_generator_files(spark, data, n_events=100, files=2)
-    dim = spark.createDataFrame(
-        [("temp", "celsius"), ("pressure", "bar")], "key string, unit string"
-    )
-    q = (
-        sensor_stream_from_files(spark, data)
-        .join(F.broadcast(dim), "key")
-        .writeStream.format("parquet")
-        .option("path", str(tmp_path / "out"))
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.read.parquet(str(tmp_path / "out"))
-    assert out.count() == 200
-    units = {(r["key"], r["unit"]) for r in out.select("key", "unit").distinct().collect()}
-    assert units == {("temp", "celsius"), ("pressure", "bar")}
+def _key(r):
+    return (r["key"], r["left_ts"], r["left_value"], r["right_ts"], r["right_value"])
 
 
-def test_stream_stream_left_outer_join_null_extension(spark, tmp_path):
-    """Stream-stream LEFT OUTER join: unmatched left rows must be emitted
-    null-extended once the watermark passes their join window — the state
-    eviction path (Spark buffers the left side until it can PROVE no match
-    will arrive; without watermark-driven eviction the state grows
-    unboundedly and unmatched rows never emit). Join every temp reading to
-    pressure readings at the same tick SHIFTED by a condition that matches
-    only half the ticks."""
-    data = str(tmp_path / "input")
-    write_generator_files(spark, data, n_events=200, files=4)
+def test_inner_join_matches_batch_across_microbatches(spark, tmp_path):
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    # left events at t=10 and t=30; right spread across separate files so the
+    # join must match across micro-batch boundaries through state
+    _write_batch(spark, ldir, [("a", "2024-01-01 00:00:10", 1.0)])
+    _write_batch(spark, rdir, [("a", "2024-01-01 00:00:12", 100.0)])
+    _write_batch(spark, ldir, [("a", "2024-01-01 00:00:30", 2.0), ("b", "2024-01-01 00:00:30", 3.0)])
+    _write_batch(
+        spark,
+        rdir,
+        [
+            ("a", "2024-01-01 00:00:14", 101.0),  # still in [10, 15] for l@10
+            ("a", "2024-01-01 00:00:31", 102.0),
+            ("b", "2024-01-01 00:00:36", 103.0),  # boundary: exactly +6s -> out
+        ],
+    )
+    got, _ = _run(
+        spark,
+        ldir,
+        rdir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        lower="0 seconds",
+        upper="5 seconds",
+        watermark="20 seconds",
+    )
+    lb = spark.read.parquet(ldir)
+    rb = spark.read.parquet(rdir)
+    want = sorted(
+        interval_join_batch(lb, rb, lower="0 seconds", upper="5 seconds").collect(),
+        key=lambda x: (x["key"], x["left_ts"], x["right_ts"]),
+    )
+    assert [_key(r) for r in got] == [_key(r) for r in want]
+    # sanity on the fixture itself: 3 matches, the +6s right row excluded
+    assert len(got) == 3
+    assert all(r["right_value"] != 103.0 for r in got)
 
-    src = sensor_stream_from_files(spark, data)
-    temp = (
-        src.where(F.col("key") == "temp")
-        .select(F.col("ts").alias("t_ts"), F.col("value").alias("t_val"))
-        .withWatermark("t_ts", "2 seconds")
+
+def test_left_outer_emits_null_after_watermark(spark, tmp_path):
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    # 'lonely' never gets a right match; 'a' does
+    _write_batch(
+        spark,
+        ldir,
+        [("a", "2024-01-01 00:00:10", 1.0), ("lonely", "2024-01-01 00:00:10", 5.0)],
     )
-    # Pressure rows only for even seconds: odd-second temps have no match.
-    pressure = (
-        src.where((F.col("key") == "pressure") & (F.second("ts") % 2 == 0))
-        .select(F.col("ts").alias("p_ts"), F.col("value").alias("p_val"))
-        .withWatermark("p_ts", "2 seconds")
+    _write_batch(spark, rdir, [("a", "2024-01-01 00:00:11", 50.0)])
+    # late traffic on BOTH sides pushes both watermarks far past 10s+interval
+    _write_batch(spark, ldir, [("z", "2024-01-01 00:05:00", 0.0)])
+    _write_batch(spark, rdir, [("z2", "2024-01-01 00:05:00", 0.0)])
+    got, _ = _run(
+        spark,
+        ldir,
+        rdir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        how="leftOuter",
+        lower="0 seconds",
+        upper="5 seconds",
+        watermark="10 seconds",
     )
-    joined = temp.join(
-        pressure,
-        F.expr("t_ts = p_ts AND p_ts >= t_ts - INTERVAL 1 SECOND AND p_ts <= t_ts + INTERVAL 1 SECOND"),
-        "left_outer",
+    by_key = {}
+    for r in got:
+        by_key.setdefault(r["key"], []).append(r)
+    assert [r["right_value"] for r in by_key["a"]] == [50.0]
+    # the unmatched left row DID emit, with nulls, once provably unmatched
+    assert len(by_key["lonely"]) == 1
+    assert by_key["lonely"][0]["right_ts"] is None
+    assert by_key["lonely"][0]["right_value"] is None
+    # 'z' unmatched too but its watermark horizon may not have closed by the
+    # final micro-batch — do not assert on it (pinning only the closed case)
+
+
+def test_join_state_is_bounded_by_watermark(spark, tmp_path):
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    # 40 early rows per side, then a far-future row advancing the watermark:
+    # all early state is evictable before the last micro-batch
+    early_l = [(f"k{i}", "2024-01-01 00:00:10", float(i)) for i in range(40)]
+    early_r = [(f"k{i}", "2024-01-01 00:00:11", float(i)) for i in range(40)]
+    _write_batch(spark, ldir, early_l)
+    _write_batch(spark, rdir, early_r)
+    _write_batch(spark, ldir, [("adv", "2024-01-01 01:00:00", 0.0)])
+    _write_batch(spark, rdir, [("adv2", "2024-01-01 01:00:00", 0.0)])
+    _write_batch(spark, ldir, [("adv3", "2024-01-01 02:00:00", 0.0)])
+    _write_batch(spark, rdir, [("adv4", "2024-01-01 02:00:00", 0.0)])
+    got, progress = _run(
+        spark,
+        ldir,
+        rdir,
+        str(tmp_path / "out"),
+        str(tmp_path / "ck"),
+        lower="0 seconds",
+        upper="5 seconds",
+        watermark="10 seconds",
     )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", str(tmp_path / "out"))
-        .option("checkpointLocation", str(tmp_path / "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    out = spark.read.parquet(str(tmp_path / "out"))
-    # End-of-stream semantics: rows inside the final watermark window stay
-    # buffered (nothing arrives to push the watermark past them), so the
-    # emitted set is all 200 minus at most the tail few seconds' worth of
-    # rows (10 ticks/s; 2s delay + batch-boundary slack). No duplicates.
-    n = out.count()
-    assert 200 - 40 <= n <= 200, n
-    assert out.select("t_ts").distinct().count() == n, "no duplicate emissions"
-    matched = out.where(F.col("p_val").isNotNull())
-    unmatched = out.where(F.col("p_val").isNull())
-    assert unmatched.count() > 0, "watermark must emit null-extended rows"
-    # Parity invariant: matched iff the tick's second is even.
-    assert matched.where(F.second("t_ts") % 2 != 0).count() == 0
-    assert unmatched.where(F.second("t_ts") % 2 == 0).count() == 0
-    # Held-back rows are exclusively from the stream tail.
-    max_ts = out.agg(F.max("t_ts")).collect()[0][0]
-    emitted_odd = {r[0] for r in unmatched.select("t_ts").collect()}
-    all_src = spark.read.parquet(data).where(F.col("key") == "temp")
-    held = all_src.where(
-        (F.second("ts") % 2 != 0)
-        & ~F.col("ts").isin(*emitted_odd)
-    )
-    import datetime
-    tail_floor = max_ts - datetime.timedelta(seconds=5)
-    assert held.where(F.col("ts") < tail_floor).count() == 0, (
-        "non-tail unmatched rows must have been emitted"
-    )
+    assert len(got) == 40  # every early pair matched
+    state_rows = [
+        op["numRowsTotal"]
+        for p in progress
+        for op in (p.get("stateOperators") or [])
+        if "numRowsTotal" in op
+    ]
+    assert state_rows, "no state metrics reported"
+    # final micro-batch: the 80 early rows are gone; only the handful of
+    # watermark-advancer rows may remain buffered
+    assert state_rows[-1] <= 8, state_rows
