@@ -1,0 +1,104 @@
+"""Line-protocol source (sources/line_protocol.py) — parser semantics:
+escape-aware tag splitting, field typing (float / int-suffix / bool),
+timestamp precisions, the malformed-line quarantine contract, and the
+exact round trip against the sink encoder (streaming/influx.py).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from timing_explorer_spark.sources.line_protocol import (
+    from_line_protocol,
+    read_line_protocol,
+)
+from timing_explorer_spark.streaming.influx import to_line_protocol
+
+
+def _parse(spark, lines, **kw):
+    df = spark.createDataFrame([(s,) for s in lines], "value string")
+    return from_line_protocol(df, **kw).collect()
+
+
+def test_full_grammar_line(spark):
+    (r,) = _parse(
+        spark,
+        ["cpu,host=web\\ 01,dc=us\\,east usage=0.64,cores=8i,up=true 1704067200000"],
+    )
+    assert r["valid"]
+    assert r["measurement"] == "cpu"
+    assert r["tags"] == {"host": "web 01", "dc": "us,east"}
+    assert r["fields"] == {"usage": 0.64, "cores": 8.0, "up": 1.0}
+    assert r["ts"] == datetime.datetime(2024, 1, 1, 0, 0)
+
+
+def test_no_tags_no_timestamp(spark):
+    (r,) = _parse(spark, ["mem free=1.5e3"])
+    assert r["valid"] and r["measurement"] == "mem"
+    assert r["tags"] == {}
+    assert r["fields"] == {"free": 1500.0}
+    assert r["ts"] is None
+
+
+def test_precisions(spark):
+    ns = _parse(spark, ["m v=1 1704067200000000000"], precision="ns")[0]
+    s = _parse(spark, ["m v=1 1704067200"], precision="s")[0]
+    ms = _parse(spark, ["m v=1 1704067200000"], precision="ms")[0]
+    want = datetime.datetime(2024, 1, 1, 0, 0)
+    assert ns["ts"] == s["ts"] == ms["ts"] == want
+
+
+def test_malformed_lines_quarantined(spark):
+    rows = _parse(
+        spark,
+        [
+            "",                      # empty
+            "justmeasurement",       # no fields section
+            "m v=abc",               # non-numeric field
+            'm s="str" 1',           # string field: out of scope
+            "m v=1 notatimestamp",   # bad ts
+            "m,k= v=1",              # empty tag value
+            "m v=2 5 extra",         # 4 sections
+        ],
+    )
+    assert all(not r["valid"] for r in rows)
+    assert all(
+        r["measurement"] is None and r["fields"] is None and r["ts"] is None
+        for r in rows
+    )
+    # the raw line is preserved for quarantine routing
+    assert rows[2]["line"] == "m v=abc"
+
+
+def test_roundtrip_with_sink_encoder(spark):
+    src = spark.createDataFrame(
+        [
+            ("sensor 1", "2024-01-01 00:00:00.123", 3.25),
+            ("a,b=c", "2024-01-01 00:00:01.000", -0.5),
+        ],
+        ["key", "ts", "value"],
+    ).select("key", F.col("ts").cast("timestamp").alias("ts"), "value")
+    lines = src.select(to_line_protocol("sineWave").alias("value"))
+    out = {r["tags"]["key"]: r for r in from_line_protocol(lines).collect()}
+    assert set(out) == {"sensor 1", "a,b=c"}
+    r = out["sensor 1"]
+    assert r["valid"] and r["measurement"] == "sineWave"
+    assert r["fields"] == {"value": 3.25}
+    assert r["ts"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 123000)
+    assert out["a,b=c"]["fields"] == {"value": -0.5}
+
+
+def test_read_text_files_batch_and_stream_schema(spark, tmp_path):
+    p = str(tmp_path / "lines")
+    spark.createDataFrame(
+        [("m,k=a v=1.0 1000",), ("bad line here",)], "value string"
+    ).coalesce(1).write.text(p)
+    got = read_line_protocol(spark, p).collect()
+    assert sorted(r["valid"] for r in got) == [False, True]
+    stream_df = read_line_protocol(spark, p, streaming=True)
+    assert stream_df.isStreaming
+    assert [f.name for f in stream_df.schema.fields] == [
+        "line", "measurement", "tags", "fields", "ts", "valid",
+    ]

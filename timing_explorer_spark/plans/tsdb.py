@@ -1166,3 +1166,41 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(100.0) * (F.col("n") - F.lit(2) * F.col("k")))
         ).alias("trimmed_mean"),
     )
+
+
+@register(
+    "q_line_protocol_roundtrip",
+    oracle="""
+        SELECT event_type, epoch_ms(ts) AS ts_ms, value
+        FROM events
+    """,
+    doc=(
+        "InfluxDB line-protocol round trip, oracle-checked per row: encode "
+        "every event with the sink's JVM column expression "
+        "(streaming/influx.py::to_line_protocol — measurement, escaped tag, "
+        "field, ms timestamp), parse it back with the escape-aware JVM "
+        "regex/HOF source (sources/line_protocol.py::from_line_protocol), "
+        "and hash-compare the decoded (tag, ts, value) against the original "
+        "table. Proves encoder and parser are exact inverses on real data — "
+        "Java's double->string->double round trip included. Map-only, full "
+        "codegen, no Python: at 100 TB this is the shape of a line-protocol "
+        "ingest scan."
+    ),
+    tags=("timeseries", "influx", "source", "roundtrip"),
+)
+def q_line_protocol_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.line_protocol import from_line_protocol
+    from ..streaming.influx import to_line_protocol
+
+    events = load(spark, sf_dir, "events")
+    lines = events.select(
+        to_line_protocol("events", ts="ts", value="value", key="event_type").alias(
+            "value"
+        )
+    )
+    parsed = from_line_protocol(lines)
+    return parsed.where("valid").select(
+        F.element_at("tags", "key").alias("event_type"),
+        F.unix_millis("ts").alias("ts_ms"),
+        F.element_at("fields", "value").alias("value"),
+    )
