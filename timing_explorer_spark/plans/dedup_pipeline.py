@@ -549,3 +549,30 @@ def q_neardup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_clusters"),
         (F.count(F.lit(1)) * (F.col("cluster_size") - 1)).alias("docs_removable"),
     )
+
+
+@register(
+    "q_leakage_safe_split",
+    oracle=None,  # components are iterative — rows-only; contract pinned in pytest
+    doc=(
+        "Leakage-safe train/val/test split (operators/splits.py): the "
+        "atomic unit of assignment is the near-dup CONNECTED COMPONENT "
+        "(jaccard 0.8 pairs -> min-label components), so a document and "
+        "all its near-copies land in the same split by construction — the "
+        "eval-contamination guard of the dedup literature (Lee et al. "
+        "2022's overlap protocol). Assignment is one deterministic hash of "
+        "the cluster rep cut by cumulative fractions (90/5/5): no extra "
+        "shuffle beyond broadcasting the (small) component table onto the "
+        "corpus. Output: per-split doc/unit counts plus the PROOF column "
+        "cross_split_pairs — near-dup pairs straddling splits — which is 0 "
+        "by construction."
+    ),
+    tags=("dedup", "split", "llm-pipeline"),
+)
+def q_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.splits import cluster_safe_split, split_report
+
+    docs = load(spark, sf_dir, "documents")
+    pairs = track_cache(jaccard_pairs(docs, threshold=0.8, n=3), materialize=True)
+    split_docs = track_cache(cluster_safe_split(docs, pairs), materialize=True)
+    return split_report(split_docs, pairs).orderBy("split")
