@@ -102,3 +102,65 @@ def test_read_text_files_batch_and_stream_schema(spark, tmp_path):
     assert [f.name for f in stream_df.schema.fields] == [
         "line", "measurement", "tags", "fields", "ts", "valid",
     ]
+
+
+def test_fuzz_roundtrip_generated_lines(spark):
+    """Property: any point built from the grammar's alphabet — tags with
+    spaces/commas/equals needing escapes, float/int/bool fields, optional
+    ms timestamp — encodes (reference encoder below, independent of the
+    JVM one) and parses back exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    name = st.text(
+        alphabet="abcdefghijklmnopqrstuvwxyz_0123456789", min_size=1, max_size=8
+    )
+    tagval = st.text(
+        alphabet="abc XY,=z-", min_size=1, max_size=10
+    ).filter(lambda s: not s.startswith(" ") and not s.endswith("\\"))
+    fieldval = st.one_of(
+        st.floats(allow_nan=False, allow_infinity=False, width=32),
+        st.integers(min_value=-10**12, max_value=10**12),
+        st.booleans(),
+    )
+
+    def esc(s: str) -> str:
+        return s.replace(",", "\\,").replace(" ", "\\ ").replace("=", "\\=")
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        measurement=name,
+        tags=st.dictionaries(name, tagval, max_size=3),
+        fields=st.dictionaries(name, fieldval, min_size=1, max_size=3),
+        ts=st.one_of(st.none(), st.integers(min_value=0, max_value=2**40)),
+    )
+    def prop(measurement, tags, fields, ts):
+        parts = [
+            esc(measurement)
+            + "".join(f",{esc(k)}={esc(v)}" for k, v in sorted(tags.items()))
+        ]
+        fstrs, want_fields = [], {}
+        for k, v in sorted(fields.items()):
+            if isinstance(v, bool):
+                fstrs.append(f"{k}={'true' if v else 'false'}")
+                want_fields[k] = 1.0 if v else 0.0
+            elif isinstance(v, int):
+                fstrs.append(f"{k}={v}i")
+                want_fields[k] = float(v)
+            else:
+                fstrs.append(f"{k}={v!r}")
+                want_fields[k] = float(v)
+        parts.append(",".join(fstrs))
+        if ts is not None:
+            parts.append(str(ts))
+        (r,) = _parse(spark, [" ".join(parts)])
+        assert r["valid"], r["line"]
+        assert r["measurement"] == measurement
+        assert r["tags"] == tags
+        assert r["fields"] == want_fields
+        if ts is None:
+            assert r["ts"] is None
+        else:
+            assert int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000) == ts
+
+    prop()
