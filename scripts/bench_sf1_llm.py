@@ -36,8 +36,6 @@ from make_sf1 import make_sf1  # noqa: E402
 OPS = (
     "q_jaccard_neardup_pairs",
     "q_minhash_lsh_neardup",
-    "q_neardup_components",
-    "q_bpe_merge_table",
     "q_sequence_packing",
     # similarity over the 20k near-duplicate-tiled embeddings (make_sf1
     # EMB_PERTURB): brute-force baseline + the LSH scale path
@@ -48,6 +46,31 @@ OPS = (
     # near-duplicate vectors (within-cluster pairs only)
     "q_dsir_importance_weights",
     "q_semdedup_pairs",
+)
+
+# Training-style queries do their distributed work EAGERLY inside build()
+# (EM / GD loops that collect per-round artifacts); for these, every timed
+# run is a full rebuild — the honest cost of the op — rather than a replay
+# of a one-row summary plan.
+EAGER_OPS = (
+    # these three MATERIALIZE inside build() (iterative loops / persisted
+    # pair tables), so df-replay timing would understate them — earlier
+    # BENCH_sf1 snapshots listed components/BPE under the replay loop and
+    # read 0.3-1.2 s; the rebuild numbers here are the honest cost
+    "q_neardup_components",
+    "q_bpe_merge_table",
+    # leakage-safe component splits over the x10-duplicated 50k corpus
+    # (jaccard pairs + components + split + report, all paid per run)
+    "q_leakage_safe_split",
+    # unigram-LM EM at 50k docs: the bounded-histogram claim measured (the
+    # tiled corpus has the same distinct-word grain as sf0.1 by design)
+    "q_unigram_lm_vocab",
+    # CCNet scoring: train on the reference slice, perplexity-score all 50k
+    "q_ccnet_perplexity_buckets",
+    # relational logistic regression: 8 GD iterations over 50k-doc features
+    "q_quality_classifier_train",
+    # PCA sufficient-statistics fit over the 20k x 64 embeddings
+    "q_embedding_pca_variance",
 )
 UI_PORT = 4058
 MAX_OVER_MEDIAN = 4.0
@@ -115,6 +138,37 @@ def main() -> int:
 
     results: dict[str, dict] = {}
     violations: list[dict] = []
+
+    for name in EAGER_OPS:
+        release_cached()
+        spec = specs[name]
+        seen_stages = {(s["stageId"], s["attemptId"]) for s in _completed_stages(app)}
+        shuffle_before = sum(s["shuffleWriteBytes"] for s in _completed_stages(app))
+        runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            spec.build(spark, sf_dir).write.mode("overwrite").format("noop").save()
+            runs.append(time.monotonic() - t0)
+            release_cached()
+        stages = _completed_stages(app)
+        shuffle_after = sum(s["shuffleWriteBytes"] for s in stages)
+        new_stages = [
+            s for s in stages if (s["stageId"], s["attemptId"]) not in seen_stages
+        ]
+        skews = [k for s in new_stages if (k := _stage_task_skew(app, s))]
+        worst = max(skews, key=lambda k: k["ratio"], default=None)
+        for k in skews:
+            if k["ratio"] > MAX_OVER_MEDIAN:
+                violations.append({"op": name, **k})
+        results[name] = {
+            "cold_sec": round(runs[0], 3),
+            "warm_sec": round(min(runs[1:]), 3),
+            "shuffle_write_bytes": int((shuffle_after - shuffle_before) // 3),
+            "stages_profiled": len(skews),
+            "worst_task_skew": worst,
+            "timing": "full rebuild per run (eager training op)",
+        }
+
     for name in OPS:
         release_cached()  # each op pays its own materialized intermediates
         spec = specs[name]
