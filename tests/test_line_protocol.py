@@ -164,3 +164,41 @@ def test_fuzz_roundtrip_generated_lines(spark):
             assert int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000) == ts
 
     prop()
+
+
+def test_ingest_topology_fanout(spark, tmp_path):
+    import time as _t
+
+    indir = str(tmp_path / "in")
+    good1 = ["cpu,host=a usage=0.5 1704067200000", "cpu,host=b usage=0.7 1704067201000"]
+    bad1 = ["totally broken", "cpu usage=NaNish 5"]
+    spark.createDataFrame([(s,) for s in good1 + bad1], "value string").coalesce(
+        1
+    ).write.mode("append").text(indir)
+    _t.sleep(1.1)
+    good2 = ["mem free=12i 1704067202000"]
+    spark.createDataFrame([(s,) for s in good2], "value string").coalesce(1).write.mode(
+        "append"
+    ).text(indir)
+
+    from timing_explorer_spark.sources.line_protocol import line_protocol_ingest
+
+    q = line_protocol_ingest(
+        spark,
+        indir,
+        str(tmp_path / "points"),
+        str(tmp_path / "quarantine"),
+        str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination()
+
+    points = spark.read.parquet(str(tmp_path / "points")).collect()
+    assert len(points) == 3  # conservation: every valid line landed
+    by_m = {}
+    for r in points:
+        by_m.setdefault(r["measurement"], []).append(r)
+    assert len(by_m["cpu"]) == 2 and len(by_m["mem"]) == 1
+    assert by_m["mem"][0]["fields"] == {"free": 12.0}
+
+    bad = {r["value"] for r in spark.read.text(str(tmp_path / "quarantine")).collect()}
+    assert bad == set(bad1)  # raw lines preserved for replay after a fix

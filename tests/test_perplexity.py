@@ -105,3 +105,39 @@ def test_registered_query_on_fixture(spark, sf_smoke):
             assert x["ppl_min"] <= y["ppl_max"]
         for r in sub:
             assert r["ppl_min"] <= r["ppl_max"] and r["n_tokens"] > 0
+
+
+def test_approx_method_matches_exact_within_tolerance(spark):
+    # 60 docs per lang with distinct ppl values: the sketch at accuracy 1e4
+    # is exact at this size, so bucket assignments must agree except at ties
+    rows = []
+    for lang in ("en", "de"):
+        for k in range(60):
+            rows.append(("alpha " * (k + 1) + "zz " * (60 - k), lang))
+    docs = _docs(spark, rows)
+    # fixed single-piece vocab: ppl is a deterministic function of the mix
+    vocab = {c: math.log(1.0 / 26) for c in "abcdefghijklmnopqrstuvwxyz"}
+    exact = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(docs, vocab, 1, n_buckets=3, method="exact").collect()
+    }
+    approx = {
+        r["doc_id"]: r["bucket"]
+        for r in ccnet_buckets(docs, vocab, 1, n_buckets=3, method="approx").collect()
+    }
+    assert set(exact) == set(approx)
+    diffs = [d for d in exact if exact[d] != approx[d]]
+    # boundary docs may fall either side of a sketch cutpoint; the bulk agree
+    assert len(diffs) <= 6, diffs
+    for d in diffs:
+        assert abs(exact[d] - approx[d]) == 1  # never off by more than one band
+
+
+def test_bad_method_rejected(spark):
+    docs = _docs(spark, [("a", "en")])
+    try:
+        ccnet_buckets(docs, {"a": -0.1}, 1, method="nope").collect()
+    except ValueError as e:
+        assert "method" in str(e)
+    else:
+        raise AssertionError("bad method accepted")

@@ -251,6 +251,7 @@ def ccnet_buckets(
     id_col: str = "doc_id",
     lang_col: str = "lang",
     n_buckets: int = 3,
+    method: str = "exact",
 ) -> DataFrame:
     """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
     Extracting High Quality Monolingual Datasets from Web Crawl Data"): score
@@ -262,22 +263,43 @@ def ccnet_buckets(
     the LM family is pluggable). Returns one row per document:
     (doc_id, lang, n_tokens, ppl, bucket 1..n_buckets).
 
-    The per-language ntile is a window over (lang) — bounded partitions only
-    when languages are few and docs many; for the 100 TB path the same split
-    comes from approx quantile cutpoints per lang (computed map-side) joined
-    back, avoiding the full sort. Both produce the head/middle/tail contract;
-    ntile is exact and is what the tests pin."""
-    from pyspark.sql import Window
-
+    ``method="exact"``: per-language ntile — a window partitioned by lang,
+    so each language's documents flow through ONE task's sort. Exact
+    equal-frequency split; right up to ~10⁸ docs per language.
+    ``method="approx"``: the 100 TB path — per-lang approx_percentile
+    cutpoints (map-side sketch, one tiny groupBy) broadcast-joined back and
+    compared; no per-lang sort ever happens, bucket sizes are equal only to
+    sketch accuracy (1e-4 relative error). Same head/middle/tail contract;
+    the two methods' boundaries agree within sketch tolerance (tested)."""
     ppl = doc_perplexity(docs, vocab, max_piece_len, text_col=text_col, id_col=id_col)
     scored = docs.select(id_col, lang_col).join(ppl, on=id_col)
-    w = Window.partitionBy(lang_col).orderBy(F.asc("ppl"), F.asc(id_col))
-    return scored.select(
-        id_col,
-        lang_col,
-        "n_tokens",
-        "ppl",
-        F.ntile(n_buckets).over(w).alias("bucket"),
+    if method == "exact":
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(lang_col).orderBy(F.asc("ppl"), F.asc(id_col))
+        return scored.select(
+            id_col,
+            lang_col,
+            "n_tokens",
+            "ppl",
+            F.ntile(n_buckets).over(w).alias("bucket"),
+        )
+    if method != "approx":
+        raise ValueError(f"ccnet_buckets: unknown method {method!r}")
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = scored.groupBy(lang_col).agg(
+        F.percentile_approx("ppl", probs, 10000).alias("cuts")
+    )
+    joined = scored.join(F.broadcast(cuts), on=lang_col)
+    # bucket = 1 + #cutpoints strictly below ppl (ties fall left, matching
+    # the exact method's ordering by (ppl, id) closely enough for the sketch)
+    bucket = F.lit(1) + F.aggregate(
+        F.col("cuts"),
+        F.lit(0),
+        lambda acc, c: acc + F.when(F.col("ppl") > c, 1).otherwise(0),
+    )
+    return joined.select(
+        id_col, lang_col, "n_tokens", "ppl", bucket.cast("int").alias("bucket")
     )
 
 

@@ -150,3 +150,48 @@ def read_line_protocol(
     points. ``streaming=True`` returns a readStream for ingest topologies."""
     src = spark.readStream if streaming else spark.read
     return from_line_protocol(src.text(path), "value", precision=precision)
+
+
+def line_protocol_ingest(
+    spark,
+    in_dir: str,
+    points_dir: str,
+    quarantine_dir: str,
+    checkpoint_dir: str,
+    precision: str = "ms",
+    max_files_per_trigger: int | None = 1,
+):
+    """End-to-end ingest topology: readStream.text over line-protocol files →
+    parse → fan out VALID points (flattened: measurement, tags, fields, ts)
+    to ``points_dir`` and malformed raw lines to ``quarantine_dir`` — the
+    count-and-route policy at scale, in ONE foreachBatch so a micro-batch's
+    two writes land together and replays stay idempotent (batch-id paths,
+    overwrite). Returns the started StreamingQuery (AvailableNow trigger)."""
+    reader = spark.readStream.format("text")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    parsed = from_line_protocol(reader.load(in_dir), "value", precision=precision)
+
+    def fn(batch_df, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            (
+                batch_df.where("valid")
+                .select("measurement", "tags", "fields", "ts")
+                .write.mode("overwrite")
+                .parquet(f"{points_dir}/batch_id={batch_id}")
+            )
+            bad = batch_df.where(~F.col("valid")).select("line")
+            if bad.limit(1).count():
+                bad.write.mode("overwrite").text(
+                    f"{quarantine_dir}/batch_id={batch_id}"
+                )
+        finally:
+            batch_df.unpersist()
+
+    return (
+        parsed.writeStream.foreachBatch(fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
