@@ -91,3 +91,37 @@ def test_registered_query_on_fixture(spark, sf_smoke):
     assert r["loss_last"] < r["loss_first"]  # the bias alone beats ln 2
     assert 0.0 < r["auc"] <= 1.0
     assert r["n_features"] <= 33  # 32 hash buckets + bias
+
+
+def test_gradient_matches_finite_differences(spark):
+    """The distributed decimal-exact gradient equals the numeric gradient of
+    the NLL computed in pure Python on the same tiny dataset."""
+    import math
+
+    feats_rows = [
+        (0, -1, 1.0), (0, 0, 0.5), (0, 1, 0.5),
+        (1, -1, 1.0), (1, 0, 1.0),
+        (2, -1, 1.0), (2, 1, 1.0),
+    ]
+    ys = {0: 1.0, 1: 0.0, 2: 1.0}
+    feats = spark.createDataFrame(feats_rows, "_doc bigint, bucket int, x double")
+    labels = spark.createDataFrame(list(ys.items()), "_doc bigint, y double")
+
+    def py_loss(w):
+        total = 0.0
+        for d, y in ys.items():
+            m = sum(x * w[b] for dd, b, x in feats_rows if dd == d)
+            total += math.log1p(math.exp(-abs(m))) + max(0.0, -(2 * y - 1) * m)
+        return total / len(ys)
+
+    # one GD step from w=0 with lr and no L2: w1 = lr * grad_ascent
+    weights, losses = logreg_train(feats, labels, n_iters=1, lr=1.0, l2=0.0)
+    eps = 1e-6
+    w0 = {b: 0.0 for b in (-1, 0, 1)}
+    for b in w0:
+        hi = dict(w0); hi[b] = eps
+        lo = dict(w0); lo[b] = -eps
+        numeric = (py_loss(hi) - py_loss(lo)) / (2 * eps)  # dNLL/dw
+        # engine ascends (y - sigma): step = -dNLL/dw
+        assert abs(weights[b] - (-numeric)) < 1e-6, (b, weights[b], -numeric)
+    assert abs(losses[0] - py_loss(w0)) < 1e-12

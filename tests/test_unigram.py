@@ -115,3 +115,54 @@ def test_registered_queries_run_on_fixture(spark, sf_smoke):
     for r in s:
         assert r["n_tokens"] >= r["n_words"]  # a word is >= 1 piece
         assert r["chars_per_token"] > 1.0  # compresses beyond chars
+
+
+def test_viterbi_matches_bruteforce_enumeration(spark):
+    """Property: the distributed DP's best segmentation logp equals the max
+    over ALL segmentations enumerated in pure Python."""
+    import itertools
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def all_segmentations(word, max_len):
+        if not word:
+            yield []
+            return
+        for l in range(1, min(max_len, len(word)) + 1):
+            for rest in all_segmentations(word[l:], max_len):
+                yield [word[:l]] + rest
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        word=st.text(alphabet="abc", min_size=1, max_size=6),
+        probs=st.lists(
+            st.floats(min_value=0.01, max_value=1.0), min_size=7, max_size=7
+        ),
+    )
+    def prop(word, probs):
+        pieces = ["a", "b", "c", "ab", "bc", "ca", "abc"]
+        vocab = {p: math.log(q) for p, q in zip(pieces, probs)}
+        words = spark.createDataFrame([(word, 1)], "word string, cnt bigint")
+        (r,) = viterbi_segment(words, vocab, max_piece_len=3).collect()
+
+        def seg_logp(seg):
+            total = 0.0
+            for p in seg:
+                if p in vocab:
+                    total += vocab[p]
+                elif len(p) == 1:
+                    total += -20.0  # _UNK_PENALTY
+                else:
+                    return None
+            return total
+
+        best = max(
+            (lp for s in all_segmentations(word, 3) if (lp := seg_logp(s)) is not None),
+            default=None,
+        )
+        assert best is not None
+        assert abs(r["logp"] - best) < 1e-9
+        assert "".join(r["pieces"]) == word
+
+    prop()
