@@ -156,3 +156,68 @@ def test_join_state_is_bounded_by_watermark(spark, tmp_path):
     # final micro-batch: the 80 early rows are gone; only the handful of
     # watermark-advancer rows may remain buffered
     assert state_rows[-1] <= 8, state_rows
+
+
+def test_join_kill_restart_exactly_once(spark, tmp_path):
+    """Chaos soak for the stream-stream join: a live (ProcessingTime) run is
+    killed mid-stream on the same checkpoint several times; after the final
+    drain the joined output must equal the batch interval join over the full
+    inputs EXACTLY — join state, source offsets, and the idempotent sink all
+    recover with nothing lost and nothing doubled."""
+    import time as _t
+
+    from timing_explorer_spark.streaming.pipeline import write_generator_files
+
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    outdir, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    # 2000 events per key at 100 ms -> 200 s of data, 10 files per side
+    write_generator_files(spark, ldir, n_events=2000, files=10)
+    write_generator_files(spark, rdir, n_events=2000, files=10)
+
+    def start(trigger_kwargs):
+        l = sensor_stream_from_files(spark, ldir, max_files_per_trigger=1)
+        r = sensor_stream_from_files(spark, rdir, max_files_per_trigger=1)
+        out = interval_join_streams(
+            l, r, lower="0 seconds", upper="0.2 seconds", watermark="2 seconds"
+        )
+        return (
+            out.writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    for cycle in range(3):
+        q = start({"processingTime": "50 milliseconds"})
+        deadline = _t.monotonic() + 0.8 + 0.3 * cycle
+        while _t.monotonic() < deadline:
+            _t.sleep(0.05)
+        q.stop()
+        q.awaitTermination()
+
+    q = start({"availableNow": True})  # final drain on the same checkpoint
+    q.awaitTermination()
+
+    got = spark.read.parquet(outdir)
+    # no duplicated output row (each (key, left_ts, right_ts) is unique)
+    dups = (
+        got.groupBy("key", "left_ts", "right_ts")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert dups == 0
+    want = interval_join_batch(
+        spark.read.parquet(ldir),
+        spark.read.parquet(rdir),
+        lower="0 seconds",
+        upper="0.2 seconds",
+    )
+    got_set = {tuple(r) for r in got.collect()}
+    want_set = {tuple(r) for r in want.collect()}
+    assert got_set == want_set, (
+        len(got_set - want_set),
+        len(want_set - got_set),
+    )
