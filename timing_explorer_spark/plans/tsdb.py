@@ -1204,3 +1204,49 @@ def q_line_protocol_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_millis("ts").alias("ts_ms"),
         F.element_at("fields", "value").alias("value"),
     )
+
+
+@register(
+    "q_line_protocol_quarantine",
+    oracle="""
+        SELECT event_type,
+               COUNT(*) FILTER (WHERE event_id % 7 <> 0) AS n_valid,
+               COUNT(*) FILTER (WHERE event_id % 7 = 0)  AS n_quarantined
+        FROM events
+        GROUP BY event_type
+    """,
+    doc=(
+        "The malformed-line quarantine contract, oracle-checked: every "
+        "event is encoded as line protocol, then a deterministic subset "
+        "(event_id % 7 == 0) is corrupted (field value replaced with a "
+        "non-numeric token); the parser must route EXACTLY the corrupted "
+        "lines to valid=false — nothing dropped, nothing leaked — so "
+        "per-type (n_valid, n_quarantined) match the arithmetic oracle. "
+        "This is the count-and-route ingest policy proven row-exact; the "
+        "same parse runs in the streaming ingest topology "
+        "(sources/line_protocol.py::line_protocol_ingest)."
+    ),
+    tags=("timeseries", "influx", "source", "quarantine"),
+)
+def q_line_protocol_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.line_protocol import from_line_protocol
+    from ..streaming.influx import to_line_protocol
+
+    events = load(spark, sf_dir, "events")
+    line = to_line_protocol("events", ts="ts", value="value", key="event_type")
+    corrupted = F.when(
+        F.col("event_id") % 7 == 0,
+        F.concat(F.lit("events,key="), F.col("event_type"), F.lit(" value=oops ")),
+    ).otherwise(line)
+    parsed = from_line_protocol(events.select(corrupted.alias("value")), "value")
+    # group by the tag as carried in the RAW preserved line (works for both
+    # valid and quarantined rows; event_type values contain no escapes)
+    et = F.regexp_extract("line", r"^events,key=([^ ]+) ", 1)
+    return (
+        parsed.select(et.alias("event_type"), "valid")
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("valid"), 1).otherwise(0)).alias("n_valid"),
+            F.sum(F.when(F.col("valid"), 0).otherwise(1)).alias("n_quarantined"),
+        )
+    )
