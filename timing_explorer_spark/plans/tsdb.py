@@ -1250,3 +1250,56 @@ def q_line_protocol_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("valid"), 0).otherwise(1)).alias("n_quarantined"),
         )
     )
+
+
+@register(
+    "q_rollup_mergeability",
+    oracle="""
+        SELECT event_type,
+               time_bucket(INTERVAL 1 minute, ts) AS minute,
+               COUNT(*)                           AS n,
+               SUM(value)                         AS sum_value,
+               MIN(value)                         AS min_value,
+               MAX(value)                         AS max_value,
+               SUM(value) / COUNT(*)              AS avg_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc=(
+        "Tiered-rollup MERGEABILITY, proven by the hash gate: the Spark "
+        "side first materializes 1-SECOND partial aggregates (count, sum, "
+        "min, max — the mergeable summaries a continuous aggregate / "
+        "InfluxDB CQ stores), then re-aggregates those partials to the "
+        "1-minute grain; the oracle aggregates raw rows directly to 1 "
+        "minute. The two matching bit-for-bit (sums via decimal so "
+        "re-association is exact) is the correctness contract every "
+        "downsample-and-retain storage tier relies on: at 100 TB you keep "
+        "1s rollups hot and answer any coarser grain from them without "
+        "touching raw — two map-side-combinable shuffles, the second over "
+        "the (tiny) 1s-grain table."
+    ),
+    tags=("timeseries", "rollup", "mergeable", "agg"),
+)
+def q_rollup_mergeability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load(spark, sf_dir, "events")
+    second = events.groupBy(
+        "event_type",
+        F.date_trunc("second", "ts").alias("sec"),
+    ).agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(27,8)")).alias("psum"),
+        F.min("value").alias("pmin"),
+        F.max("value").alias("pmax"),
+    )
+    return (
+        second.groupBy(
+            "event_type", F.date_trunc("minute", "sec").alias("minute")
+        )
+        .agg(
+            F.sum("pn").alias("n"),
+            F.sum("psum").cast("double").alias("sum_value"),
+            F.min("pmin").alias("min_value"),
+            F.max("pmax").alias("max_value"),
+            (F.sum("psum") / F.sum("pn")).cast("double").alias("avg_value"),
+        )
+    )
