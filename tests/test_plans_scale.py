@@ -305,6 +305,8 @@ _SANCTIONED_PYTHON = {
     # real codec decode (multimodal/codecs.py): Arrow-batched mapInPandas,
     # decode-in-place where the bytes live — the sanctioned Python shape
     "q_media_wav_stats",
+    # decode + rFFT where the bytes live (multimodal/binary_ops.wav_spectral)
+    "q_media_spectral",
     "q_media_ppm_stats",
     "q_media_bmp_stats",
     # per-series Nelder-Mead-fitted smoothing over the bounded GROUP BY

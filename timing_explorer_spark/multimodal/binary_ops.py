@@ -386,3 +386,74 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             ).alias("frame_ts_ms"),
         )
     )
+
+
+def wav_spectral(media: DataFrame, on_error: str = "fail") -> DataFrame:
+    """Real DSP feature extraction over decoded audio: per payload, the
+    magnitude spectrum of the (mono) PCM via numpy's rFFT, reduced to the
+    features an audio-curation pipeline filters on —
+
+      dominant_freq_hz   argmax |S(f)| excluding DC (tie → lowest bin)
+      spectral_centroid  Σ f·|S(f)| / Σ |S(f)| over the positive bins
+      dc_fraction        |S(0)| / Σ |S(f)| (silence / offset detector)
+      total_power        Σ s² (time domain; equals spectrum power by
+                         Parseval — the identity the tests pin)
+
+    Arrow-batched mapInPandas like the other decoders: the FFT runs where
+    the bytes live, nothing shuffles, output is O(1) per payload. Closed-form
+    pinned in tests with synthesized pure tones (dominant bin == the tone,
+    centroid == the tone for a single component, Parseval to 1e-6 rel).
+    ``on_error='skip'`` gives the same quarantine contract as wav_stats."""
+    if on_error not in ("fail", "skip"):
+        raise ValueError("on_error must be 'fail' or 'skip'")
+
+    def feats(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .codecs import decode_wav_bytes
+
+        cols = (
+            "sample_rate", "n_samples", "dominant_freq_hz",
+            "spectral_centroid_hz", "dc_fraction", "total_power",
+        )
+        for b in batches:
+            out = {"media_id": b["media_id"], **{c: [] for c in cols}, "decode_ok": []}
+            for p in b["payload"]:
+                try:
+                    w = decode_wav_bytes(bytes(p))
+                except (ValueError, NotImplementedError):
+                    if on_error == "fail":
+                        raise
+                    for c in cols:
+                        out[c].append(None)
+                    out["decode_ok"].append(False)
+                    continue
+                s = w.samples[:, 0].astype(np.float64)
+                n = len(s)
+                spec = np.abs(np.fft.rfft(s))
+                freqs = np.fft.rfftfreq(n, d=1.0 / w.sample_rate)
+                mag_sum = float(spec.sum())
+                pos = spec[1:]
+                dom = float(freqs[1 + int(np.argmax(pos))]) if len(pos) else 0.0
+                centroid = (
+                    float((freqs[1:] * pos).sum() / pos.sum()) if pos.sum() > 0 else 0.0
+                )
+                out["sample_rate"].append(w.sample_rate)
+                out["n_samples"].append(n)
+                out["dominant_freq_hz"].append(dom)
+                out["spectral_centroid_hz"].append(centroid)
+                out["dc_fraction"].append(float(spec[0]) / mag_sum if mag_sum else 0.0)
+                out["total_power"].append(float((s * s).sum()))
+                out["decode_ok"].append(True)
+            if on_error == "fail":
+                del out["decode_ok"]
+            yield pd.DataFrame(out)
+
+    schema = (
+        "media_id long, sample_rate int, n_samples long, dominant_freq_hz double, "
+        "spectral_centroid_hz double, dc_fraction double, total_power double"
+    )
+    if on_error == "skip":
+        schema += ", decode_ok boolean"
+    return media.select("media_id", "payload").mapInPandas(feats, schema=schema)

@@ -280,3 +280,25 @@ def q_media_bmp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary_ops import bmp_stats, synthetic_bmp_media
 
     return bmp_stats(synthetic_bmp_media(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "q_media_spectral",
+    oracle=None,  # FFT has no SQL form — closed-form tone pins in pytest
+    doc=(
+        "Real DSP over decoded audio: rFFT magnitude spectrum per WAV "
+        "payload reduced to curation features (dominant frequency, "
+        "spectral centroid, DC fraction, total power) — the "
+        "silence/tone/bandwidth filters an audio-corpus pipeline gates on. "
+        "Arrow-batched decode+FFT where the bytes live, O(1) output per "
+        "payload, nothing shuffles "
+        "(multimodal/binary_ops.py::wav_spectral). Physics pinned in "
+        "tests/test_spectral.py: synthesized pure tones hit their exact "
+        "bin, centroid equals the tone, Parseval's identity holds."
+    ),
+    tags=("multimodal", "audio", "fft", "pandas-udf"),
+)
+def q_media_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.binary_ops import synthetic_wav_media, wav_spectral
+
+    return wav_spectral(synthetic_wav_media(load(spark, sf_dir, "documents")))
