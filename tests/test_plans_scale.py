@@ -294,6 +294,9 @@ _SANCTIONED_PYTHON = {
     "q_semantic_dedup_keep_best",
     "q_ann_lsh_topk",
     "q_ann_ivf_topk",
+    # same ivf_assign dense-algebra batch scoring (centroid matrix in the
+    # closure), surfaced as a clustering report
+    "q_kmeans_cluster_profile",
     # SemDeDup: ivf_assign's Arrow matmul centroid scoring (the sanctioned
     # dense-algebra shape); the pair stage itself is JVM HOF cosine
     "q_semdedup_pairs",

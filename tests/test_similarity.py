@@ -192,3 +192,17 @@ def test_semdedup_same_seed_deterministic(spark, sf_oracle):
         (r["id_a"], r["id_b"]) for r in semdedup_pairs(emb, 0.45, 4).collect()
     )
     assert a == b
+
+
+def test_kmeans_cluster_profile_invariants(spark, sf_smoke):
+    from timing_explorer_spark.plans import all_queries
+
+    out = all_queries()["q_kmeans_cluster_profile"].build(spark, sf_smoke).collect()
+    assert 1 <= len(out) <= 8
+    assert abs(sum(r["share"] for r in out) - 1.0) < 1e-9
+    for r in out:
+        assert r["size"] > 0
+        assert -1.0 - 1e-9 <= r["mean_cos_to_center"] <= 1.0 + 1e-9
+        assert 0.0 < r["purity"] <= 1.0
+    clusters = [r["cluster"] for r in out]
+    assert clusters == sorted(clusters)

@@ -486,3 +486,68 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("component")
     )
+
+
+@register(
+    "q_kmeans_cluster_profile",
+    oracle=None,  # iterative Lloyd's — rows-only; invariants pinned in pytest
+    doc=(
+        "Corpus clustering report — the embedding-space profile a curation "
+        "run reads before SemDeDup/IVF parameter choices: k-means "
+        "(pyspark.ml, fixed seed) over L2-normalized embeddings, then per "
+        "cluster: size, share of the corpus, mean within-cluster cosine to "
+        "the centroid (tightness), and the dominant label with its purity. "
+        "Assignment + profiling are JVM/Arrow dataflow on ONE corpus pass "
+        "each; the model is O(k x dim) on the driver "
+        "(operators/similarity.py::ivf_train_centroids / ivf_assign). At "
+        "100 TB: train on a sample, assign map-only with the centroid "
+        "matrix in the closure — no shuffle wider than the k-row profile "
+        "aggregation."
+    ),
+    tags=("similarity", "embedding", "clustering", "llm-pipeline"),
+)
+def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine
+    from ..operators.similarity import ivf_assign, ivf_train_centroids
+
+    emb = load(spark, sf_dir, "embeddings")
+    centers = ivf_train_centroids(emb, n_centroids=8, seed=42, max_iter=10)
+    assigned = ivf_assign(emb, centers, "vec_id", "embedding", n_probe=1)
+    labeled = assigned.join(emb.select("vec_id", "label"), on="vec_id")
+    cdf = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+        "bucket int, center array<double>",
+    )
+    per_vec = labeled.join(F.broadcast(cdf), on="bucket").select(
+        "bucket",
+        "label",
+        cosine(F.col("embedding"), F.col("center")).alias("cos_to_center"),
+    )
+    total = per_vec.count()
+    label_counts = per_vec.groupBy("bucket", "label").agg(
+        F.count(F.lit(1)).alias("n_label")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("bucket").orderBy(F.desc("n_label"), F.asc("label"))
+    dominant = (
+        label_counts.withColumn("rk", F.row_number().over(w))
+        .where("rk = 1")
+        .select("bucket", F.col("label").alias("dominant_label"), "n_label")
+    )
+    prof = per_vec.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("size"),
+        F.avg("cos_to_center").alias("mean_cos_to_center"),
+    )
+    return (
+        prof.join(dominant, on="bucket")
+        .select(
+            F.col("bucket").alias("cluster"),
+            "size",
+            (F.col("size").cast("double") / F.lit(float(total))).alias("share"),
+            "mean_cos_to_center",
+            "dominant_label",
+            (F.col("n_label").cast("double") / F.col("size")).alias("purity"),
+        )
+        .orderBy("cluster")
+    )
