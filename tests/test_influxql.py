@@ -923,6 +923,81 @@ def test_top_with_tag_series(spark):
     }
 
 
+def test_top_limit_is_per_series_when_tag_grouped(spark):
+    """LIMIT with a tag in GROUP BY pages points PER SERIES for selectors
+    too (ADVICE r5: _top_bottom applied it globally — one LIMIT clause, two
+    semantics depending on projection type)."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "a", 1.0),
+            ("2024-01-01 00:00:01", "a", 5.0),
+            ("2024-01-01 00:00:02", "a", 3.0),
+            ("2024-01-01 00:00:03", "b", 9.0),
+            ("2024-01-01 00:00:04", "b", 2.0),
+            ("2024-01-01 00:00:05", "b", 7.0),
+        ],
+        ["ts", "key", "value"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "key", "value")
+    rows = influxql(
+        'SELECT top("value", 2) FROM "m" '
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:01:00' "
+        'GROUP BY "key" ORDER BY time ASC LIMIT 1',
+        {"m": df},
+    ).collect()
+    # top-2 per series = {a:5,3  b:9,7}; LIMIT 1 keeps the FIRST point in
+    # time order of EACH series, not one global row
+    assert {(r["key"], r["top"]) for r in rows} == {("a", 5.0), ("b", 9.0)}
+
+
+def test_distinct_limit_is_per_series_when_tag_grouped(spark):
+    """distinct(field) + GROUP BY tag + LIMIT N: N distinct values PER
+    series (deterministic: value-ordered tiebreak at the shared epoch-0
+    timestamp)."""
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:00", "a", 3.0),
+            ("2024-01-01 00:00:01", "a", 1.0),
+            ("2024-01-01 00:00:02", "a", 3.0),
+            ("2024-01-01 00:00:03", "b", 8.0),
+            ("2024-01-01 00:00:04", "b", 6.0),
+        ],
+        ["ts", "key", "value"],
+    ).select(F.col("ts").cast("timestamp").alias("ts"), "key", "value")
+    rows = influxql(
+        'SELECT distinct("value") FROM "m" '
+        "WHERE time >= '2024-01-01 00:00:00' AND time <= '2024-01-01 00:01:00' "
+        'GROUP BY "key" LIMIT 1',
+        {"m": df},
+    ).collect()
+    assert {(r["key"], r["distinct"]) for r in rows} == {("a", 1.0), ("b", 6.0)}
+
+
+def test_live_now_is_timezone_independent(spark):
+    """A LIVE now() (no injected instant) must denote the current INSTANT
+    regardless of the session timezone (ADVICE r5: the naive UTC wall-clock
+    string was re-interpreted in the session zone, shifting the boundary by
+    the offset — hours of data vanish in America/New_York)."""
+    import datetime as dt
+
+    now_utc = dt.datetime.now(dt.timezone.utc)
+    df = spark.createDataFrame(
+        [
+            (now_utc - dt.timedelta(minutes=30), 1.0),  # inside now()-1h
+            (now_utc - dt.timedelta(hours=2), 2.0),     # outside
+        ],
+        ["ts", "value"],
+    )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        rows = influxql(
+            'SELECT "value" FROM "m" WHERE time >= now() - 1h', {"m": df}
+        ).collect()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
+    assert [r["value"] for r in rows] == [1.0]
+
+
 # ---- pagination (LIMIT/OFFSET points, SLIMIT/SOFFSET series) & bucket offset
 
 

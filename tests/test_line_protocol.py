@@ -60,6 +60,7 @@ def test_malformed_lines_quarantined(spark):
             'm s="str" 1',           # string field: out of scope
             "m v=1 notatimestamp",   # bad ts
             "m,k= v=1",              # empty tag value
+            "m =5 123",              # empty FIELD key (ADVICE r5)
             "m v=2 5 extra",         # 4 sections
         ],
     )

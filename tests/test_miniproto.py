@@ -175,8 +175,26 @@ def test_unset_submessage_view_is_frozen():
     frozen = sm.StateRequest().statefulProcessorCall
     for fname, fd in frozen.DESCRIPTOR.fields_by_name.items():
         if fd.repeated:
-            with pytest.raises(AttributeError, match="unset submessage"):
-                getattr(frozen, fname).append(b"x")
+            # EVERY list mutator must fail loudly on a frozen view, not just
+            # append/extend (ADVICE r5: insert/__setitem__/__iadd__/remove/...
+            # would otherwise mutate silently and the change is discarded)
+            c = getattr(frozen, fname)
+            for mutate in (
+                lambda: c.append(b"x"),
+                lambda: c.extend([b"x"]),
+                lambda: c.insert(0, b"x"),
+                lambda: c.__setitem__(0, b"x"),
+                lambda: c.__delitem__(0),
+                lambda: c.__iadd__([b"x"]),
+                lambda: c.remove(b"x"),
+                lambda: c.clear(),
+                lambda: c.pop(),
+                lambda: c.sort(),
+                lambda: c.reverse(),
+            ):
+                with pytest.raises(AttributeError, match="unset submessage"):
+                    mutate()
+            assert list(c) == []  # nothing leaked through
             break
     # the supported construct-and-assign path still works
     req.statefulProcessorCall = sm.StatefulProcessorCall(

@@ -68,3 +68,21 @@ def test_prometheus_endpoint_serves_streaming_gauges():
     )
     assert out.returncode == 0, f"stdout={out.stdout[-2000:]}\nstderr={out.stderr[-2000:]}"
     assert "PROM-OK" in out.stdout
+
+
+def test_nearest_rank_percentile():
+    """Sink lag percentiles use nearest-rank (ceil(p*n)-1): p50 of 2 samples
+    is the FIRST sample, not the max (ADVICE r5: int(p*n) sat one rank high)."""
+    from timing_explorer_spark.streaming.metrics import nearest_rank
+
+    assert nearest_rank([], 0.5) is None
+    assert nearest_rank([7.0], 0.5) == 7.0
+    assert nearest_rank([1.0, 9.0], 0.50) == 1.0          # was 9.0 pre-fix
+    assert nearest_rank([1.0, 9.0], 0.95) == 9.0
+    assert nearest_rank([1.0, 2.0, 3.0, 4.0], 0.50) == 2.0
+    assert nearest_rank([1.0, 2.0, 3.0, 4.0], 0.75) == 3.0
+    assert nearest_rank([1.0, 2.0, 3.0, 4.0], 0.99) == 4.0
+    # n=100: p50 -> rank 50 (1-based) = index 49
+    vals = [float(i) for i in range(100)]
+    assert nearest_rank(vals, 0.50) == 49.0
+    assert nearest_rank(vals, 0.95) == 94.0

@@ -160,13 +160,19 @@ def _resolve_time_expr(expr: str, now) -> str:
     Grafana's $timeFilter really renders), and now() — each optionally
     followed by ±duration arithmetic (now() - 90s, '2024-01-02' + 6h).
     ``now`` is the injection point for determinism (tests pass a fixed
-    instant; default is the wall clock)."""
+    instant; default is the wall clock). A LIVE now() (``now is None``)
+    renders with an explicit 'Z' zone designator: the result is later
+    ``cast('timestamp')``, which interprets a naive string in the SESSION
+    timezone — a live UTC wall-clock string in a non-UTC session would
+    shift the boundary by the zone offset. Injected instants stay naive
+    (they are session-relative by contract, matching the oracle)."""
     import datetime as _dt
 
     s = expr.strip()
     mt = _RX_TIME_TERM.match(s)
     if not mt:
         raise ValueError(f"unsupported time operand: {expr!r}")
+    utc_instant = False
     if mt.group("iso"):
         base = _dt.datetime.fromisoformat(mt.group("iso"))
     elif mt.group("epoch") is not None:
@@ -176,6 +182,7 @@ def _resolve_time_expr(expr: str, now) -> str:
     else:
         if now is None:
             base = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+            utc_instant = True
         elif isinstance(now, str):
             base = _dt.datetime.fromisoformat(now)
         else:
@@ -189,7 +196,8 @@ def _resolve_time_expr(expr: str, now) -> str:
         delta = _dt.timedelta(microseconds=_dur_to_us(int(ma.group("n")), ma.group("u")))
         base = base + delta if ma.group("sign") == "+" else base - delta
         pos = ma.end()
-    return base.strftime("%Y-%m-%d %H:%M:%S.%f") if base.microsecond else base.strftime("%Y-%m-%d %H:%M:%S")
+    out = base.strftime("%Y-%m-%d %H:%M:%S.%f") if base.microsecond else base.strftime("%Y-%m-%d %H:%M:%S")
+    return out + "Z" if utc_instant else out
 _RX_BUCKET = re.compile(
     r'^time\((?P<n>\d+)(?P<u>[smhd])'
     r'(?:\s*,\s*(?P<off>-?\d+)(?P<offu>[smhd]))?\)'
@@ -661,6 +669,7 @@ def _top_bottom(df: DataFrame, m: re.Match, mtb: re.Match, time_col: str) -> Dat
     sel_time = F.col(time_col).alias("time")
     base = df.where(val.isNotNull())
     if not group:
+        series_tags: list[str] = []
         out = base.orderBy(*order).limit(n).select(sel_time, val.alias(fn))
     elif group.lower().startswith("time("):
         mb = _RX_BUCKET.match(group)
@@ -676,6 +685,7 @@ def _top_bottom(df: DataFrame, m: re.Match, mtb: re.Match, time_col: str) -> Dat
             .where(F.col("__rn") <= n)
             .select(sel_time, *tag_cols, val.alias(fn))
         )
+        series_tags = tag_cols
     else:
         tag_cols = _group_tags(group, df, time_col)
         w = Window.partitionBy(*tag_cols).orderBy(*order)
@@ -684,8 +694,12 @@ def _top_bottom(df: DataFrame, m: re.Match, mtb: re.Match, time_col: str) -> Dat
             .where(F.col("__rn") <= n)
             .select(sel_time, *tag_cols, val.alias(fn))
         )
-    out = out.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
-    return out.limit(int(m.group("limit"))) if m.group("limit") else out
+        series_tags = tag_cols
+    # LIMIT paginates points PER SERIES when a tag appears in GROUP BY (same
+    # semantics as the main aggregate/raw path — _points_limit), global
+    # otherwise; it runs before the cosmetic final orderBy.
+    out = _points_limit(out, m, series_tags, order_dir)
+    return out.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
 
 
 def _elapsed(df: DataFrame, m: re.Match, mel: re.Match, time_col: str) -> DataFrame:
@@ -721,9 +735,11 @@ def _elapsed(df: DataFrame, m: re.Match, mel: re.Match, time_col: str) -> DataFr
         df.where(F.col(field).isNotNull())
         .select(F.col(time_col).alias("time"), delta.alias("elapsed"))
         .where(F.col("elapsed").isNotNull())
-        .orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
     )
-    return out.limit(int(m.group("limit"))) if m.group("limit") else out
+    # no GROUP BY possible here, so _points_limit is the global (time-ordered
+    # TakeOrdered) path — routed through it for one LIMIT semantics everywhere
+    out = _points_limit(out, m, [], order_dir)
+    return out.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
 
 
 def _holt_winters(df: DataFrame, m: re.Match, mhw: re.Match, time_col: str) -> DataFrame:
@@ -809,8 +825,10 @@ def _holt_winters(df: DataFrame, m: re.Match, mhw: re.Match, time_col: str) -> D
             .drop("__g")
         )
     order_dir = (m.group("dir") or "ASC").upper()
-    out = out.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
-    return out.limit(int(m.group("limit"))) if m.group("limit") else out
+    # LIMIT is per-SERIES when the forecast is tag-grouped (consistent with
+    # _points_limit everywhere else), global otherwise
+    out = _points_limit(out, m, tag_cols, order_dir)
+    return out.orderBy(F.col("time").asc() if order_dir == "ASC" else F.col("time").desc())
 
 
 def _distinct(df: DataFrame, m: re.Match, mdi: re.Match, time_col: str) -> DataFrame:
@@ -826,6 +844,7 @@ def _distinct(df: DataFrame, m: re.Match, mdi: re.Match, time_col: str) -> DataF
     order_dir = (m.group("dir") or "ASC").upper()
     group = (m.group("group") or "").strip()
     if not group:
+        series_tags: list[str] = []
         out = df.select(
             F.to_timestamp(F.lit("1970-01-01 00:00:00")).alias("time"),
             F.col(field).alias("distinct"),
@@ -838,6 +857,7 @@ def _distinct(df: DataFrame, m: re.Match, mdi: re.Match, time_col: str) -> DataF
         tag_cols = _group_tags(mb.group("tags"), df, time_col)
         bucket = _bucket_col(time_col, step_us, m.group("tz"), off_us)
         out = df.select(bucket, *tag_cols, F.col(field).alias("distinct")).distinct()
+        series_tags = tag_cols
     else:
         tag_cols = _group_tags(group, df, time_col)
         out = df.select(
@@ -845,11 +865,26 @@ def _distinct(df: DataFrame, m: re.Match, mdi: re.Match, time_col: str) -> DataF
             *tag_cols,
             F.col(field).alias("distinct"),
         ).distinct()
-    out = out.orderBy(
-        F.col("time").asc() if order_dir == "ASC" else F.col("time").desc(),
-        F.col("distinct").asc(),
-    )
-    return out.limit(int(m.group("limit"))) if m.group("limit") else out
+        series_tags = tag_cols
+    torder = F.col("time").asc() if order_dir == "ASC" else F.col("time").desc()
+    # LIMIT paginates per SERIES when tag-grouped (like _points_limit), but
+    # distinct values share their bucket/epoch-0 timestamp, so the tiebreak
+    # must include the value itself to stay deterministic — hence inline
+    # rather than _points_limit (which orders on time alone).
+    if m.group("limit"):
+        n_lim = int(m.group("limit"))
+        if series_tags:
+            from pyspark.sql import Window
+
+            w = Window.partitionBy(*series_tags).orderBy(torder, F.col("distinct").asc())
+            out = (
+                out.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= n_lim)
+                .drop("__rn")
+            )
+        else:
+            out = out.orderBy(torder, F.col("distinct").asc()).limit(n_lim)
+    return out.orderBy(torder, F.col("distinct").asc())
 
 
 def _split_projections(proj: str) -> list[str]:

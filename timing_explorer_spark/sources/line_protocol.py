@@ -107,6 +107,9 @@ def from_line_protocol(
     fields_ok = (F.size(field_parts) >= 1) & F.forall(
         field_parts,
         lambda kv: (F.size(F.split(kv, _EQ)) == 2)
+        # non-empty key, mirroring tags_ok — 'm =5 123' must quarantine, not
+        # parse with an empty-string field key
+        & (F.length(F.element_at(F.split(kv, _EQ), 1)) > 0)
         & (
             F.element_at(F.split(kv, _EQ), 2).rlike(_NUM)
             | F.element_at(F.split(kv, _EQ), 2).rlike(_BOOL)

@@ -139,6 +139,16 @@ def live_rate_windows(
     )
 
 
+def nearest_rank(sorted_vals: list[float], p: float) -> float | None:
+    """Nearest-rank percentile over an already-sorted sample: the value at
+    rank ceil(p*n) (1-based) — p50 of 2 samples is the FIRST, not the max."""
+    import math
+
+    if not sorted_vals:
+        return None
+    return sorted_vals[min(len(sorted_vals) - 1, max(0, math.ceil(p * len(sorted_vals)) - 1))]
+
+
 def measure_event_time_lag(
     spark,
     rows_per_second: int,
@@ -183,9 +193,8 @@ def measure_event_time_lag(
     lags.sort()
 
     def pct(p: float) -> float | None:
-        if not lags:
-            return None
-        return round(lags[min(len(lags) - 1, int(p * len(lags)))], 1)
+        v = nearest_rank(lags, p)
+        return None if v is None else round(v, 1)
 
     return {
         "rows_per_second": rows_per_second,
