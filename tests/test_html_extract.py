@@ -1,0 +1,120 @@
+"""HTML front-end (operators/html_extract.py): strip chain, block features,
+jusText-style classification precision/recall on a hand-labeled page, and
+the end-to-end main-text extraction."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from timing_explorer_spark.operators.html_extract import (
+    classify_blocks,
+    extract_main_text,
+    html_blocks,
+    strip_html,
+    synthesize_html,
+)
+
+PAGE = (
+    "<html><head><title>Fox</title><script>var a = '<p>not text</p>';</script>"
+    "<style>.x{color:red}</style></head><body>"
+    '<div class="nav"><a href="/">Home</a> <a href="/b">Blog</a> <a href="/c">Contact</a></div>'
+    "<h1>The story of a fox</h1>"
+    "<!-- hidden comment -->"
+    "<p>The quick brown fox jumped over the lazy dog and then ran off to the "
+    "forest to find a friend of the family.</p>"
+    "<p>Later that day the fox and the dog sat by the river and watched the "
+    "water flow down to the sea.</p>"
+    "<p>Share this</p>"
+    '<div class="sidebar"><a href="/x">Related</a> <a href="/y">Popular</a></div>'
+    '<div class="footer">&copy; 2024 Example Corp <a href="/tos">Terms</a> '
+    '<a href="/privacy">Privacy</a></div>'
+    "</body></html>"
+)
+# hand labels for the blocks with visible text, in document order:
+#   nav link bar -> boilerplate        h1 (short, good neighbors) -> content
+#   body p1, p2 -> content             "Share this" (short) -> boilerplate
+#   sidebar links -> boilerplate       footer -> boilerplate
+# ("Fox" from <title> survives tag-stripping into the head fragment; it is
+# short with no good neighbor before the nav, so it must classify bad.)
+CONTENT = {"The story of a fox"}
+CONTENT_PREFIXES = ("The quick brown fox", "Later that day")
+
+
+def _page_df(spark):
+    return spark.createDataFrame([(1, PAGE)], "doc_id int, html string")
+
+
+def test_strip_html_chain(spark):
+    df = spark.createDataFrame(
+        [
+            ("<p>a &amp;lt; b</p>", "a &lt; b"),  # &amp; decodes LAST
+            ("<script>x<p>y</p></script>z", "z"),
+            ("<b>bold</b>&nbsp;&quot;q&quot;&#39;s&gt;", 'bold "q"\'s>'),
+            ("<!-- c --><div>ok</div>", "ok"),
+            ("a\n\n  b\tc", "a b c"),
+        ],
+        "html string, want string",
+    )
+    rows = df.select(strip_html(F.col("html")).alias("got"), "want").collect()
+    for r in rows:
+        assert r["got"] == r["want"]
+
+
+def test_html_blocks_features(spark):
+    rows = html_blocks(_page_df(spark)).orderBy("block_idx").collect()
+    by_text = {r["text"]: r for r in rows}
+    nav = by_text["Home Blog Contact"]
+    assert nav["link_density"] == pytest.approx(1.0)
+    h1 = by_text["The story of a fox"]
+    assert h1["link_density"] == 0.0
+    assert h1["stopword_density"] == pytest.approx(3 / 5)  # the, of, a
+    assert h1["n_words"] == 5
+    # script body must NOT appear as a block
+    assert not any("not text" in t for t in by_text)
+
+
+def test_classify_blocks_hand_labels(spark):
+    rows = classify_blocks(html_blocks(_page_df(spark))).collect()
+    got_content = {r["text"] for r in rows if r["cls"] == "good"}
+    want_content = set(CONTENT) | {
+        t for t in (r["text"] for r in rows) if t.startswith(CONTENT_PREFIXES)
+    }
+    # exact agreement with the hand labels = precision and recall both 1.0
+    assert got_content == want_content
+    boiler = {r["text"] for r in rows if r["cls"] == "bad"}
+    assert "Home Blog Contact" in boiler
+    assert "Share this" in boiler
+    assert any(t.startswith("© 2024") for t in boiler)
+
+
+def test_extract_main_text_end_to_end(spark):
+    out = extract_main_text(_page_df(spark)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["n_content_blocks"] == 3  # h1 + two paragraphs
+    assert r["n_boilerplate_blocks"] >= 4
+    lines = r["main_text"].split("\n")
+    assert lines[0] == "The story of a fox"  # document order preserved
+    assert lines[1].startswith("The quick brown fox")
+    assert lines[2].startswith("Later that day")
+    assert "Home" not in r["main_text"]
+    assert "Terms" not in r["main_text"]
+
+
+def test_synthesized_page_recovers_text(spark):
+    docs = spark.createDataFrame(
+        [(7, "the cat sat on the mat and the dog sat on the log near a mat")],
+        "doc_id int, text string",
+    )
+    pages = docs.select(
+        "doc_id", synthesize_html(F.col("text"), F.col("doc_id")).alias("html")
+    )
+    clean = pages.select(strip_html(F.col("html")).alias("c")).collect()[0]["c"]
+    assert "the cat sat on the mat" in clean
+    assert "<" not in clean  # no tags survive (script's '&lt;' died with it)
+    assert "var x" not in clean  # script dropped
+    assert "All & more" in clean  # entity decoded
+    out = extract_main_text(pages).collect()[0]
+    assert "the cat sat on the mat" in out["main_text"]
+    assert "Home" not in out["main_text"]

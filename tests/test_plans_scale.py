@@ -322,6 +322,10 @@ _SANCTIONED_PYTHON = {
     # CCNet perplexity scoring: same bounded dictionary-DP contract as
     # q_unigram_tokenize_stats (operators/unigram.py::doc_perplexity)
     "q_ccnet_perplexity_buckets",
+    # perceptual hashing: Arrow-batched mapInPandas BMP decode + numpy DCT
+    # where the bytes live (multimodal/phash.py) — the sanctioned multimodal
+    # decode shape; the candidate join itself is the JVM pigeonhole join
+    "q_media_phash_neardup",
 }
 
 # Queries whose only nested-loop/cartesian shape is a deliberate 1-row

@@ -350,13 +350,32 @@ def simhash_pairs(
     (measured on the test corpus). Narrower blocks mean more candidate
     collisions; at scale, trade block width against max_hamming (8 x 8-bit
     blocks for d ≤ 7 halves the join fan-out)."""
+    sk = simhash_sketches(docs, text_col, id_col)
+    return hamming_pairs(sk, max_hamming=max_hamming, n_blocks=n_blocks)
+
+
+def hamming_pairs(
+    sketches: DataFrame,
+    max_hamming: int = 10,
+    n_blocks: int = 16,
+    id_col: str = "doc",
+    sketch_col: str = "simhash",
+) -> DataFrame:
+    """The 64-bit hamming-distance pigeonhole join, shared by SimHash text
+    near-dup (above) and perceptual image hashes (multimodal/phash.py):
+    ``sketches`` is any (id, 64-bit sketch) table; candidates = equi-join on
+    (block idx, block value), verified with bit_count(XOR). Returns
+    (doc_a, doc_b, hamming). Guarantee: complete for distance <= n_blocks-1
+    (any such pair shares at least one exact block)."""
     assert 64 % n_blocks == 0
     width = 64 // n_blocks
     mask = (1 << width) - 1
-    sk = simhash_sketches(docs, text_col, id_col)
+    sk = sketches.select(
+        F.col(id_col).alias("doc"), F.col(sketch_col).alias("simhash")
+    )
     # persist (tracked): the block index feeds both sides of the candidate
-    # self-join, and sketch construction (64-wide vote folds) is the
-    # expensive part.
+    # self-join, and sketch construction (64-wide vote folds / image DCT) is
+    # the expensive part.
     blocks = _track(sk.select(
         "doc",
         "simhash",

@@ -1,0 +1,352 @@
+"""Distributed modified Kneser-Ney n-gram language model (KenLM-class).
+
+Closes the CCNet fidelity gap (round-6 verdict task #2): Wenzek et al. 2020
+("CCNet: Extracting High Quality Monolingual Datasets from Web Crawl Data")
+filter crawl text by perplexity under a 5-gram Kneser-Ney LM (KenLM) trained
+on clean reference text. The unigram LM of operators/unigram.py keeps the
+bucketing pipeline honest but not the LM family; this module trains the real
+thing — interpolated MODIFIED Kneser-Ney smoothing (Chen & Goodman 1998/1999,
+"An Empirical Study of Smoothing Techniques for Language Modeling", §2.7) —
+as pure relational dataflow.
+
+Model definition (Chen & Goodman's interpolated modified KN):
+
+  p_k(w | h) = max(a(h,w) - D_k(a), 0) / denom(h)  +  gamma_k(h) * p_{k-1}(w | h')
+
+  - a(h,w): ADJUSTED count — raw n-gram count at the highest order,
+    CONTINUATION count N_{1+}(. h w) (distinct left-extension types) below it
+  - D_k(a): three discounts per order from that order's count-of-counts:
+      Y = n1/(n1 + 2 n2); D1 = 1 - 2Y n2/n1; D2 = 2 - 3Y n3/n2; D3+ = 3 - 4Y n4/n3
+  - gamma_k(h) = (D1 N1(h.) + D2 N2(h.) + D3+ N3+(h.)) / denom(h)
+  - base case p_0 = 1/V (uniform over the prediction vocabulary)
+  The construction telescopes: sum_w p_k(w|h) = 1 for every seen context
+  (asserted in tests), and unseen contexts pass through (part=0, gamma=1).
+
+Spark-first shape — every stage is JVM dataflow; NOTHING touches Python:
+
+  1. Tokenize + pad: each document becomes [<s>]*(n-1) + words + [</s>].
+     Counted grams are the spans ENDING at a predicted position (each real
+     word and </s>) — exactly (m+1) spans per order per doc, so no gram ever
+     predicts padding, <s> is never a predicted type, and counting equals
+     the scoring-event grain. One explode per order, map-side-combinable
+     groupBy counts. (Oracle-checkable in DuckDB: q_kn_ngram_counts.)
+  2. Continuation counts at order k = distinct types of the order-(k+1)
+     table grouped by its k-suffix — a groupBy over the TYPE table (n-gram
+     vocabulary grain, Heaps-bounded, never the corpus).
+  3. Count-of-counts -> discounts: a per-order histogram of adjusted counts
+     (<=4 buckets each); the only driver-visible training state is the
+     3x n_order discount matrix.
+  4. part/gamma tables: one groupBy per order over the adjusted table
+     (denominator + N1/N2/N3+ per context), then a per-row projection.
+     Per-row float ops on exact integer inputs -> bit-identical tables
+     under any partitioning (tested).
+  5. Scoring is DICTIONARY-ENCODED: the distinct padded 5-gram queries of
+     the corpus join the part/gamma tables once per order (equi-joins on
+     gram-string keys), combine with one telescoped column expression, and
+     broadcast back onto (doc, position) events; one groupBy(doc) yields
+     perplexity. A 100 TB corpus costs one explode, k+1 hash joins on the
+     distinct-gram grain, and one shuffle on doc_id.
+
+At 100 TB: counting shuffles are map-side combined on gram keys (Zipf-head
+keys partial-aggregate away); the model tables are n-gram-type-grained and
+join by hash equi-join — no windows, no driver collect except the 15-number
+discount matrix and two scalars (unigram gamma/denominator).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SEP = "\x1f"  # token separator inside gram-string keys (never in real text)
+BOS = "<s>"
+EOS = "</s>"
+
+
+def _padded_tokens(docs: DataFrame, order: int, text_col: str, id_col: str) -> DataFrame:
+    """(doc, arr): [<s>]*(order-1) + whitespace tokens + [</s>]."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda x: F.length(x) > 0)
+    arr = F.concat(
+        F.array_repeat(F.lit(BOS), order - 1), words, F.array(F.lit(EOS))
+    )
+    return docs.select(F.col(id_col).alias("_doc"), arr.alias("arr"))
+
+
+def _spans(tok: DataFrame, k: int, order: int) -> DataFrame:
+    """All order-k spans ending at a PREDICTED position (order..len(arr)):
+    one row per prediction event — (_doc, gram array<string>)."""
+    pos = F.explode(F.sequence(F.lit(order), F.size("arr"))).alias("p")
+    return tok.select("_doc", "arr", pos).select(
+        "_doc", F.slice("arr", F.col("p") - k + 1, k).alias("gram")
+    )
+
+
+def ngram_counts(
+    docs: DataFrame,
+    k: int,
+    order: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Order-k gram counts (gram string-joined by SEP, cnt) over the padded
+    corpus — the oracle-checkable counting stage. One explode + one
+    map-side-combinable groupBy."""
+    tok = _padded_tokens(docs, order, text_col, id_col)
+    return (
+        _spans(tok, k, order)
+        .select(F.array_join("gram", SEP).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _discounts(cc: list[tuple[int, int]]) -> tuple[float, float, float]:
+    """Modified-KN discounts from one order's count-of-counts
+    [(count, n_types), ...] (Chen & Goodman 1999 eq. 26). Falls back to the
+    absolute-discounting constant 0.75 when the histogram is too sparse to
+    estimate (tiny corpora), clamping each D_i into [0, i]."""
+    n = {c: t for c, t in cc}
+    n1, n2, n3, n4 = (n.get(i, 0) for i in (1, 2, 3, 4))
+    if n1 == 0 or n2 == 0:
+        return 0.75, 0.75, 0.75
+    y = n1 / (n1 + 2.0 * n2)
+    d1 = 1.0 - 2.0 * y * n2 / n1
+    d2 = 2.0 - 3.0 * y * n3 / n2 if n3 else 0.75
+    d3 = 3.0 - 4.0 * y * n4 / n3 if n3 and n4 else 0.75
+    clamp = lambda v, hi: min(max(v, 0.0), hi)  # noqa: E731
+    return clamp(d1, 1.0), clamp(d2, 2.0), clamp(d3, 3.0)
+
+
+@dataclass
+class KNModel:
+    """A trained modified-KN model: per-order part/gamma DataFrames (kept on
+    the cluster, cached), plus the driver-sized scalars."""
+
+    order: int
+    # parts[k]: (ctx, w, part) — ctx is the SEP-joined (k-1)-token context
+    # ("" at k=1); gammas[k]: (ctx, gamma). Both cached cluster-side.
+    parts: dict[int, DataFrame] = field(default_factory=dict)
+    gammas: dict[int, DataFrame] = field(default_factory=dict)
+    discounts: dict[int, tuple[float, float, float]] = field(default_factory=dict)
+    gamma1: float = 1.0  # the single order-1 gamma (empty context)
+    vocab_size: int = 1  # |V|: prediction types (words + </s>, never <s>)
+
+    def unpersist(self) -> None:
+        for df in list(self.parts.values()) + list(self.gammas.values()):
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+
+
+def kn_train(
+    docs: DataFrame,
+    order: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> KNModel:
+    """Train interpolated modified Kneser-Ney of the given order. The corpus
+    never leaves the cluster; the driver collects only the per-order
+    count-of-counts histogram (<=4 rows per order) and two scalars."""
+    from .dedup import track_cache
+
+    tok = track_cache(_padded_tokens(docs, order, text_col, id_col))
+
+    # --- adjusted count tables, highest order first ---------------------
+    # raw_k needed as TYPE sets for continuation at k-1, values only at k=n
+    adjusted: dict[int, DataFrame] = {}
+    raw_above: DataFrame | None = None  # raw_{k+1} (ctx,w,cnt) from last loop
+    for k in range(order, 0, -1):
+        def _ctx(gcol: str) -> "F.Column":
+            # the (k-1)-token context key; "" at the unigram level (a
+            # length-0 slice is not expressible)
+            return (
+                F.array_join(F.slice(gcol, 1, k - 1), SEP) if k > 1 else F.lit("")
+            )
+
+        if k == order:
+            grams = (
+                _spans(tok, k, order)
+                .groupBy("gram")
+                .agg(F.count(F.lit(1)).alias("a"))
+            )
+            adj = grams.select(
+                _ctx("gram").alias("ctx"),
+                F.element_at("gram", k).alias("w"),
+                "a",
+            )
+            raw_above = track_cache(
+                grams.select("gram", F.col("a").alias("cnt"))
+            )
+        else:
+            # continuation: distinct (k+1)-gram types grouped by k-suffix.
+            # raw_above rows ARE the distinct types (one row per type).
+            suffix = F.slice("gram", 2, k)
+            cont = (
+                raw_above.select(suffix.alias("g"))
+                .groupBy("g")
+                .agg(F.count(F.lit(1)).alias("a"))
+            )
+            adj = cont.select(
+                _ctx("g").alias("ctx"),
+                F.element_at("g", k).alias("w"),
+                "a",
+            )
+            if k > 1:
+                # the next continuation level needs THIS level's raw types;
+                # for k < order the raw type set of order k is exactly the
+                # k-suffix set of order k+1 = cont's grain -> reuse it
+                raw_above = track_cache(cont.select(F.col("g").alias("gram"), F.col("a").alias("cnt")))
+        adjusted[k] = track_cache(adj)
+
+    # --- discounts from per-order count-of-counts (driver-sized) --------
+    model = KNModel(order=order)
+    for k in range(1, order + 1):
+        cc = (
+            adjusted[k]
+            .where(F.col("a") <= 4)
+            .groupBy("a")
+            .agg(F.count(F.lit(1)).alias("t"))
+            .collect()
+        )
+        model.discounts[k] = _discounts([(r["a"], r["t"]) for r in cc])
+
+    # --- part/gamma tables ----------------------------------------------
+    for k in range(1, order + 1):
+        d1, d2, d3 = model.discounts[k]
+        dcol = (
+            F.when(F.col("a") == 1, F.lit(d1))
+            .when(F.col("a") == 2, F.lit(d2))
+            .otherwise(F.lit(d3))
+        )
+        ctx_stats = adjusted[k].groupBy("ctx").agg(
+            F.sum("a").alias("denom"),
+            F.sum(F.when(F.col("a") == 1, 1).otherwise(0)).alias("t1"),
+            F.sum(F.when(F.col("a") == 2, 1).otherwise(0)).alias("t2"),
+            F.sum(F.when(F.col("a") >= 3, 1).otherwise(0)).alias("t3"),
+        )
+        gamma = ctx_stats.select(
+            "ctx",
+            (
+                (F.lit(d1) * F.col("t1") + F.lit(d2) * F.col("t2") + F.lit(d3) * F.col("t3"))
+                / F.col("denom").cast("double")
+            ).alias("gamma"),
+        )
+        part = (
+            adjusted[k]
+            .join(ctx_stats.select("ctx", "denom"), on="ctx")
+            .select(
+                "ctx",
+                "w",
+                (
+                    F.greatest(F.col("a").cast("double") - dcol, F.lit(0.0))
+                    / F.col("denom").cast("double")
+                ).alias("part"),
+            )
+        )
+        model.parts[k] = track_cache(part)
+        model.gammas[k] = track_cache(gamma)
+
+    # --- driver scalars ---------------------------------------------------
+    model.vocab_size = adjusted[1].count()  # prediction types (<s> excluded)
+    g1 = model.gammas[1].collect()  # exactly one row (empty context)
+    model.gamma1 = float(g1[0]["gamma"]) if g1 else 1.0
+    return model
+
+
+def kn_prob(queries: DataFrame, model: KNModel) -> DataFrame:
+    """Attach interpolated-KN probability to a DataFrame of full-order
+    queries (gram: array<string> of length ``order``). Returns the input
+    plus a ``p`` column. k+1 hash equi-joins on gram-string keys, one
+    telescoped per-row combine — pure JVM."""
+    n = model.order
+    q = queries
+    for k in range(1, n + 1):
+        key_ctx = (
+            F.array_join(F.slice("gram", n - k + 1, k - 1), SEP)
+            if k > 1
+            else F.lit("")
+        )
+        key_w = F.element_at("gram", n)
+        q = q.withColumn(f"_c{k}", key_ctx).withColumn("_w", key_w)
+        q = q.join(
+            model.parts[k].select(
+                F.col("ctx").alias(f"_c{k}"),
+                F.col("w").alias("_w"),
+                F.col("part").alias(f"_p{k}"),
+            ),
+            on=[f"_c{k}", "_w"],
+            how="left",
+        )
+        if k > 1:
+            q = q.join(
+                model.gammas[k].select(
+                    F.col("ctx").alias(f"_c{k}"), F.col("gamma").alias(f"_g{k}")
+                ),
+                on=f"_c{k}",
+                how="left",
+            )
+    # telescoped combine: p = part_n + g_n*(part_{n-1} + g_{n-1}*(...
+    #   part_1 + gamma1 * 1/V)); unseen context -> part 0, gamma 1
+    p = F.coalesce(F.col("_p1"), F.lit(0.0)) + F.lit(model.gamma1 / model.vocab_size)
+    for k in range(2, n + 1):
+        p = F.coalesce(F.col(f"_p{k}"), F.lit(0.0)) + F.coalesce(
+            F.col(f"_g{k}"), F.lit(1.0)
+        ) * p
+    drop = ["_w"] + [f"_c{k}" for k in range(1, n + 1)]
+    drop += [f"_p{k}" for k in range(1, n + 1)]
+    drop += [f"_g{k}" for k in range(2, n + 1)]
+    return q.withColumn("p", p).drop(*drop)
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    model: KNModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document perplexity under a trained KN model, dictionary-encoded:
+    score each DISTINCT padded full-order query gram once, broadcast-join
+    back onto (doc, position) events, one groupBy(doc).
+    Returns (id_col, n_tokens, ppl)."""
+    tok = _padded_tokens(docs, model.order, text_col, id_col)
+    events = _spans(tok, model.order, model.order)  # (doc, gram) per event
+    distinct = events.select("gram").distinct()
+    scored = kn_prob(distinct, model).select(
+        F.array_join("gram", SEP).alias("_g"),
+        F.log(F.greatest(F.col("p"), F.lit(1e-300))).alias("_logp"),
+    )
+    return (
+        events.select("_doc", F.array_join("gram", SEP).alias("_g"))
+        .join(scored, on="_g")
+        .groupBy("_doc")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.sum("_logp").alias("_s"))
+        .select(
+            F.col("_doc").alias(id_col),
+            "n_tokens",
+            F.exp(-F.col("_s") / F.col("n_tokens").cast("double")).alias("ppl"),
+        )
+    )
+
+
+def ccnet_buckets_kn(
+    docs: DataFrame,
+    model: KNModel,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    method: str = "exact",
+) -> DataFrame:
+    """CCNet bucketing under the true KN LM: identical head/middle/tail
+    contract to unigram.ccnet_buckets (same exact-ntile and
+    approx-percentile scale paths), with per-doc perplexity from
+    kn_perplexity. (unigram.ccnet_buckets grew a ``model=`` dispatch that
+    routes here — one bucketing implementation, two LM families.)"""
+    from .unigram import _bucketize
+
+    ppl = kn_perplexity(docs, model, text_col=text_col, id_col=id_col)
+    scored = docs.select(id_col, lang_col).join(ppl, on=id_col)
+    return _bucketize(scored, id_col, lang_col, n_buckets, method)

@@ -243,36 +243,17 @@ def doc_perplexity(
     )
 
 
-def ccnet_buckets(
-    docs: DataFrame,
-    vocab: dict[str, float],
-    max_piece_len: int,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    lang_col: str = "lang",
-    n_buckets: int = 3,
-    method: str = "exact",
+def _bucketize(
+    scored: DataFrame,
+    id_col: str,
+    lang_col: str,
+    n_buckets: int,
+    method: str,
 ) -> DataFrame:
-    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
-    Extracting High Quality Monolingual Datasets from Web Crawl Data"): score
-    every document's perplexity under a reference-trained LM, then split each
-    language into equal-frequency buckets (head = lowest perplexity =
-    best-matching-the-reference, ..., tail). CCNet uses per-language KenLM
-    5-gram models; here the LM is the unigram model of this module (the
-    bucketing pipeline — the part that is a DATAFLOW problem — is identical;
-    the LM family is pluggable). Returns one row per document:
-    (doc_id, lang, n_tokens, ppl, bucket 1..n_buckets).
-
-    ``method="exact"``: per-language ntile — a window partitioned by lang,
-    so each language's documents flow through ONE task's sort. Exact
-    equal-frequency split; right up to ~10⁸ docs per language.
-    ``method="approx"``: the 100 TB path — per-lang approx_percentile
-    cutpoints (map-side sketch, one tiny groupBy) broadcast-joined back and
-    compared; no per-lang sort ever happens, bucket sizes are equal only to
-    sketch accuracy (1e-4 relative error). Same head/middle/tail contract;
-    the two methods' boundaries agree within sketch tolerance (tested)."""
-    ppl = doc_perplexity(docs, vocab, max_piece_len, text_col=text_col, id_col=id_col)
-    scored = docs.select(id_col, lang_col).join(ppl, on=id_col)
+    """The CCNet equal-frequency split, shared by both LM families (unigram
+    here, modified Kneser-Ney in operators/kneser_ney.py): ``scored`` carries
+    (id, lang, n_tokens, ppl); returns it plus bucket 1..n_buckets. See
+    ccnet_buckets for the exact-vs-approx contract."""
     if method == "exact":
         from pyspark.sql import Window
 
@@ -301,6 +282,52 @@ def ccnet_buckets(
     return joined.select(
         id_col, lang_col, "n_tokens", "ppl", bucket.cast("int").alias("bucket")
     )
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    vocab: dict[str, float] | None = None,
+    max_piece_len: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+    n_buckets: int = 3,
+    method: str = "exact",
+    model=None,
+) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020, "CCNet:
+    Extracting High Quality Monolingual Datasets from Web Crawl Data"): score
+    every document's perplexity under a reference-trained LM, then split each
+    language into equal-frequency buckets (head = lowest perplexity =
+    best-matching-the-reference, ..., tail). CCNet uses per-language KenLM
+    5-gram models; here the LM is the unigram model of this module (the
+    bucketing pipeline — the part that is a DATAFLOW problem — is identical;
+    the LM family is pluggable). Returns one row per document:
+    (doc_id, lang, n_tokens, ppl, bucket 1..n_buckets).
+
+    ``method="exact"``: per-language ntile — a window partitioned by lang,
+    so each language's documents flow through ONE task's sort. Exact
+    equal-frequency split; right up to ~10⁸ docs per language.
+    ``method="approx"``: the 100 TB path — per-lang approx_percentile
+    cutpoints (map-side sketch, one tiny groupBy) broadcast-joined back and
+    compared; no per-lang sort ever happens, bucket sizes are equal only to
+    sketch accuracy (1e-4 relative error). Same head/middle/tail contract;
+    the two methods' boundaries agree within sketch tolerance (tested).
+
+    ``model``: pass a trained operators.kneser_ney.KNModel to score
+    perplexity under the TRUE CCNet LM family (5-gram modified Kneser-Ney)
+    instead of the unigram model — the bucketing dataflow is identical;
+    vocab/max_piece_len are ignored in that case."""
+    if model is not None:
+        from .kneser_ney import kn_perplexity
+
+        ppl = kn_perplexity(docs, model, text_col=text_col, id_col=id_col)
+    else:
+        if vocab is None or max_piece_len is None:
+            raise ValueError("ccnet_buckets: pass (vocab, max_piece_len) or model=")
+        ppl = doc_perplexity(docs, vocab, max_piece_len, text_col=text_col, id_col=id_col)
+    scored = docs.select(id_col, lang_col).join(ppl, on=id_col)
+    return _bucketize(scored, id_col, lang_col, n_buckets, method)
 
 
 def unigram_encode_stats(

@@ -302,3 +302,45 @@ def q_media_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..multimodal.binary_ops import synthetic_wav_media, wav_spectral
 
     return wav_spectral(synthetic_wav_media(load(spark, sf_dir, "documents")))
+
+
+@register(
+    "q_media_phash_neardup",
+    oracle=None,  # perceptual floats — invariance/separation pinned in pytest
+    doc=(
+        "Image perceptual near-duplicate detection (round-6 task #4): dHash "
+        "+ DCT pHash (Krawetz 2013 / Zauner 2010) computed in ONE "
+        "Arrow-batched mapInPandas over real decoded BMP payloads "
+        "(multimodal/phash.py — pure-numpy decode + closed-form DCT matrix, "
+        "decode-where-bytes-live), candidate pairs via the SAME 64-bit "
+        "hamming pigeonhole equi-join as the text SimHash family "
+        "(operators/dedup.py::hamming_pairs — complete for d<=15, never "
+        "all-pairs). Fixture: per doc a patterned image + brightness-shift "
+        "+ minor-crop variants; reports how many of the labeled variant "
+        "pairs the hash recovered (recall), total candidate-verified pairs, "
+        "and the hamming band. pytest pins per-image invariance and "
+        "cross-image separation."
+    ),
+    tags=("multimodal", "image", "neardup", "phash", "llm-pipeline"),
+)
+def q_media_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..multimodal.phash import (
+        VARIANT_SHIFT,
+        media_perceptual_hashes,
+        phash_neardup_pairs,
+        synthetic_patterned_bmp_media,
+    )
+
+    media = synthetic_patterned_bmp_media(load(spark, sf_dir, "documents"))
+    hashes = media_perceptual_hashes(media, codec="bmp")
+    pairs = phash_neardup_pairs(hashes, max_hamming=10)
+    is_variant = (F.col("media_a") % VARIANT_SHIFT) == (
+        F.col("media_b") % VARIANT_SHIFT
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(is_variant.cast("long")).alias("n_variant_pairs"),
+        F.max(F.when(is_variant, F.col("hamming"))).alias("max_variant_hamming"),
+        F.min(F.when(~is_variant, F.col("hamming"))).alias("min_cross_hamming"),
+        F.count_distinct(F.col("media_a") % VARIANT_SHIFT).alias("n_docs_with_pairs"),
+    )

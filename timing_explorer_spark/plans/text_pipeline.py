@@ -960,3 +960,230 @@ def q_unigram_tokenize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, vocab_size=256, max_piece_len=4, n_iters=2, seed_size=1024
     )
     return unigram_encode_stats(docs, vocab, max_piece_len=4).orderBy("source")
+
+
+@register(
+    "q_kn_ngram_counts",
+    oracle="""
+        WITH toks AS (
+            SELECT ['<s>','<s>','<s>','<s>'] || string_split(text, ' ')
+                   || ['</s>'] AS arr
+            FROM documents
+        ),
+        pos AS (SELECT unnest(range(5, len(arr) + 1)) AS p, arr FROM toks),
+        grams AS (
+            SELECT array_to_string(arr[p-4:p], chr(31)) AS gram FROM pos
+        )
+        SELECT gram, COUNT(*) AS cnt
+        FROM grams
+        GROUP BY gram
+        ORDER BY cnt DESC, gram ASC
+        LIMIT 40
+    """,
+    doc=(
+        "The Kneser-Ney counting stage, oracle-checked: 5-gram counts over "
+        "the [<s>]*4 + words + [</s>] padded corpus, one gram per PREDICTION "
+        "event (spans ending at each real token and </s> — so counting "
+        "equals the scoring-event grain and <s> is never a predicted type). "
+        "One explode + one map-side-combinable groupBy; Zipf-head gram keys "
+        "partial-aggregate away before the shuffle. Top-40 by (count, gram) "
+        "for a deterministic hash comparison."
+    ),
+    tags=("text", "ngram", "kneser-ney", "llm-pipeline"),
+)
+def q_kn_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kneser_ney import ngram_counts
+
+    return (
+        ngram_counts(load(spark, sf_dir, "documents"), k=5, order=5)
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(40)
+    )
+
+
+@register(
+    "q_kneser_ney_lm",
+    oracle=None,  # smoothed model — discount math + normalization pinned in pytest
+    doc=(
+        "Distributed modified Kneser-Ney 5-gram LM training (Chen & Goodman "
+        "1998 §2.7 — the KenLM model family CCNet actually uses, Wenzek "
+        "2020): raw counts at order 5, continuation counts below, three "
+        "count-of-counts discounts per order, part/gamma tables as one "
+        "groupBy per order — ALL JVM dataflow, zero Python anywhere. The "
+        "driver sees only the 15-number discount matrix and two scalars. "
+        "Output: the per-order model summary (type/context counts + "
+        "discounts). pytest pins the tables against an independent "
+        "dict-based reference implementation, proves sum_w p(w|ctx) = 1 per "
+        "seen context, and bit-identical tables under repartitioning."
+    ),
+    tags=("text", "ngram", "kneser-ney", "lm-training", "llm-pipeline"),
+)
+def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kneser_ney import kn_train
+
+    model = kn_train(load(spark, sf_dir, "documents"), order=5)
+    rows = []
+    for k in range(1, model.order + 1):
+        d1, d2, d3 = model.discounts[k]
+        rows.append(
+            (
+                k,
+                model.parts[k].count(),
+                model.gammas[k].count(),
+                round(d1, 9),
+                round(d2, 9),
+                round(d3, 9),
+            )
+        )
+    out = spark.createDataFrame(
+        rows, "ord int, n_types bigint, n_contexts bigint, d1 double, d2 double, d3 double"
+    )
+    return out.orderBy("ord")
+
+
+@register(
+    "q_ccnet_ppl_kn",
+    oracle=None,  # KN-smoothed ppl — model pinned in pytest; bucketing shared w/ unigram
+    doc=(
+        "CCNet perplexity filtering under the TRUE LM family (Wenzek 2020 "
+        "uses a 5-gram Kneser-Ney KenLM): train modified-KN order 5 on the "
+        "high-quality reference slice (src0-src3 standing in for CCNet's "
+        "Wikipedia), score every document via the dictionary-encoded KN "
+        "scorer (each distinct padded 5-gram query scored once, k+1 hash "
+        "joins, broadcast back onto events), then the SAME per-language "
+        "equal-frequency head/middle/tail split as the unigram path "
+        "(ccnet_buckets model= flag — one bucketing implementation, two LM "
+        "families). Reports per (lang, bucket) doc/token counts and the "
+        "perplexity band."
+    ),
+    tags=("text", "quality", "perplexity", "kneser-ney", "llm-pipeline"),
+)
+def q_ccnet_ppl_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kneser_ney import kn_train
+    from ..operators.unigram import ccnet_buckets
+
+    docs = load(spark, sf_dir, "documents")
+    reference = docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
+    model = kn_train(reference, order=5)
+    scored = ccnet_buckets(docs, n_buckets=3, model=model)
+    return (
+        scored.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("ppl").alias("ppl_min"),
+            F.max("ppl").alias("ppl_max"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+# The synthesized-crawl HTML expression, reproduced VERBATIM in DuckDB SQL so
+# the strip stage is oracle-checked end to end (operators/html_extract.py::
+# synthesize_html is the Spark side).
+_HTML_SYNTH_SQL = (
+    "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+    "'</title><script>var x = 1 &lt; 2;</script>"
+    "<style>.nav{color:red}</style></head><body>"
+    '<div class="nav"><a href="/">Home</a> <a href="/all">All &amp; more</a></div>'
+    "<h1>Entry ' || CAST(doc_id AS VARCHAR) || "
+    "'</h1><!-- comment --><p>' || text || "
+    "'</p><div class=\"footer\">&copy; 2024 <a href=\"/tos\">Terms</a></div>"
+    "</body></html>'"
+)
+
+
+@register(
+    "q_html_extract",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
+        ),
+        stripped AS (
+            SELECT doc_id,
+                   trim(regexp_replace(
+                       replace(replace(replace(replace(replace(replace(replace(
+                           regexp_replace(
+                               regexp_replace(
+                                   regexp_replace(
+                                       regexp_replace(
+                                           regexp_replace(html,
+                                               '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                                           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                                       '(?is)<noscript\\b[^>]*>.*?</noscript>', ' ', 'g'),
+                                   '(?s)<!--.*?-->', ' ', 'g'),
+                               '(?s)<[^>]*>', ' ', 'g'),
+                           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                           '&quot;', '"'), '&#39;', ''''), '&copy;', '©'),
+                           '&amp;', '&'),
+                       '\\s+', ' ', 'g')) AS clean_text
+            FROM raw
+        )
+        SELECT doc_id, clean_text, LENGTH(clean_text) AS n_chars
+        FROM stripped
+    """,
+    doc=(
+        "Raw-crawl front-end, strip stage (round-6 task #3): visible text of "
+        "an HTML page via a fixed JVM regexp_replace chain — drop script/"
+        "style/noscript/comment subtrees, strip remaining tags, decode "
+        "common entities, collapse whitespace (operators/html_extract.py). "
+        "The fixture synthesizes a deterministic boilerplate-sandwich page "
+        "around each document's text (no HTML column in the test data); the "
+        "oracle reproduces BOTH the synthesis and the identical strip chain "
+        "in DuckDB, so the stage is hash-checked end to end. Map-only at any "
+        "scale — no shuffle, no Python."
+    ),
+    tags=("text", "html", "crawl", "llm-pipeline"),
+)
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html_extract import strip_html, synthesize_html
+
+    d = load(spark, sf_dir, "documents")
+    clean = strip_html(synthesize_html(F.col("text"), F.col("doc_id")))
+    return d.select(
+        "doc_id",
+        clean.alias("clean_text"),
+        F.length(clean).alias("n_chars"),
+    )
+
+
+@register(
+    "q_html_boilerplate",
+    oracle=None,  # classifier thresholds — precision/recall pinned in pytest
+    doc=(
+        "Raw-crawl front-end, boilerplate stage (jusText-style, Pomikalek "
+        "2011): split the synthesized page into block-level segments "
+        "(posexplode on block-open tags), score per-block link density / "
+        "stopword density / length IN the explode projection, classify "
+        "good/bad/short, then one neighbor-smoothing pass over the per-doc "
+        "block window (bounded by blocks-per-document). Output per doc: "
+        "content/boilerplate block counts and how much of the original text "
+        "the content blocks recover — nav/footer/link-bar blocks must drop, "
+        "the body paragraph must survive. Map-only + ONE doc_id shuffle; "
+        "precision/recall vs a hand-labeled fixture pinned in pytest."
+    ),
+    tags=("text", "html", "crawl", "boilerplate", "llm-pipeline"),
+)
+def q_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html_extract import extract_main_text, synthesize_html
+
+    d = load(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        F.length("text").alias("orig_chars"),
+        synthesize_html(F.col("text"), F.col("doc_id")).alias("html"),
+    )
+    out = extract_main_text(pages, html_col="html", id_col="doc_id")
+    return (
+        out.join(pages.select("doc_id", "orig_chars"), on="doc_id")
+        .select(
+            "doc_id",
+            "n_content_blocks",
+            "n_boilerplate_blocks",
+            F.length("main_text").alias("recovered_chars"),
+            (
+                F.length("main_text").cast("double")
+                / F.greatest(F.col("orig_chars"), F.lit(1)).cast("double")
+            ).alias("recovery_ratio"),
+        )
+    )
