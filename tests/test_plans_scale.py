@@ -326,6 +326,11 @@ _SANCTIONED_PYTHON = {
     # where the bytes live (multimodal/phash.py) — the sanctioned multimodal
     # decode shape; the candidate join itself is the JVM pigeonhole join
     "q_media_phash_neardup",
+    # WARC container walk: the Content-Length record scan is inherently
+    # sequential per blob, so it runs Arrow-batched where the bytes live
+    # (sources/warc.py); at scale parallelism is per WARC file
+    "q_warc_extract",
+    "q_warc_html_pipeline",
 }
 
 # Queries whose only nested-loop/cartesian shape is a deliberate 1-row

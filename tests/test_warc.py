@@ -1,0 +1,98 @@
+"""WARC source (sources/warc.py): the Content-Length record walk (incl. the
+payload-contains-CRLFCRLF case that breaks delimiter splitting), quarantine
+contract for malformed blobs, multi-record blobs, and the file source."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from timing_explorer_spark.sources.warc import (
+    encode_warc_record,
+    parse_warc_blob,
+    read_warc,
+    synthetic_warc_blobs,
+    warc_records,
+)
+
+
+def test_roundtrip_single_record():
+    payload = b"hello warc world"
+    blob = encode_warc_record(payload, "http://x/1", "<urn:uuid:1>")
+    recs = parse_warc_blob(blob)
+    assert len(recs) == 1
+    r = recs[0]
+    assert r["valid"] is True
+    assert r["payload"] == payload
+    assert r["target_uri"] == "http://x/1"
+    assert r["record_id"] == "<urn:uuid:1>"
+    assert r["content_length"] == len(payload)
+    assert r["warc_type"] == "response"
+
+
+def test_payload_containing_header_terminator():
+    """THE case that forces Content-Length walking: the payload embeds
+    b'\\r\\n\\r\\n' AND a fake record header — a delimiter splitter would
+    shear the record here."""
+    payload = b"part one\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nfake part two"
+    blob = (
+        encode_warc_record(payload, "http://x/tricky", "<urn:uuid:2>")
+        + encode_warc_record(b"after", "http://x/after", "<urn:uuid:3>")
+    )
+    recs = parse_warc_blob(blob)
+    assert [r["valid"] for r in recs] == [True, True]
+    assert recs[0]["payload"] == payload
+    assert recs[1]["payload"] == b"after"
+    assert recs[1]["target_uri"] == "http://x/after"
+
+
+def test_truncated_blob_quarantines_tail():
+    good = encode_warc_record(b"ok", "http://x/ok", "<urn:uuid:4>")
+    bad = encode_warc_record(b"x" * 100, "http://x/cut", "<urn:uuid:5>")[:-60]
+    recs = parse_warc_blob(good + bad)
+    assert recs[0]["valid"] is True and recs[0]["payload"] == b"ok"
+    assert recs[1]["valid"] is False
+    assert recs[1]["leftover_bytes"] == len(bad)
+
+
+def test_garbage_and_missing_length_quarantine():
+    assert parse_warc_blob(b"not a warc at all\r\n\r\n")[0]["valid"] is False
+    no_len = b"WARC/1.0\r\nWARC-Type: response\r\n\r\nbody"
+    assert parse_warc_blob(no_len)[0]["valid"] is False
+    assert parse_warc_blob(b"") == []
+
+
+def test_spark_roundtrip_matches_documents(spark):
+    docs = spark.createDataFrame(
+        [(i, f"document number {i} body text with some words") for i in range(100)],
+        "doc_id long, text string",
+    )
+    recs = warc_records(synthetic_warc_blobs(docs, n_blobs=7))
+    got = (
+        recs.where("valid")
+        .select(
+            F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+            F.decode("payload", "UTF-8").alias("text"),
+            "rec_idx",
+            "blob_id",
+        )
+        .collect()
+    )
+    assert len(got) == 100
+    by_id = {r["doc_id"]: r for r in got}
+    for i in range(100):
+        assert by_id[i]["text"] == f"document number {i} body text with some words"
+        assert by_id[i]["blob_id"] == i % 7
+    # records inside each blob walk in doc order
+    for r in got:
+        assert r["rec_idx"] == r["doc_id"] // 7
+
+
+def test_read_warc_files(spark, tmp_path):
+    p = tmp_path / "seg-00000.warc"
+    p.write_bytes(
+        encode_warc_record(b"alpha", "http://x/a", "<urn:uuid:10>")
+        + encode_warc_record(b"beta", "http://x/b", "<urn:uuid:11>")
+    )
+    rows = read_warc(spark, str(tmp_path)).orderBy("rec_idx").collect()
+    assert [bytes(r["payload"]) for r in rows] == [b"alpha", b"beta"]
+    assert all(r["valid"] for r in rows)

@@ -1093,6 +1093,28 @@ _HTML_SYNTH_SQL = (
 )
 
 
+def _strip_sql(inner: str) -> str:
+    """The DuckDB mirror of operators/html_extract.py::strip_html, wrapped
+    around any SQL string expression — shared by q_html_extract and the
+    WARC end-to-end pipeline oracle."""
+    return f"""trim(regexp_replace(
+        replace(replace(replace(replace(replace(replace(replace(
+            regexp_replace(
+                regexp_replace(
+                    regexp_replace(
+                        regexp_replace(
+                            regexp_replace({inner},
+                                '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+                            '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+                        '(?is)<noscript\\b[^>]*>.*?</noscript>', ' ', 'g'),
+                    '(?s)<!--.*?-->', ' ', 'g'),
+                '(?s)<[^>]*>', ' ', 'g'),
+            '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+            '&quot;', '"'), '&#39;', ''''), '&copy;', '©'),
+            '&amp;', '&'),
+        '\\s+', ' ', 'g'))"""
+
+
 @register(
     "q_html_extract",
     oracle=f"""
@@ -1100,23 +1122,7 @@ _HTML_SYNTH_SQL = (
             SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
         ),
         stripped AS (
-            SELECT doc_id,
-                   trim(regexp_replace(
-                       replace(replace(replace(replace(replace(replace(replace(
-                           regexp_replace(
-                               regexp_replace(
-                                   regexp_replace(
-                                       regexp_replace(
-                                           regexp_replace(html,
-                                               '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-                                           '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-                                       '(?is)<noscript\\b[^>]*>.*?</noscript>', ' ', 'g'),
-                                   '(?s)<!--.*?-->', ' ', 'g'),
-                               '(?s)<[^>]*>', ' ', 'g'),
-                           '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
-                           '&quot;', '"'), '&#39;', ''''), '&copy;', '©'),
-                           '&amp;', '&'),
-                       '\\s+', ' ', 'g')) AS clean_text
+            SELECT doc_id, {_strip_sql("html")} AS clean_text
             FROM raw
         )
         SELECT doc_id, clean_text, LENGTH(clean_text) AS n_chars
@@ -1186,4 +1192,75 @@ def q_html_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest(F.col("orig_chars"), F.lit(1)).cast("double")
             ).alias("recovery_ratio"),
         )
+    )
+
+
+@register(
+    "q_warc_extract",
+    oracle="""
+        SELECT doc_id,
+               'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+               CAST(LENGTH(text) AS BIGINT) AS content_length,
+               substr(text, 1, 40) AS payload_head
+        FROM documents
+    """,
+    doc=(
+        "WARC container round trip, oracle-checked (ISO 28500 — the Common "
+        "Crawl shipping format; sources/warc.py): every document is encoded "
+        "as a spec-conforming record, records concatenate into multi-record "
+        "blobs (doc_id % 37), and the Content-Length-walking parser must "
+        "recover every record exactly — URI, declared length, and payload "
+        "bytes hash-match the documents table. Parse runs where the bytes "
+        "live (Arrow-batched, one blob at a time); at 100 TB parallelism is "
+        "per WARC FILE (binaryFile source, read_warc). Delimiter-splitting "
+        "corruption (payloads containing CRLFCRLF) is pinned in pytest."
+    ),
+    tags=("source", "warc", "crawl", "llm-pipeline"),
+)
+def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warc import synthetic_warc_blobs, warc_records
+
+    blobs = synthetic_warc_blobs(load(spark, sf_dir, "documents"))
+    recs = warc_records(blobs)
+    return recs.where(F.col("valid")).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "target_uri",
+        "content_length",
+        F.substring(F.decode("payload", "UTF-8"), 1, 40).alias("payload_head"),
+    )
+
+
+@register(
+    "q_warc_html_pipeline",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_HTML_SYNTH_SQL} AS html FROM documents
+        )
+        SELECT doc_id, {_strip_sql("html")} AS clean_text
+        FROM raw
+    """,
+    doc=(
+        "The FULL crawl entry chain, oracle-checked end to end: documents "
+        "-> synthesized HTML pages -> WARC records -> multi-record blobs -> "
+        "Content-Length record walk -> visible-text strip. The oracle "
+        "recomputes only synthesis+strip directly on the documents table, "
+        "so a hash match proves the WARC encode/parse leg is lossless AND "
+        "the strip chain is byte-identical through the container round "
+        "trip. This is the 'from crawl' entry stage feeding the existing "
+        "corpus-prep pipeline (q_corpus_prep_pipeline)."
+    ),
+    tags=("source", "warc", "html", "crawl", "llm-pipeline"),
+)
+def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html_extract import strip_html, synthesize_html
+    from ..sources.warc import synthetic_warc_blobs, warc_records
+
+    pages = load(spark, sf_dir, "documents").select(
+        "doc_id", synthesize_html(F.col("text"), F.col("doc_id")).alias("text")
+    )
+    blobs = synthetic_warc_blobs(pages)
+    recs = warc_records(blobs)
+    return recs.where(F.col("valid")).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        strip_html(F.decode("payload", "UTF-8")).alias("clean_text"),
     )

@@ -1,0 +1,222 @@
+"""WARC (Web ARChive, ISO 28500) record source.
+
+Completes the raw-crawl front-end (round-6 verdict task #3: "HTML/WARC"):
+real 100 TB pipelines start from WARC containers (Common Crawl ships them),
+each file a concatenation of records:
+
+    WARC/1.0\r\n
+    WARC-Type: response\r\n
+    WARC-Record-ID: <urn:uuid:...>\r\n
+    WARC-Date: 2024-01-01T00:00:00Z\r\n
+    WARC-Target-URI: http://...\r\n
+    Content-Length: N\r\n
+    \r\n
+    <exactly N payload bytes>\r\n\r\n
+
+Parsing MUST walk Content-Length — payloads may contain the header
+terminator bytes "\r\n\r\n", so delimiter splitting silently corrupts
+records (pinned in tests). The walk is sequential per blob, so it runs as
+an Arrow-batched mapInPandas over the payload bytes — the multimodal
+family's decode-where-bytes-live shape (multimodal/binary_ops.py). At
+100 TB parallelism comes from the FILES (Common Crawl segments are ~1 GB:
+one task per file via ``spark.read.format("binaryFile")``), and everything
+downstream of the record table is ordinary JVM dataflow (the HTML
+front-end: operators/html_extract.py).
+
+Malformed input follows the line-protocol quarantine contract
+(sources/line_protocol.py): a blob that stops parsing cleanly emits one
+``valid=false`` row carrying the unconsumed byte count — never a throw.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame
+
+RECORD_SCHEMA = (
+    "blob_id long, rec_idx int, warc_type string, record_id string, "
+    "warc_date string, target_uri string, content_length long, "
+    "payload binary, valid boolean, leftover_bytes long"
+)
+
+
+def parse_warc_blob(blob: bytes) -> list[dict]:
+    """Walk one WARC blob into records (pure function — unit-testable and
+    the single implementation both the column parser and the file source
+    use). Returns dicts matching RECORD_SCHEMA minus blob_id."""
+    out: list[dict] = []
+    pos, n = 0, len(blob)
+    idx = 0
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and blob[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        head_end = blob.find(b"\r\n\r\n", pos)
+        version_ok = blob.startswith(b"WARC/", pos)
+        headers: dict[str, str] = {}
+        length = None
+        if head_end != -1 and version_ok:
+            for line in blob[pos:head_end].split(b"\r\n")[1:]:
+                k, sep, v = line.partition(b":")
+                if sep:
+                    headers[k.strip().decode("ascii", "replace").lower()] = (
+                        v.strip().decode("utf-8", "replace")
+                    )
+            try:
+                length = int(headers.get("content-length", ""))
+            except ValueError:
+                length = None
+        if (
+            head_end == -1
+            or not version_ok
+            or length is None
+            or head_end + 4 + length > n
+        ):
+            # cannot parse further: ONE quarantine row for the tail
+            out.append(
+                {
+                    "rec_idx": idx,
+                    "warc_type": None,
+                    "record_id": None,
+                    "warc_date": None,
+                    "target_uri": None,
+                    "content_length": None,
+                    "payload": None,
+                    "valid": False,
+                    "leftover_bytes": n - pos,
+                }
+            )
+            break
+        body_start = head_end + 4
+        out.append(
+            {
+                "rec_idx": idx,
+                "warc_type": headers.get("warc-type"),
+                "record_id": headers.get("warc-record-id"),
+                "warc_date": headers.get("warc-date"),
+                "target_uri": headers.get("warc-target-uri"),
+                "content_length": length,
+                "payload": blob[body_start : body_start + length],
+                "valid": True,
+                "leftover_bytes": 0,
+            }
+        )
+        idx += 1
+        pos = body_start + length
+    return out
+
+
+def warc_records(blobs: DataFrame, id_col: str = "blob_id", payload_col: str = "payload") -> DataFrame:
+    """(blob_id, payload binary) -> one row per WARC record (RECORD_SCHEMA).
+    Arrow-batched mapInPandas; the Content-Length walk happens where the
+    bytes live, one blob at a time."""
+
+    def parse(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for b in batches:
+            rows: list[dict] = []
+            for blob_id, payload in zip(b[id_col], b[payload_col]):
+                for rec in parse_warc_blob(bytes(payload)):
+                    rows.append({"blob_id": blob_id, **rec})
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "blob_id", "rec_idx", "warc_type", "record_id", "warc_date",
+                    "target_uri", "content_length", "payload", "valid",
+                    "leftover_bytes",
+                ],
+            )
+
+    return blobs.select(
+        blobs[id_col].alias(id_col), blobs[payload_col].alias(payload_col)
+    ).mapInPandas(parse, schema=RECORD_SCHEMA)
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """Read *.warc files under ``path`` as records. One task per file
+    (binaryFile source) — the Common Crawl deployment shape; blob_id is a
+    hash of the file path."""
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc")
+        .load(path)
+        .select(F.xxhash64("path").alias("blob_id"), F.col("content").alias("payload"))
+    )
+    return warc_records(files)
+
+
+def encode_warc_record(
+    payload: bytes,
+    target_uri: str,
+    record_id: str,
+    warc_date: str = "2024-01-01T00:00:00Z",
+    warc_type: str = "response",
+) -> bytes:
+    """One spec-conforming WARC record (the fixture encoder; also the sink
+    side of the round-trip oracle — parse(encode(x)) == x is the tested
+    contract, like the line-protocol pair)."""
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {warc_type}\r\n"
+        f"WARC-Record-ID: {record_id}\r\n"
+        f"WARC-Date: {warc_date}\r\n"
+        f"WARC-Target-URI: {target_uri}\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(payload)}\r\n\r\n"
+    ).encode("ascii")
+    return head + payload + b"\r\n\r\n"
+
+
+def synthetic_warc_blobs(docs: DataFrame, n_blobs: int = 37) -> DataFrame:
+    """Deterministic multi-record WARC blobs from ``documents``: doc d's
+    record (payload = its text bytes, uri = http://example.com/doc/<id>)
+    lands in blob ``doc_id % n_blobs``, concatenated in doc_id order —
+    every blob exercises the sequential record walk."""
+    from collections.abc import Iterator as _It
+
+    def enc(batches: _It) -> _It:
+        import pandas as pd
+
+        for b in batches:
+            rows = []
+            for doc_id, text in zip(b["doc_id"], b["text"]):
+                i = int(doc_id)
+                rows.append(
+                    {
+                        "blob_id": i % n_blobs,
+                        "doc_id": i,
+                        "rec": encode_warc_record(
+                            str(text).encode("utf-8"),
+                            target_uri=f"http://example.com/doc/{i}",
+                            record_id=f"<urn:uuid:{i:032d}>",
+                        ),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["blob_id", "doc_id", "rec"])
+
+    recs = docs.select("doc_id", "text").mapInPandas(
+        enc, schema="blob_id long, doc_id long, rec binary"
+    )
+
+    def concat(pdf):
+        import pandas as pdl
+
+        pdf = pdf.sort_values("doc_id")
+        return pdl.DataFrame(
+            {
+                "blob_id": [pdf["blob_id"].iloc[0]],
+                "payload": [b"".join(bytes(x) for x in pdf["rec"])],
+            }
+        )
+
+    # applyInPandas guarantees each blob arrives WHOLE (mapInPandas could
+    # split a group across Arrow batches and emit partial blobs)
+    return recs.groupBy("blob_id").applyInPandas(
+        concat, schema="blob_id long, payload binary"
+    )
