@@ -45,6 +45,9 @@ WEAK4 = (
     "q03_shipping_priority",
     "q05_local_supplier_volume",
     "q_events_per_window",
+    # graduated at sf1 (0.98x); included so the graduation claim carries to
+    # the scale where the scheduling floor is negligible
+    "q_asof_join_last_click",
 )
 # denominator for the per-row CPU profile: rows the query's FACT scan reads
 FACT_ROWS = {
@@ -52,6 +55,18 @@ FACT_ROWS = {
     "q03_shipping_priority": 60_000_000,
     "q05_local_supplier_volume": 60_000_000,
     "q_events_per_window": 10_000_000,
+    "q_asof_join_last_click": 10_000_000,
+}
+# reduce-side width per query — the same size-tracking rule as the cache
+# partition counts (r5): the scan-agg queries emit tiny group counts, so 32
+# reduce tasks are pure scheduling floor; the asof join's per-user
+# carry-forward window does real reduce-side work and keeps cluster width.
+SHUFFLE_WIDTH = {
+    "q01_pricing_summary": 8,
+    "q03_shipping_priority": 16,
+    "q05_local_supplier_volume": 16,
+    "q_events_per_window": 8,
+    "q_asof_join_last_click": 32,
 }
 UI_PORT = 4059
 
@@ -158,7 +173,8 @@ def main() -> None:
     )
 
     plans = {n: s.build(spark, sf_dir) for n, s in specs.items()}
-    for df in plans.values():  # untimed codegen/JIT + cache-materialize pass
+    for name, df in plans.items():  # untimed codegen/JIT + cache-materialize pass
+        spark.conf.set("spark.sql.shuffle.partitions", str(SHUFFLE_WIDTH[name]))
         df.write.mode("overwrite").format("noop").save()
 
     from timing_explorer_spark.testing import duckdb_native_connection
@@ -193,6 +209,7 @@ def main() -> None:
     profiles: dict[str, dict] = {}
     for name in sorted(specs):
         df, sql = plans[name], specs[name].oracle
+        spark.conf.set("spark.sql.shuffle.partitions", str(SHUFFLE_WIDTH[name]))
         s1 = spark_block(df)
         d1 = duck_block(sql)
         s2 = spark_block(df)

@@ -331,6 +331,9 @@ _SANCTIONED_PYTHON = {
     # (sources/warc.py); at scale parallelism is per WARC file
     "q_warc_extract",
     "q_warc_html_pipeline",
+    # audio fingerprinting: Arrow-batched WAV decode + rfft where the bytes
+    # live (multimodal/audio_fp.py); candidate join is JVM pigeonhole
+    "q_media_audio_neardup",
 }
 
 # Queries whose only nested-loop/cartesian shape is a deliberate 1-row

@@ -81,6 +81,8 @@ _EXPORTS = {
     # raw-crawl front-end
     "strip_html": "timing_explorer_spark.operators.html_extract:strip_html",
     "extract_main_text": "timing_explorer_spark.operators.html_extract:extract_main_text",
+    "read_warc": "timing_explorer_spark.sources.warc:read_warc",
+    "warc_records": "timing_explorer_spark.sources.warc:warc_records",
     # temporal joins
     "asof_join": "timing_explorer_spark.operators.joins:asof_join",
     "interval_pairs": "timing_explorer_spark.operators.joins:interval_pairs",

@@ -199,6 +199,7 @@ def measure_event_time_lag(
     return {
         "rows_per_second": rows_per_second,
         "run_seconds": run_seconds,
+        "trigger_ms": trigger_ms,
         "windows_observed": len(lags),
         "p50_ms": pct(0.50),
         "p95_ms": pct(0.95),
