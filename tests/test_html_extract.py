@@ -118,3 +118,21 @@ def test_synthesized_page_recovers_text(spark):
     out = extract_main_text(pages).collect()[0]
     assert "the cat sat on the mat" in out["main_text"]
     assert "Home" not in out["main_text"]
+
+
+def test_canonicalize_url_cases(spark):
+    from timing_explorer_spark.operators.html_extract import canonicalize_url
+
+    cases = [
+        ("HTTP://Ex.COM:80/p?utm_source=x&b=2&a=1#f", "http://ex.com/p?a=1&b=2"),
+        ("https://Ex.com:443/", "https://ex.com/"),
+        ("https://ex.com:8443/x", "https://ex.com:8443/x"),  # non-default port kept
+        ("http://ex.com", "http://ex.com/"),                 # empty path -> /
+        ("http://ex.com/p?fbclid=1&gclid=2&ref=3", "http://ex.com/p"),
+        ("http://ex.com/p?z=1&a=2&a=1", "http://ex.com/p?a=1&a=2&z=1"),
+        ("http://ex.com/p#only-fragment", "http://ex.com/p"),
+        ("HTTPS://A.B/Path/Keep?Y=2&x=1", "https://a.b/Path/Keep?Y=2&x=1"),  # path/value case kept
+    ]
+    df = spark.createDataFrame(cases, "url string, want string")
+    for r in df.select(canonicalize_url(F.col("url")).alias("got"), "want").collect():
+        assert r["got"] == r["want"]

@@ -96,3 +96,39 @@ def test_read_warc_files(spark, tmp_path):
     rows = read_warc(spark, str(tmp_path)).orderBy("rec_idx").collect()
     assert [bytes(r["payload"]) for r in rows] == [b"alpha", b"beta"]
     assert all(r["valid"] for r in rows)
+
+
+def test_read_warc_stream(spark, tmp_path):
+    """Streaming ingest: files landing in the directory become record rows;
+    quarantine rows flow on the same stream."""
+    indir, outdir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    import os
+
+    os.makedirs(indir)
+    (tmp_path / "in" / "a.warc").write_bytes(
+        encode_warc_record(b"first", "http://x/1", "<urn:uuid:20>")
+    )
+    (tmp_path / "in" / "b.warc").write_bytes(
+        encode_warc_record(b"second", "http://x/2", "<urn:uuid:21>")
+        + b"GARBAGE TRAILING BYTES"
+    )
+    from timing_explorer_spark.sources.warc import read_warc_stream
+
+    q = (
+        read_warc_stream(spark, indir)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(outdir).collect()
+    valid = {r["target_uri"]: bytes(r["payload"]) for r in rows if r["valid"]}
+    assert valid == {"http://x/1": b"first", "http://x/2": b"second"}
+    quarantined = [r for r in rows if not r["valid"]]
+    assert len(quarantined) == 1 and quarantined[0]["leftover_bytes"] == len(
+        b"GARBAGE TRAILING BYTES"
+    )

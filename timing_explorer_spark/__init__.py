@@ -82,7 +82,9 @@ _EXPORTS = {
     "strip_html": "timing_explorer_spark.operators.html_extract:strip_html",
     "extract_main_text": "timing_explorer_spark.operators.html_extract:extract_main_text",
     "read_warc": "timing_explorer_spark.sources.warc:read_warc",
+    "read_warc_stream": "timing_explorer_spark.sources.warc:read_warc_stream",
     "warc_records": "timing_explorer_spark.sources.warc:warc_records",
+    "canonicalize_url": "timing_explorer_spark.operators.html_extract:canonicalize_url",
     # temporal joins
     "asof_join": "timing_explorer_spark.operators.joins:asof_join",
     "interval_pairs": "timing_explorer_spark.operators.joins:interval_pairs",

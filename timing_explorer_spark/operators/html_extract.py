@@ -246,3 +246,44 @@ def synthesize_html(text: Column, doc_id: Column) -> Column:
             "</body></html>"
         ),
     )
+
+
+# tracking parameters every crawl canonicalizer strips (public convention:
+# the UTM family + the big platforms' click ids)
+_TRACKING_PARAM_RX = r"^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)="
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of an http(s) URL — the crawl-dedup key (two fetches
+    of the same page routinely differ only in tracking params / fragment /
+    case / default port):
+
+      - scheme and host lowercased
+      - default port stripped (:80 for http, :443 for https)
+      - fragment dropped
+      - tracking params dropped (utm_*, fbclid, gclid, msclkid, ref, mc_eid)
+      - remaining query params sorted bytewise; empty query -> no '?'
+      - empty path -> '/'
+
+    Pure regexp + HOF column expression (map-only; DuckDB-mirrorable for
+    the oracle). Non-URL input degrades gracefully (empty components)."""
+    scheme = F.lower(F.regexp_extract(url, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    hostport = F.lower(F.regexp_extract(url, r"^[^:]+://([^/?#]*)", 1))
+    host = (
+        F.when(scheme == "http", F.regexp_replace(hostport, r":80$", ""))
+        .when(scheme == "https", F.regexp_replace(hostport, r":443$", ""))
+        .otherwise(hostport)
+    )
+    path = F.regexp_extract(url, r"^[^:]+://[^/?#]*([^?#]*)", 1)
+    path = F.when(F.length(path) == 0, F.lit("/")).otherwise(path)
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (F.length(p) > 0) & ~p.rlike(_TRACKING_PARAM_RX),
+        )
+    )
+    qpart = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
+    ).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, path, qpart)

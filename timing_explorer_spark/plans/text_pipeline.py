@@ -1264,3 +1264,73 @@ def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
         strip_html(F.decode("payload", "UTF-8")).alias("clean_text"),
     )
+
+
+@register(
+    "q_url_canonicalize",
+    oracle="""
+        WITH raw AS (
+            SELECT doc_id,
+                   'HTTP://Example.COM:80/Doc/' || CAST(doc_id AS VARCHAR)
+                   || '?utm_source=news&b=' || CAST(n_chars AS VARCHAR)
+                   || '&a=' || CAST(doc_id AS VARCHAR) || '&fbclid=xyz#frag'
+                       AS url
+            FROM documents
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1))  AS hostport,
+                   regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1)   AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1)                 AS query
+            FROM raw
+        ),
+        canon AS (
+            SELECT doc_id, url, scheme,
+                   CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END AS host,
+                   CASE WHEN LENGTH(path) = 0 THEN '/' ELSE path END AS path2,
+                   list_sort(list_filter(string_split(query, '&'),
+                       p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
+                            '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)=')))
+                       AS params
+            FROM parts
+        )
+        SELECT doc_id, url,
+               scheme || '://' || host || path2
+               || CASE WHEN len(params) > 0
+                       THEN '?' || array_to_string(params, '&')
+                       ELSE '' END AS canonical_url
+        FROM canon
+    """,
+    doc=(
+        "URL canonicalization — the crawl-dedup KEY (two fetches of one "
+        "page routinely differ only in tracking params / fragment / case / "
+        "default port): lowercase scheme+host, strip default port, drop "
+        "fragment and tracking params (utm_*, fbclid, gclid, msclkid, ref, "
+        "mc_eid), sort surviving query params "
+        "(operators/html_extract.py::canonicalize_url). Map-only regexp + "
+        "HOF expression; the DuckDB oracle mirrors every step on the same "
+        "synthesized messy URLs, so the whole normalization is hash-checked."
+    ),
+    tags=("text", "url", "crawl", "dedup", "llm-pipeline"),
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html_extract import canonicalize_url
+
+    d = load(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("HTTP://Example.COM:80/Doc/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?utm_source=news&b="),
+        F.col("n_chars").cast("string"),
+        F.lit("&a="),
+        F.col("doc_id").cast("string"),
+        F.lit("&fbclid=xyz#frag"),
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        canonicalize_url(url).alias("canonical_url"),
+    )

@@ -151,6 +151,24 @@ def read_warc(spark, path: str) -> DataFrame:
     return warc_records(files)
 
 
+def read_warc_stream(spark, path: str) -> DataFrame:
+    """Streaming WARC ingest: new *.warc files landing under ``path`` become
+    record rows continuously (binaryFile file-stream source with its fixed
+    schema declared — the streaming side requires it). Same record schema
+    and quarantine contract as the batch reader; pair with
+    streaming/lsh_dedup.py for dedup-at-ingest straight off the crawler."""
+    from pyspark.sql import functions as F
+
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("pathGlobFilter", "*.warc")
+        .load(path)
+        .select(F.xxhash64("path").alias("blob_id"), F.col("content").alias("payload"))
+    )
+    return warc_records(files)
+
+
 def encode_warc_record(
     payload: bytes,
     target_uri: str,
