@@ -1334,3 +1334,104 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("url"),
         canonicalize_url(url).alias("canonical_url"),
     )
+
+
+# BM25 constants (Robertson et al.; Lucene defaults) + the fixed benchmark
+# query the registry entry ranks against — words present in the fixture
+# vocabulary so the ranking is non-degenerate.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_QUERY = ("table", "join", "query", "window")
+
+
+@register(
+    "q_bm25_search",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, UNNEST(string_split(text, ' ')) AS term
+            FROM documents
+        ),
+        dl AS (SELECT doc_id, COUNT(*) AS len FROM toks GROUP BY doc_id),
+        stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+                   (SELECT AVG(CAST(len AS DOUBLE)) FROM dl) AS avgdl
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, term, COUNT(*) AS f
+            FROM toks
+            WHERE term IN ('table', 'join', 'query', 'window')
+            GROUP BY doc_id, term
+        ),
+        df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+        scored AS (
+            -- the ln is quantized to 8 decimals FIRST (libm 1-ulp skew
+            -- vanishes), the product runs in IEEE double (deterministic
+            -- across engines), and the per-term score quantizes once more
+            -- so the per-doc SUM is order-independent
+            SELECT tf.doc_id,
+                   CAST(
+                       CAST(CAST(LN((stats.n_docs - df.df + 0.5) / (df.df + 0.5)
+                                    + 1.0) AS DECIMAL(27,8)) AS DOUBLE)
+                       * ((CAST(f AS DOUBLE) * ({_BM25_K1} + 1.0))
+                          / (CAST(f AS DOUBLE) + {_BM25_K1} * (1.0 - {_BM25_B}
+                             + {_BM25_B} * CAST(dl.len AS DOUBLE) / stats.avgdl)))
+                       AS DECIMAL(27,8)) AS s
+            FROM tf
+            JOIN df USING (term)
+            JOIN dl USING (doc_id)
+            CROSS JOIN stats
+        )
+        SELECT doc_id, CAST(SUM(s) AS DOUBLE) AS bm25
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id ASC
+        LIMIT 20
+    """,
+    doc=(
+        "BM25 ranked retrieval (Robertson/Lucene-form IDF, k1=1.2, b=0.75) "
+        "— the corpus-search primitive a curation team uses to pull topical "
+        "slices: term frequencies computed ONLY for the (broadcast) query "
+        "terms, document-frequency and avgdl as tiny aggregates, per-term "
+        "partial scores DECIMAL(27,8)-quantized before the per-doc sum so "
+        "the float total is order-independent (the q_bigram_surprisal "
+        "pattern) — bit-stable under any partitioning and hash-matched "
+        "against the operation-for-operation DuckDB oracle. Scale: one "
+        "(doc,term) shuffle on the query-filtered explode (map-side "
+        "combined), two scalar broadcasts; top-20 is a "
+        "TakeOrderedAndProject."
+    ),
+    tags=("text", "search", "bm25", "llm-pipeline"),
+)
+def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    n_docs = d.count()  # driver scalar (exact, tiny)
+    avgdl = dl.agg(F.avg(F.col("len").cast("double"))).collect()[0][0]
+    tf = (
+        toks.where(F.col("term").isin(*_BM25_QUERY))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = (
+        F.log((F.lit(float(n_docs)) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        .cast("decimal(27,8)")  # quantize the ln (1-ulp libm skew vanishes)
+        .cast("double")
+    )
+    tf_part = (F.col("f").cast("double") * (_BM25_K1 + 1.0)) / (
+        F.col("f").cast("double")
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("len").cast("double") / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df), on="term")
+        .join(dl, on="doc_id")
+        .select("doc_id", (idf * tf_part).cast("decimal(27,8)").alias("s"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.sum("s").cast("double").alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
