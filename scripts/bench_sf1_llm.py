@@ -71,6 +71,12 @@ EAGER_OPS = (
     "q_quality_classifier_train",
     # PCA sufficient-statistics fit over the 20k x 64 embeddings
     "q_embedding_pca_variance",
+    # modified Kneser-Ney 5-gram training + KN-CCNet scoring at 50k docs:
+    # the gram-TYPE grain claim measured (the x10-verbatim-duplicated
+    # corpus has the same distinct-5-gram grain as sf0.1 by design — raw
+    # events scale x10, the type tables must not)
+    "q_kneser_ney_lm",
+    "q_ccnet_ppl_kn",
 )
 UI_PORT = 4058
 MAX_OVER_MEDIAN = 4.0

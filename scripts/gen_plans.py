@@ -118,6 +118,17 @@ def main() -> None:
         # Round-4: real media decode (Arrow-batched decode-in-place).
         "q_media_wav_stats",
         "q_media_ppm_stats",
+        # Round-6: crawl front-end, Kneser-Ney, BM25, perceptual dedup.
+        "q_kn_ngram_counts",
+        "q_ccnet_ppl_kn",
+        "q_html_extract",
+        "q_html_boilerplate",
+        "q_warc_extract",
+        "q_warc_html_pipeline",
+        "q_url_canonicalize",
+        "q_bm25_search",
+        "q_media_phash_neardup",
+        "q_media_audio_neardup",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

@@ -136,3 +136,43 @@ def test_canonicalize_url_cases(spark):
     df = spark.createDataFrame(cases, "url string, want string")
     for r in df.select(canonicalize_url(F.col("url")).alias("got"), "want").collect():
         assert r["got"] == r["want"]
+
+
+def test_canonicalize_url_idempotent_fuzz(spark):
+    """Property: canonicalization is idempotent — canon(canon(u)) ==
+    canon(u) for URLs drawn from the component grammar."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from timing_explorer_spark.operators.html_extract import canonicalize_url
+
+    host = st.text(alphabet="abcXYZ09.-", min_size=1, max_size=12).filter(
+        lambda s: ":" not in s and "/" not in s
+    )
+    path = st.text(alphabet="abzAZ09/._-", max_size=16)
+    key = st.text(alphabet="abz09_", min_size=1, max_size=6)
+    val = st.text(alphabet="abz09", max_size=5)
+    params = st.lists(st.tuples(key, val), max_size=4)
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        scheme=st.sampled_from(["http", "HTTP", "https", "HTTPS"]),
+        host=host,
+        port=st.sampled_from(["", ":80", ":443", ":8080"]),
+        path=path,
+        params=params,
+        frag=st.sampled_from(["", "#x", "#a=b"]),
+    )
+    def prop(scheme, host, port, path, params, frag):
+        q = "&".join(f"{k}={v}" for k, v in params)
+        url = f"{scheme}://{host}{port}/{path}" + (f"?{q}" if q else "") + frag
+        df = spark.createDataFrame([(url,)], "url string")
+        once = df.select(canonicalize_url(F.col("url")).alias("c")).collect()[0]["c"]
+        twice = (
+            spark.createDataFrame([(once,)], "url string")
+            .select(canonicalize_url(F.col("url")).alias("c"))
+            .collect()[0]["c"]
+        )
+        assert twice == once, (url, once, twice)
+
+    prop()

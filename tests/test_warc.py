@@ -132,3 +132,46 @@ def test_read_warc_stream(spark, tmp_path):
     assert len(quarantined) == 1 and quarantined[0]["leftover_bytes"] == len(
         b"GARBAGE TRAILING BYTES"
     )
+
+
+def test_fuzz_roundtrip_random_blobs():
+    """Property: ANY payload bytes (including CRLF runs, fake WARC headers,
+    empty) concatenated as N records parse back exactly — ids, URIs,
+    lengths, and payload bytes all survive; appending garbage quarantines
+    exactly the garbage tail."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    payloads = st.lists(
+        st.binary(min_size=0, max_size=200), min_size=1, max_size=6
+    )
+    garbage = st.one_of(
+        st.just(b""),
+        st.binary(min_size=1, max_size=40).filter(
+            lambda b: not b.startswith(b"\r\nWARC/") and not b.startswith(b"WARC/")
+        ),
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(payloads=payloads, tail=garbage)
+    def prop(payloads, tail):
+        blob = b"".join(
+            encode_warc_record(p, f"http://x/{i}", f"<urn:uuid:{i}>")
+            for i, p in enumerate(payloads)
+        )
+        recs = parse_warc_blob(blob + tail)
+        valid = [r for r in recs if r["valid"]]
+        assert len(valid) == len(payloads)
+        for i, (r, p) in enumerate(zip(valid, payloads)):
+            assert r["payload"] == p
+            assert r["target_uri"] == f"http://x/{i}"
+            assert r["content_length"] == len(p)
+        bad = [r for r in recs if not r["valid"]]
+        # inter-record padding (\r\n pairs) is legitimately skipped, so a
+        # garbage tail of only CRLFs parses as padding, not quarantine
+        if tail and tail.strip(b"\r\n"):
+            assert len(bad) == 1
+        else:
+            assert bad == []
+
+    prop()
