@@ -244,3 +244,39 @@ def test_ccnet_buckets_kn_path(spark):
     assert out[100]["ppl"] < out[101]["ppl"]
     assert out[102]["ppl"] < out[103]["ppl"]
     model.unpersist()
+
+
+def test_kn_order5_matches_reference(spark):
+    """The registry trains ORDER 5 — pin that against the reference too
+    (the order-3 pin above covers the recursion; this covers the depth the
+    driver actually runs)."""
+    model = kn_train(_toy_df(spark), order=5)
+    rparts, rgammas, rdisc, rv = ref_train([t for _, t in TOY], 5)
+    assert model.vocab_size == rv
+    for k in range(1, 6):
+        assert model.discounts[k] == pytest.approx(rdisc[k], abs=1e-12)
+    sparts, sgammas = _collect_model(model)
+    for k in range(1, 6):
+        assert set(sparts[k]) == set(rparts[k]), f"order-{k} keys"
+        for g, v in rparts[k].items():
+            assert sparts[k][g] == pytest.approx(v, abs=1e-12), (k, g)
+        for ctx, v in rgammas[k].items():
+            assert sgammas[k][ctx] == pytest.approx(v, abs=1e-12), (k, ctx)
+    got = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), model).collect()}
+    for doc_id, text in TOY:
+        assert got[doc_id] == pytest.approx(ref_ppl(text, rparts, rgammas, 5, rv), rel=1e-9)
+    model.unpersist()
+
+
+def test_kn_save_load_scores_identically(spark, tmp_path):
+    from timing_explorer_spark.operators.kneser_ney import kn_load, kn_save
+
+    model = kn_train(_toy_df(spark), order=ORDER)
+    before = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), model).collect()}
+    kn_save(model, str(tmp_path / "knm"))
+    model.unpersist()
+    loaded = kn_load(spark, str(tmp_path / "knm"))
+    assert loaded.order == ORDER and loaded.discounts == model.discounts
+    after = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), loaded).collect()}
+    assert after == before  # bit-identical scoring through the artifact
+    loaded.unpersist()

@@ -70,6 +70,8 @@ _EXPORTS = {
     "ccnet_buckets": "timing_explorer_spark.operators.unigram:ccnet_buckets",
     "kn_train": "timing_explorer_spark.operators.kneser_ney:kn_train",
     "kn_perplexity": "timing_explorer_spark.operators.kneser_ney:kn_perplexity",
+    "kn_save": "timing_explorer_spark.operators.kneser_ney:kn_save",
+    "kn_load": "timing_explorer_spark.operators.kneser_ney:kn_load",
     "ngram_counts": "timing_explorer_spark.operators.kneser_ney:ngram_counts",
     "logreg_train": "timing_explorer_spark.operators.logreg:logreg_train",
     "logreg_score": "timing_explorer_spark.operators.logreg:logreg_score",

@@ -350,3 +350,48 @@ def ccnet_buckets_kn(
     ppl = kn_perplexity(docs, model, text_col=text_col, id_col=id_col)
     scored = docs.select(id_col, lang_col).join(ppl, on=id_col)
     return _bucketize(scored, id_col, lang_col, n_buckets, method)
+
+
+def kn_save(model: KNModel, path: str) -> None:
+    """Persist a trained model as parquet tables + a tiny JSON sidecar —
+    the train-once / score-many-corpora artifact (KenLM's .arpa analog).
+    Layout: <path>/part_k.parquet, <path>/gamma_k.parquet, <path>/meta.json."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    for k in range(1, model.order + 1):
+        model.parts[k].write.mode("overwrite").parquet(f"{path}/part_{k}.parquet")
+        model.gammas[k].write.mode("overwrite").parquet(f"{path}/gamma_{k}.parquet")
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(
+            {
+                "order": model.order,
+                "gamma1": model.gamma1,
+                "vocab_size": model.vocab_size,
+                "discounts": {str(k): list(v) for k, v in model.discounts.items()},
+            },
+            f,
+        )
+
+
+def kn_load(spark, path: str) -> KNModel:
+    """Load a kn_save artifact; the returned model scores identically to
+    the one that was saved (tested bit-for-bit)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    model = KNModel(
+        order=int(meta["order"]),
+        gamma1=float(meta["gamma1"]),
+        vocab_size=int(meta["vocab_size"]),
+        discounts={int(k): tuple(v) for k, v in meta["discounts"].items()},
+    )
+    from .dedup import track_cache
+
+    for k in range(1, model.order + 1):
+        model.parts[k] = track_cache(spark.read.parquet(f"{path}/part_{k}.parquet"))
+        model.gammas[k] = track_cache(spark.read.parquet(f"{path}/gamma_{k}.parquet"))
+    return model
