@@ -176,3 +176,16 @@ def test_canonicalize_url_idempotent_fuzz(spark):
         assert twice == once, (url, once, twice)
 
     prop()
+
+
+def test_strip_html_known_limitation_attr_gt(spark):
+    """KNOWN LIMITATION, pinned so the docs can't rot: an attribute value
+    containing '>' shears the tag regex (every regexp-based stripper shares
+    this; a DOM parser is the fix). The leak is bounded — the attribute
+    TAIL appears as text; no content is LOST."""
+    df = spark.createDataFrame(
+        [('<a title="a>b">link</a> rest',)], "html string"
+    )
+    got = df.select(strip_html(F.col("html")).alias("c")).collect()[0]["c"]
+    assert got == 'b">link rest'  # sheared at the first '>', tail leaks as text
+    assert "link" in got and "rest" in got  # real content survives

@@ -280,3 +280,39 @@ def test_kn_save_load_scores_identically(spark, tmp_path):
     after = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), loaded).collect()}
     assert after == before  # bit-identical scoring through the artifact
     loaded.unpersist()
+
+
+def test_per_lang_models_equal_slice_training(spark):
+    """The CCNet per-language recipe: each language's model must be
+    EXACTLY the model trained on that language's slice alone (no
+    cross-language leakage through shared tables), and per-lang scoring
+    routes every doc through its own model."""
+    from timing_explorer_spark.operators.kneser_ney import (
+        kn_perplexity_per_lang,
+        kn_train_per_lang,
+    )
+
+    bilingual = [(i, t, "en") for i, t in TOY] + [
+        (100, "der hund sitzt auf der matte", "de"),
+        (101, "die katze sitzt auf dem baum", "de"),
+        (102, "der hund frisst die wurst", "de"),
+    ]
+    docs = spark.createDataFrame(bilingual, "doc_id int, text string, lang string")
+    models = kn_train_per_lang(docs, order=ORDER)
+    assert set(models) == {"en", "de"}
+    # en model == the model trained on the en slice alone
+    solo = kn_train(_toy_df(spark), order=ORDER)
+    assert models["en"].discounts == solo.discounts
+    assert models["en"].vocab_size == solo.vocab_size
+    p_multi, _ = _collect_model(models["en"])
+    p_solo, _ = _collect_model(solo)
+    assert p_multi == p_solo
+    # per-lang scoring covers every doc exactly once, under its own model
+    scored = {r["doc_id"]: r["ppl"] for r in kn_perplexity_per_lang(docs, models).collect()}
+    assert set(scored) == {i for i, *_ in bilingual}
+    solo_ppl = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), solo).collect()}
+    for i, _t in TOY:
+        assert scored[i] == solo_ppl[i]
+    for m in models.values():
+        m.unpersist()
+    solo.unpersist()

@@ -72,6 +72,8 @@ _EXPORTS = {
     "kn_perplexity": "timing_explorer_spark.operators.kneser_ney:kn_perplexity",
     "kn_save": "timing_explorer_spark.operators.kneser_ney:kn_save",
     "kn_load": "timing_explorer_spark.operators.kneser_ney:kn_load",
+    "kn_train_per_lang": "timing_explorer_spark.operators.kneser_ney:kn_train_per_lang",
+    "kn_perplexity_per_lang": "timing_explorer_spark.operators.kneser_ney:kn_perplexity_per_lang",
     "ngram_counts": "timing_explorer_spark.operators.kneser_ney:ngram_counts",
     "logreg_train": "timing_explorer_spark.operators.logreg:logreg_train",
     "logreg_score": "timing_explorer_spark.operators.logreg:logreg_score",

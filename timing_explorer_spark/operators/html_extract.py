@@ -70,7 +70,12 @@ _ENTITIES = (
 def strip_html(html: Column) -> Column:
     """Visible text of an HTML string: drop script/style/noscript/comment
     subtrees, strip every remaining tag, decode the common entities,
-    collapse whitespace. Pure regexp chain (oracle-expressible)."""
+    collapse whitespace. Pure regexp chain (oracle-expressible).
+
+    Known limitation (pinned in tests): an attribute value containing '>'
+    shears the tag pattern at that '>', leaking the attribute tail as text
+    — the shared failure mode of every regexp-based stripper (a DOM parser
+    is the fix). Content is never LOST, only boilerplate bytes leak in."""
     c = html
     for pat in _DROP_SUBTREES:
         c = F.regexp_replace(c, pat, " ")

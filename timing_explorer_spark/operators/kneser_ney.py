@@ -395,3 +395,46 @@ def kn_load(spark, path: str) -> KNModel:
         model.parts[k] = track_cache(spark.read.parquet(f"{path}/part_{k}.parquet"))
         model.gammas[k] = track_cache(spark.read.parquet(f"{path}/gamma_{k}.parquet"))
     return model
+
+
+def kn_train_per_lang(
+    docs: DataFrame,
+    order: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> dict[str, KNModel]:
+    """One KN model PER LANGUAGE — the full CCNet recipe (Wenzek 2020
+    trains a separate KenLM per language; a shared LM mis-ranks the smaller
+    languages toward the tail). Languages are enumerated with one tiny
+    distinct scan; each model trains on its language's slice only."""
+    langs = [r[0] for r in docs.select(lang_col).distinct().collect()]
+    return {
+        lang: kn_train(
+            docs.where(F.col(lang_col) == lang), order, text_col, id_col
+        )
+        for lang in sorted(langs)
+    }
+
+
+def kn_perplexity_per_lang(
+    docs: DataFrame,
+    models: dict[str, KNModel],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-doc perplexity, each document scored under ITS language's model
+    (union of the per-lang scored slices). Pairs with
+    unigram.ccnet_buckets via its model-scored input — or feed the output
+    straight to unigram._bucketize through ccnet_buckets(model=...) per
+    slice."""
+    out = None
+    for lang, model in sorted(models.items()):
+        scored = kn_perplexity(
+            docs.where(F.col(lang_col) == lang), model, text_col, id_col
+        )
+        out = scored if out is None else out.unionByName(scored)
+    if out is None:
+        raise ValueError("kn_perplexity_per_lang: no models given")
+    return out
