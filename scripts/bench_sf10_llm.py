@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Dedup-family scale probe at 500k documents (sf10 tiling).
+
+bench_sf1_llm.py measures the LLM ops at 50k docs; this probe pushes the
+FLAGSHIP dedup chain another 10x — 500,000 documents where EVERY document
+sits in a 100-copy exact-duplicate group (verbatim tiling), the densest
+near-dup cluster shape a crawl snapshot produces (~24.7M true pairs):
+
+  - exact dedup: one md5 shuffle, group size 100
+  - MinHash+LSH: banded candidates + exact verify over ~24.7M candidate
+    pairs — proves the candidate-set discipline (no all-pairs) at a scale
+    where an all-pairs join would be 1.25e11 comparisons
+  - connected components over the ~24.7M-edge pair graph (100-cliques
+    converge in one propagation round)
+
+Per op: wall seconds (rebuild per run — these materialize in build()),
+total shuffle write bytes, and REST per-task skew (max/median per stage,
+bound 4x — the same methodology as bench_sf1_llm). ONE JSON line; recorded
+as BENCH_sf10_llm.json.
+
+Usage: python scripts/bench_sf10_llm.py [fixture_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+from make_sf10 import make_sf10  # noqa: E402
+
+# (name, builder) — components run over the MINHASH candidate pairs, not
+# the exact inverted-index pairs: at 100-copy dup groups every shingle has
+# df >= 100, so the exact index's per-shingle pair fan-out is the known hot
+# spot its max_shingle_df cap exists for; the LSH chain is the shape a
+# 500k+/100 TB corpus actually runs (candidates -> verify -> components).
+def _ops():
+    from timing_explorer_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        resolve_components,
+    )
+    from timing_explorer_spark.plans import all_queries
+    from timing_explorer_spark.sources.tables import load
+
+    specs = all_queries()
+    return (
+        ("exact_dedup_500k", lambda spark, d: specs["q_exact_dedup_docs"].build(spark, d)),
+        ("minhash_lsh_500k", lambda spark, d: specs["q_minhash_lsh_neardup"].build(spark, d)),
+        (
+            "lsh_components_500k",
+            lambda spark, d: resolve_components(
+                minhash_lsh_pairs(load(spark, d, "documents"), threshold=0.8)
+            ),
+        ),
+    )
+UI_PORT = 4060
+MAX_OVER_MEDIAN = 4.0
+MIN_STAGE_SHUFFLE = 8 * 1024 * 1024
+
+
+def _rest(path: str):
+    with urllib.request.urlopen(
+        f"http://localhost:{UI_PORT}/api/v1{path}", timeout=15
+    ) as r:
+        return json.loads(r.read())
+
+
+def _app_id() -> str:
+    return _rest("/applications")[0]["id"]
+
+
+def _worst_skew(app: str, since_stage: int) -> dict | None:
+    worst = None
+    for s in _rest(f"/applications/{app}/stages?status=COMPLETE"):
+        if s["stageId"] <= since_stage:
+            continue
+        try:
+            summ = _rest(
+                f"/applications/{app}/stages/{s['stageId']}/{s['attemptId']}/taskSummary"
+                "?quantiles=0.5,1.0"
+            )
+        except Exception:  # noqa: BLE001
+            continue
+        read = summ.get("shuffleReadMetrics", {}).get("readBytes")
+        if not read or float(read[1]) < MIN_STAGE_SHUFFLE:
+            continue
+        ratio = float(read[1]) / max(float(read[0]), 1.0)
+        if worst is None or ratio > worst["ratio"]:
+            worst = {
+                "stage": s["stageId"],
+                "name": s.get("name", "")[:60],
+                "median_task_shuffle_read": int(float(read[0])),
+                "max_task_shuffle_read": int(float(read[1])),
+                "ratio": round(ratio, 2),
+            }
+    return worst
+
+
+def _shuffle_write(app: str) -> int:
+    return sum(
+        s.get("shuffleWriteBytes", 0)
+        for s in _rest(f"/applications/{app}/stages?status=COMPLETE")
+    )
+
+
+def main() -> int:
+    sf_dir = make_sf10(sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf10-fixture")
+
+    from timing_explorer_spark.operators.dedup import release_cached
+    from timing_explorer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="timing-explorer-spark-bench-sf10-llm",
+        shuffle_partitions=64,  # real reduce work at this scale
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            "spark.ui.retainedStages": "5000",
+        },
+    )
+    spark.sparkContext.setLogLevel("WARN")
+    app = _app_id()
+
+    out: dict[str, dict] = {}
+    violations = []
+    for name, build in _ops():
+        release_cached()
+        since = max(
+            (s["stageId"] for s in _rest(f"/applications/{app}/stages")), default=-1
+        )
+        w0 = _shuffle_write(app)
+        t0 = time.monotonic()
+        df = build(spark, sf_dir)
+        n_rows = df.count()
+        wall = round(time.monotonic() - t0, 1)
+        skew = _worst_skew(app, since)
+        out[name] = {
+            "wall_sec": wall,
+            "rows": n_rows,
+            "shuffle_write_bytes": _shuffle_write(app) - w0,
+            "worst_task_skew": skew,
+        }
+        if skew and skew["ratio"] > MAX_OVER_MEDIAN:
+            violations.append({"op": name, **skew})
+    release_cached()
+
+    print(
+        json.dumps(
+            {
+                "metric": "sf10_dedup_scale_probe",
+                "unit": "sec",
+                "sf": 10.0,
+                "corpus": "500k docs, verbatim 100-copy dup groups (make_sf10 tiling)",
+                "task_skew_bound": MAX_OVER_MEDIAN,
+                "ops": out,
+                "skew_violations": violations,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -33,6 +33,10 @@ SHIFTED = {
     "customer": ("c_custkey",),
     "supplier": ("s_suppkey",),
     "events": ("event_id", "user_id"),
+    # documents tile VERBATIM (like make_sf1): 500k docs, every doc in a
+    # 100-copy exact-dup group — the hostile dense-cluster shape for the
+    # sf10 dedup scale probe (scripts/bench_sf10_llm.py)
+    "documents": ("doc_id",),
 }
 COPIED = ("region", "nation")
 

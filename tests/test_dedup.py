@@ -102,3 +102,23 @@ def test_minhash_lsh_equals_exact_at_sf01(spark):
         )
     finally:
         release_cached()
+
+
+def test_minhash_plan_never_broadcasts_corpus_sides(spark):
+    """Plan-shape pin (found at 500k docs, round 6): Catalyst's static
+    estimate of the not-yet-materialized cached projections undershoots the
+    broadcast threshold and plans corpus-sized BroadcastExchanges — the
+    band-index self-join built the 8M-row index as a broadcast relation and
+    aborted on spark.driver.maxResultSize. The shuffle_hash hints must keep
+    every join in the minhash chain broadcast-free at ANY scale."""
+    import re
+
+    from timing_explorer_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} common words here") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = minhash_lsh_pairs(docs, threshold=0.8)._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"BroadcastExchange", plan), "corpus-sized broadcast crept back"
+    assert len(re.findall(r"ShuffledHashJoin|SortMergeJoin", plan)) >= 3

@@ -248,8 +248,12 @@ def minhash_lsh_pairs(
     # into the band-explode lambda, re-evaluating it once per band (16x).
     sigs = _track(_signatures_from_shingled(shingled, num_perm, seed=42))
     banded = _track(_band_index(sigs, bands, rows))  # both self-join sides
+    # The band index is CORPUS x bands rows — same static-misestimate trap
+    # as the shingle side below: pin the self-join to shuffle-hash so the
+    # candidate join never broadcasts a corpus-sized relation (observed at
+    # 500k docs: Catalyst planned BuildRight over the 8M-row index).
     a = banded.alias("a")
-    b2 = banded.alias("b")
+    b2 = banded.hint("shuffle_hash").alias("b")
     cands = (
         a.join(
             b2,
@@ -262,8 +266,14 @@ def minhash_lsh_pairs(
     )
     # Exact verification on candidates only: join each pair to its two cached
     # shingle sets and compute J = |A∩B| / (|A| + |B| - |A∩B|).
-    sa = shingled.select(F.col("doc").alias("doc_a"), F.col("__arr").alias("__arr_a"))
-    sb = shingled.select(F.col("doc").alias("doc_b"), F.col("__arr").alias("__arr_b"))
+    # The shingle side is CORPUS-sized (one array per doc) — pin these joins
+    # to shuffle-hash: Catalyst's static estimate of the not-yet-materialized
+    # cached projection can undershoot the broadcast threshold and plan a
+    # corpus-sized BroadcastExchange (observed at 500k docs: 1 GiB through
+    # the driver -> maxResultSize abort). A 100 TB deployment never
+    # broadcasts the shingle table; the hint makes that the plan everywhere.
+    sa = shingled.select(F.col("doc").alias("doc_a"), F.col("__arr").alias("__arr_a")).hint("shuffle_hash")
+    sb = shingled.select(F.col("doc").alias("doc_b"), F.col("__arr").alias("__arr_b")).hint("shuffle_hash")
     inter = F.size(F.array_intersect("__arr_a", "__arr_b"))
     union = F.size("__arr_a") + F.size("__arr_b") - inter
     return (
