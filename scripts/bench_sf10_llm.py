@@ -44,10 +44,32 @@ def _ops():
         minhash_lsh_pairs,
         resolve_components,
     )
+    from timing_explorer_spark.operators.similarity import (
+        ivf_topk,
+        lsh_topk,
+        semdedup_pairs,
+    )
     from timing_explorer_spark.plans import all_queries
     from timing_explorer_spark.sources.tables import load
 
     specs = all_queries()
+
+    def _lsh(spark, d):
+        emb = load(spark, d, "embeddings")
+        return lsh_topk(emb, emb.limit(16), k=10)
+
+    def _ivf(spark, d):
+        emb = load(spark, d, "embeddings")
+        return ivf_topk(emb, emb.limit(16), k=10, n_centroids=64)
+
+    def _semdedup(spark, d):
+        # 256 clusters keep the within-cluster pair grain ~ sum(size^2) at
+        # ~150M comparisons for 200k vectors (the paper's knob: clusters
+        # scale with corpus so cluster size stays bounded)
+        return semdedup_pairs(
+            load(spark, d, "embeddings"), threshold=0.99, n_clusters=256
+        )
+
     return (
         ("exact_dedup_500k", lambda spark, d: specs["q_exact_dedup_docs"].build(spark, d)),
         ("minhash_lsh_500k", lambda spark, d: specs["q_minhash_lsh_neardup"].build(spark, d)),
@@ -57,6 +79,10 @@ def _ops():
                 minhash_lsh_pairs(load(spark, d, "documents"), threshold=0.8)
             ),
         ),
+        # embedding family at 200k vectors (10x the sf1 probe)
+        ("ann_lsh_topk_200k", _lsh),
+        ("ann_ivf_topk_200k", _ivf),
+        ("semdedup_200k", _semdedup),
     )
 UI_PORT = 4060
 MAX_OVER_MEDIAN = 4.0
@@ -126,9 +152,13 @@ def main() -> int:
     spark.sparkContext.setLogLevel("WARN")
     app = _app_id()
 
+    only = os.environ.get("SPARK_GRAFT_SF10_OPS")
+    selected = [
+        (n, b) for n, b in _ops() if only is None or n in only.split(",")
+    ]
     out: dict[str, dict] = {}
     violations = []
-    for name, build in _ops():
+    for name, build in selected:
         release_cached()
         since = max(
             (s["stageId"] for s in _rest(f"/applications/{app}/stages")), default=-1
@@ -136,6 +166,13 @@ def main() -> int:
         w0 = _shuffle_write(app)
         t0 = time.monotonic()
         df = build(spark, sf_dir)
+        if name.startswith(("minhash", "lsh_components")):
+            # the 500k-scale half of the stats-accuracy pin
+            # (tests/test_dedup.py::test_minhash_joins_plan_from_materialized_stats):
+            # with the corpus-grain caches materialized, NO join in the
+            # chain may plan a broadcast at this size
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan, f"{name}: corpus-sized broadcast"
         n_rows = df.count()
         wall = round(time.monotonic() - t0, 1)
         skew = _worst_skew(app, since)

@@ -50,7 +50,7 @@ def make_sf10(out_dir: str = "/tmp/sf10-fixture") -> str:
         path = os.path.join(out_dir, f"{t}.parquet")
         if not os.path.exists(path):
             return False
-        if t in SHIFTED:
+        if t in SHIFTED or t == "embeddings":
             src_n = con.execute(
                 f"SELECT COUNT(*) FROM read_parquet('{os.path.join(SRC, t)}.parquet')"
             ).fetchone()[0]
@@ -60,7 +60,7 @@ def make_sf10(out_dir: str = "/tmp/sf10-fixture") -> str:
             return out_n == src_n * N_REPLICAS
         return True
 
-    tables = list(SHIFTED) + list(COPIED)
+    tables = list(SHIFTED) + list(COPIED) + ["embeddings"]
     if all(fresh(t) for t in tables):
         con.close()
         return out_dir
@@ -92,6 +92,31 @@ def make_sf10(out_dir: str = "/tmp/sf10-fixture") -> str:
         shutil.copyfile(
             os.path.join(SRC, f"{t}.parquet"), os.path.join(out_dir, f"{t}.parquet")
         )
+    # embeddings tile like make_sf1: per-replica +r*0.001 perturbation ->
+    # 200k vectors in dense near-dup families (the ANN scale-probe shape)
+    emb_out = os.path.join(out_dir, "embeddings.parquet")
+    src = os.path.join(SRC, "embeddings.parquet")
+    con2 = duckdb.connect()
+    src_n = con2.execute(f"SELECT COUNT(*) FROM read_parquet('{src}')").fetchone()[0]
+    need = not os.path.exists(emb_out) or con2.execute(
+        f"SELECT COUNT(*) FROM read_parquet('{emb_out}')"
+    ).fetchone()[0] != src_n * N_REPLICAS
+    if need:
+        con2.execute(
+            f"""
+            COPY (
+                SELECT (vec_id + r.r * {SHIFT}) AS vec_id,
+                       list_transform(embedding,
+                                      x -> CAST(x + r.r * 0.001 AS FLOAT))
+                           AS embedding,
+                       label
+                FROM read_parquet('{src}')
+                CROSS JOIN (SELECT UNNEST(range({N_REPLICAS})) AS r) r
+                ORDER BY r.r
+            ) TO '{emb_out}' (FORMAT PARQUET)
+            """
+        )
+    con2.close()
     con.close()
     return out_dir
 

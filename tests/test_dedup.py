@@ -104,21 +104,31 @@ def test_minhash_lsh_equals_exact_at_sf01(spark):
         release_cached()
 
 
-def test_minhash_plan_never_broadcasts_corpus_sides(spark):
-    """Plan-shape pin (found at 500k docs, round 6): Catalyst's static
-    estimate of the not-yet-materialized cached projections undershoots the
-    broadcast threshold and plans corpus-sized BroadcastExchanges — the
-    band-index self-join built the 8M-row index as a broadcast relation and
-    aborted on spark.driver.maxResultSize. The shuffle_hash hints must keep
-    every join in the minhash chain broadcast-free at ANY scale."""
+def test_minhash_joins_plan_from_materialized_stats(spark):
+    """Stats-accuracy pin (found at 500k docs, round 6): Catalyst's static
+    estimate of a NOT-yet-computed cached projection undershoots the
+    broadcast threshold — at 500k docs it planned the 8M-row band index and
+    the 1-GiB shingle table as BroadcastExchanges and aborted on
+    spark.driver.maxResultSize. minhash_lsh_pairs therefore MATERIALIZES the
+    corpus-grain caches before the joins plan, so join strategy follows the
+    REAL sizes at every scale: this toy corpus must broadcast (fast), and
+    the caches must already be computed when the function returns (that is
+    the mechanism — scripts/bench_sf10_llm.py asserts the 500k-scale half:
+    zero broadcasts there)."""
     import re
 
-    from timing_explorer_spark.operators.dedup import minhash_lsh_pairs
+    from timing_explorer_spark.operators.dedup import minhash_lsh_pairs, release_cached
 
+    release_cached()
     docs = spark.createDataFrame(
         [(i, f"w{i} w{i+1} w{i+2} w{i+3} w{i+4} common words here") for i in range(50)],
         "doc_id long, text string",
     )
-    plan = minhash_lsh_pairs(docs, threshold=0.8)._jdf.queryExecution().executedPlan().toString()
-    assert not re.search(r"BroadcastExchange", plan), "corpus-sized broadcast crept back"
-    assert len(re.findall(r"ShuffledHashJoin|SortMergeJoin", plan)) >= 3
+    df = minhash_lsh_pairs(docs, threshold=0.8)
+    # the corpus-grain caches were computed BEFORE the result was acted on
+    infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
+    assert any(i.numCachedPartitions() > 0 for i in infos), "caches not materialized"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # tiny corpus + real stats -> the broadcast plan (the fast one here)
+    assert re.search(r"BroadcastExchange", plan)
+    release_cached()

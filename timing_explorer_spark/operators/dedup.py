@@ -248,12 +248,17 @@ def minhash_lsh_pairs(
     # into the band-explode lambda, re-evaluating it once per band (16x).
     sigs = _track(_signatures_from_shingled(shingled, num_perm, seed=42))
     banded = _track(_band_index(sigs, bands, rows))  # both self-join sides
-    # The band index is CORPUS x bands rows — same static-misestimate trap
-    # as the shingle side below: pin the self-join to shuffle-hash so the
-    # candidate join never broadcasts a corpus-sized relation (observed at
-    # 500k docs: Catalyst planned BuildRight over the 8M-row index).
+    # MATERIALIZE the two corpus-grain join sides before the join plans:
+    # Catalyst's static estimate of a not-yet-computed cached projection
+    # undershoots the broadcast threshold, and at 500k docs it planned the
+    # 8M-row band index AND the 1-GiB shingle table as BroadcastExchanges
+    # (driver maxResultSize abort). With the caches computed, join strategy
+    # follows the REAL sizes at every scale: tiny corpora still broadcast
+    # (fast), large ones plan shuffle joins (the only shape that survives
+    # 100 TB). Counting banded materializes the shingled->sigs chain too.
+    banded.count()
     a = banded.alias("a")
-    b2 = banded.hint("shuffle_hash").alias("b")
+    b2 = banded.alias("b")
     cands = (
         a.join(
             b2,
@@ -265,15 +270,11 @@ def minhash_lsh_pairs(
         .distinct()
     )
     # Exact verification on candidates only: join each pair to its two cached
-    # shingle sets and compute J = |A∩B| / (|A| + |B| - |A∩B|).
-    # The shingle side is CORPUS-sized (one array per doc) — pin these joins
-    # to shuffle-hash: Catalyst's static estimate of the not-yet-materialized
-    # cached projection can undershoot the broadcast threshold and plan a
-    # corpus-sized BroadcastExchange (observed at 500k docs: 1 GiB through
-    # the driver -> maxResultSize abort). A 100 TB deployment never
-    # broadcasts the shingle table; the hint makes that the plan everywhere.
-    sa = shingled.select(F.col("doc").alias("doc_a"), F.col("__arr").alias("__arr_a")).hint("shuffle_hash")
-    sb = shingled.select(F.col("doc").alias("doc_b"), F.col("__arr").alias("__arr_b")).hint("shuffle_hash")
+    # shingle sets and compute J = |A∩B| / (|A| + |B| - |A∩B|). The shingle
+    # cache is materialized (above), so these joins also plan from real
+    # sizes — broadcast at toy scale, shuffle at corpus scale.
+    sa = shingled.select(F.col("doc").alias("doc_a"), F.col("__arr").alias("__arr_a"))
+    sb = shingled.select(F.col("doc").alias("doc_b"), F.col("__arr").alias("__arr_b"))
     inter = F.size(F.array_intersect("__arr_a", "__arr_b"))
     union = F.size("__arr_a") + F.size("__arr_b") - inter
     return (
