@@ -158,6 +158,20 @@ def main() -> int:
     ]
     out: dict[str, dict] = {}
     violations = []
+
+    def _ann_recall(spark, topk_df) -> float:
+        """Top-10 recall vs exact brute force for the SAME 16 queries —
+        ground truth is 16 x 200k cosines (cheap), so the recall claim
+        holds at this scale, not just the sf1 20k probe."""
+        from timing_explorer_spark.operators.similarity import brute_force_topk
+        from timing_explorer_spark.sources.tables import load
+
+        emb = load(spark, sf_dir, "embeddings")
+        truth = brute_force_topk(emb, emb.limit(16), k=10)
+        t = {(r["query_id"], r["neighbor_id"]) for r in truth.collect()}
+        g = {(r["query_id"], r["neighbor_id"]) for r in topk_df.collect()}
+        return round(len(t & g) / len(t), 3)
+
     for name, build in selected:
         release_cached()
         since = max(
@@ -182,6 +196,8 @@ def main() -> int:
             "shuffle_write_bytes": _shuffle_write(app) - w0,
             "worst_task_skew": skew,
         }
+        if name.startswith("ann_"):
+            out[name]["top10_recall_vs_bruteforce"] = _ann_recall(spark, df)
         if skew and skew["ratio"] > MAX_OVER_MEDIAN:
             violations.append({"op": name, **skew})
     release_cached()
