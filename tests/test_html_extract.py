@@ -189,3 +189,35 @@ def test_strip_html_known_limitation_attr_gt(spark):
     got = df.select(strip_html(F.col("html")).alias("c")).collect()[0]["c"]
     assert got == 'b">link rest'  # sheared at the first '>', tail leaks as text
     assert "link" in got and "rest" in got  # real content survives
+
+
+def test_langid_nb_separable_accuracy(spark, tmp_path):
+    """q_langid_nb on a corpus whose languages actually have distinct
+    character statistics: the trained NB must recover the declared label
+    for every document (the shared-vocabulary fixture caveat is about the
+    DATA, not the classifier)."""
+    import random
+
+    from timing_explorer_spark.plans import all_queries
+
+    rng = random.Random(7)
+    lex = {
+        "en": ["the", "quick", "brown", "fox", "jumps", "with", "their", "house", "water", "light"],
+        "de": ["der", "schnelle", "braune", "fuchs", "springt", "durch", "nacht", "wasser", "licht", "strasse"],
+        "fr": ["le", "renard", "brun", "rapide", "saute", "avec", "leur", "maison", "eau", "lumiere"],
+    }
+    rows = []
+    i = 0
+    for lang, words in lex.items():
+        for _ in range(10):
+            text = " ".join(rng.choice(words) for _ in range(30))
+            rows.append((i, text, lang, "srcX", len(text)))
+            i += 1
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = all_queries()["q_langid_nb"].build(spark, str(tmp_path)).collect()
+    declared = {r[0]: r[2] for r in rows}
+    hits = sum(1 for r in out if r["predicted_lang"] == declared[r["doc_id"]])
+    assert len(out) == 30
+    assert hits == 30, f"only {hits}/30 correct on a separable corpus"

@@ -1435,3 +1435,137 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
+
+
+@register(
+    "q_langid_nb",
+    oracle="""
+        WITH tris AS (
+            SELECT doc_id, lang,
+                   UNNEST(list_transform(range(LENGTH(text) - 2),
+                          i -> substr(text, CAST(i + 1 AS INT), 3))) AS tri
+            FROM documents
+        ),
+        model AS (
+            SELECT lang AS mlang, tri, COUNT(*) AS c
+            FROM tris GROUP BY lang, tri
+        ),
+        tot AS (SELECT mlang, SUM(c) AS t FROM model GROUP BY mlang),
+        vocab AS (SELECT COUNT(DISTINCT tri) AS v FROM tris),
+        nl AS (SELECT lang AS plang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+        nall AS (SELECT COUNT(*) AS n FROM documents),
+        doctri AS (
+            SELECT doc_id, tri, COUNT(*) AS n FROM tris GROUP BY doc_id, tri
+        ),
+        langs AS (SELECT DISTINCT lang AS slang FROM documents),
+        scored AS (
+            SELECT d.doc_id, l.slang,
+                   SUM(CAST(d.n AS DECIMAL(10,0)) * (CAST(LN(COALESCE(m.c, 0) + 1) AS DECIMAL(27,8))
+                              - CAST(LN(t.t + v.v) AS DECIMAL(27,8)))) AS s
+            FROM doctri d
+            CROSS JOIN langs l
+            LEFT JOIN model m ON m.mlang = l.slang AND m.tri = d.tri
+            JOIN tot t ON t.mlang = l.slang
+            CROSS JOIN vocab v
+            GROUP BY d.doc_id, l.slang
+        ),
+        total AS (
+            SELECT s.doc_id, s.slang,
+                   s.s + CAST(LN(nl.n_docs) AS DECIMAL(27,8))
+                       - CAST(LN(nall.n) AS DECIMAL(27,8)) AS score
+            FROM scored s
+            JOIN nl ON nl.plang = s.slang
+            CROSS JOIN nall
+        ),
+        ranked AS (
+            SELECT doc_id, slang, score,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY score DESC, slang ASC) AS rn
+            FROM total
+        )
+        SELECT doc_id, slang AS predicted_lang, CAST(score AS DOUBLE) AS score
+        FROM ranked WHERE rn = 1
+    """,
+    doc=(
+        "TRAINED language identification — multinomial Naive Bayes over "
+        "char TRIGRAMS with Laplace smoothing (the relational cousin of "
+        "CCNet's fastText langid; companion to the lexicon heuristic "
+        "q_lang_id_heuristic): per-(lang, trigram) counts + per-lang totals "
+        "+ priors are all RELATIONAL (no driver collect anywhere — the "
+        "model is a DataFrame the scorer joins), per-term logs "
+        "DECIMAL(27,8)-quantized so the per-doc score sums are exact and "
+        "order-independent — the whole trained classifier hash-matches the "
+        "DuckDB oracle. (On this shared-vocabulary synthetic corpus the "
+        "PREDICTIONS are near-uniform by construction — q_lang_id_heuristic "
+        "documents the same caveat; the separable-corpus accuracy pin lives "
+        "in pytest.) Scale: two map-side-combined trigram shuffles, one "
+        "(tri, lang) equi-join fanned by |langs|, one doc argmax window "
+        "bounded by |langs| rows per doc."
+    ),
+    tags=("text", "langid", "nb", "trained", "llm-pipeline"),
+)
+def q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    tri = F.explode(
+        F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
+    ).alias("tri")
+    tris = d.select("doc_id", "lang", tri)
+    model = tris.groupBy(
+        F.col("lang").alias("mlang"), F.col("tri").alias("mtri")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    tot = model.groupBy(F.col("mlang").alias("tlang")).agg(F.sum("c").alias("t"))
+    vocab = tris.agg(F.count_distinct("tri").alias("v"))
+    nl = d.groupBy(F.col("lang").alias("plang")).agg(F.count(F.lit(1)).alias("n_docs"))
+    nall = d.agg(F.count(F.lit(1)).alias("n"))
+    doctri = tris.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("n"))
+    langs = d.select(F.col("lang").alias("slang")).distinct()
+    dlog = lambda c: F.log(c).cast("decimal(27,8)")  # noqa: E731
+    scored = (
+        doctri.crossJoin(F.broadcast(langs))
+        .join(
+            model,
+            (F.col("mlang") == F.col("slang")) & (F.col("mtri") == F.col("tri")),
+            "left",
+        )
+        .join(F.broadcast(tot), F.col("tlang") == F.col("slang"))
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "slang")
+        .agg(
+            F.sum(
+                # decimal(10,0) x decimal(27,8) stays within precision 38 —
+                # a raw bigint would overflow it and Spark drops the scale
+                # to 6 (the BM25 lesson; per-doc trigram counts fit 10,0)
+                F.col("n").cast("decimal(10,0)")
+                * (dlog(F.coalesce(F.col("c"), F.lit(0)) + 1) - dlog(F.col("t") + F.col("v"))).cast(
+                    "decimal(27,8)"  # the (27,8)-(27,8) diff is (28,8); un-widen so the product keeps scale 8
+                )
+            ).alias("s")
+        )
+    )
+    total = (
+        scored.join(F.broadcast(nl), F.col("plang") == F.col("slang"))
+        .crossJoin(F.broadcast(nall))
+        .select(
+            "doc_id",
+            "slang",
+            # bound s to decimal(20,8) before adding the prior: the sum's
+            # (38,8) + (27,8) would overflow precision 38 and drop scale
+            (
+                F.col("s").cast("decimal(20,8)")
+                + dlog(F.col("n_docs"))
+                - dlog(F.col("n"))
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("slang"))
+    return (
+        total.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("slang").alias("predicted_lang"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )
