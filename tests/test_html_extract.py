@@ -221,3 +221,25 @@ def test_langid_nb_separable_accuracy(spark, tmp_path):
     hits = sum(1 for r in out if r["predicted_lang"] == declared[r["doc_id"]])
     assert len(out) == 30
     assert hits == 30, f"only {hits}/30 correct on a separable corpus"
+
+
+def test_squeeze_repeats_cases(spark):
+    from timing_explorer_spark.functions.text import squeeze_repeats
+
+    cases = [
+        ("spam spam spam ok", 1, "spam ok"),
+        ("a a a a", 1, "a"),
+        ("click here click here click here now", 2, "click here now"),
+        ("x y x y x y", 2, "x y"),
+        ("a b c a b c", 2, "a b c a b c"),  # period-3 untouched at n=2
+        ("a b c a b c", 3, "a b c"),
+        ("no repeats at all", 2, "no repeats at all"),
+        ("w", 1, "w"),
+    ]
+    for t, n, want in cases:
+        got = (
+            spark.createDataFrame([(t,)], "t string")
+            .select(squeeze_repeats(F.col("t"), n).alias("g"))
+            .collect()[0]["g"]
+        )
+        assert got == want, (t, n, got)

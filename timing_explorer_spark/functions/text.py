@@ -73,3 +73,33 @@ def lang_scores(text: Column) -> list[Column]:
         F.size(F.filter(t, lambda x: x.isin(*lex))).alias(f"score_{lang}")
         for lang, lex in STOPWORDS.items()
     ]
+
+
+def squeeze_repeats(text: Column, n: int = 1) -> Column:
+    """Collapse IMMEDIATE repeats of word n-grams: every n-gram that exactly
+    equals the n-gram ending n positions earlier is dropped, so
+    'spam spam spam' (n=1) -> 'spam' and 'click here click here' (n=2) ->
+    'click here' — the transform counterpart of the Gopher dup-word/
+    dup-bigram QUALITY METRICS (q_repetition_quality measures the disease;
+    this removes it, the C4/Gopher cleanup step).
+
+    Declarative sliding formulation (pure HOF, map-only, mirrored in the
+    DuckDB oracle): position j (1-based) is dropped iff SOME n-gram ending
+    at i in [j, j+n-1] repeats the n-gram ending at i-n; overlapping repeat
+    runs collapse to one copy in a single pass ('a a a a' -> 'a')."""
+    w = tokens(text)
+    size = F.size(w)
+
+    def bad_end(i):
+        # n-gram ending at i equals n-gram ending at i-n (needs i >= 2n)
+        return (i >= 2 * n) & (
+            F.slice(w, i - n + 1, n) == F.slice(w, i - 2 * n + 1, n)
+        )
+
+    kept = F.filter(
+        F.transform(F.sequence(F.lit(1), size), lambda i: i),
+        lambda j: ~F.exists(
+            F.sequence(j, F.least(j + n - 1, size)), lambda i: bad_end(i)
+        ),
+    )
+    return F.array_join(F.transform(kept, lambda j: F.element_at(w, j)), " ")

@@ -1569,3 +1569,62 @@ def q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score").cast("double").alias("score"),
         )
     )
+
+
+# the squeeze_repeats sliding-drop rule, mirrored as a DuckDB lambda chain
+# (n is inlined; list slices are 1-based inclusive on both engines)
+def _squeeze_sql(w: str, n: int) -> str:
+    return f"""array_to_string(
+        list_transform(
+            list_filter(range(1, len({w}) + 1),
+                j -> len(list_filter(range(j, least(j + {n} - 1, len({w})) + 1),
+                         i -> i >= {2 * n}
+                              AND {w}[i - {n} + 1 : i] = {w}[i - {2 * n} + 1 : i - {n}]
+                     )) = 0),
+            j -> {w}[j]),
+        ' ')"""
+
+
+@register(
+    "q_squeeze_repeats",
+    oracle=f"""
+        WITH doctored AS (
+            SELECT doc_id,
+                   string_split(
+                       text || ' spam spam spam stop click here click here click here',
+                       ' ') AS w
+            FROM documents
+        )
+        SELECT doc_id,
+               {_squeeze_sql('w', 1)} AS squeezed_1,
+               {_squeeze_sql('w', 2)} AS squeezed_2
+        FROM doctored
+    """,
+    doc=(
+        "Within-document repetition REMOVAL (the transform counterpart of "
+        "the Gopher dup-word/dup-bigram metrics — q_repetition_quality "
+        "measures the disease, this is the C4/Gopher cleanup step): every "
+        "word n-gram that exactly repeats the n-gram ending n positions "
+        "earlier is dropped, collapsing 'spam spam spam' and 'click here "
+        "click here click here' to one copy in a single declarative pass "
+        "(functions/text.py::squeeze_repeats — pure HOF, map-only, no "
+        "shuffle at all). The fixture injects period-1 and period-2 spam "
+        "tails into every document; the oracle reproduces both the "
+        "doctoring and the sliding drop rule as DuckDB list lambdas, so "
+        "the full transform is hash-checked."
+    ),
+    tags=("text", "quality", "repetition", "transform", "llm-pipeline"),
+)
+def q_squeeze_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import squeeze_repeats
+
+    d = load(spark, sf_dir, "documents")
+    doctored = F.concat(
+        F.col("text"),
+        F.lit(" spam spam spam stop click here click here click here"),
+    )
+    return d.select(
+        "doc_id",
+        squeeze_repeats(doctored, 1).alias("squeezed_1"),
+        squeeze_repeats(doctored, 2).alias("squeezed_2"),
+    )
