@@ -162,7 +162,11 @@ def test_fuzz_roundtrip_generated_lines(spark):
         if ts is None:
             assert r["ts"] is None
         else:
-            assert int(r["ts"].replace(tzinfo=datetime.timezone.utc).timestamp() * 1000) == ts
+            # exact integer ms — float timestamp()*1000 truncates one ulp
+            # short on some millisecond values (hypothesis found 528766379)
+            got = r["ts"].replace(tzinfo=datetime.timezone.utc)
+            got_ms = int(got.timestamp()) * 1000 + got.microsecond // 1000
+            assert got_ms == ts
 
     prop()
 

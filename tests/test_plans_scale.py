@@ -341,6 +341,10 @@ _SANCTIONED_PYTHON = {
 _SANCTIONED_NESTED_LOOP = {
     "q11_top_revenue_suppliers",
     "q15_top_supplier",
+    # NB lang-ID: the cross joins carry the |langs|-row label set and two
+    # 1-row scalars (vocab size, doc total) — the deliberate tiny-broadcast
+    # shape; the model join itself is a (tri, lang) hash equi-join
+    "q_langid_nb",
     "q17_small_quantity_revenue",
     "q22_idle_customers",
     "q_range_lookup_join",

@@ -89,6 +89,7 @@ _EXPORTS = {
     "read_warc_stream": "timing_explorer_spark.sources.warc:read_warc_stream",
     "warc_records": "timing_explorer_spark.sources.warc:warc_records",
     "canonicalize_url": "timing_explorer_spark.operators.html_extract:canonicalize_url",
+    "squeeze_repeats": "timing_explorer_spark.functions.text:squeeze_repeats",
     # temporal joins
     "asof_join": "timing_explorer_spark.operators.joins:asof_join",
     "interval_pairs": "timing_explorer_spark.operators.joins:interval_pairs",
