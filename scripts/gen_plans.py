@@ -129,6 +129,8 @@ def main() -> None:
         "q_bm25_search",
         "q_media_phash_neardup",
         "q_media_audio_neardup",
+        "q_langid_nb",
+        "q_squeeze_repeats",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}
