@@ -109,31 +109,46 @@ def parse_warc_blob(blob: bytes) -> list[dict]:
     return out
 
 
-def warc_records(blobs: DataFrame, id_col: str = "blob_id", payload_col: str = "payload") -> DataFrame:
+def warc_records(
+    blobs: DataFrame,
+    id_col: str = "blob_id",
+    payload_col: str = "payload",
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
     """(blob_id, payload binary) -> one row per WARC record (RECORD_SCHEMA).
     Arrow-batched mapInPandas; the Content-Length walk happens where the
-    bytes live, one blob at a time."""
+    bytes live, one blob at a time. ``carry`` names extra blob columns to
+    replicate onto every record row (e.g. the file's modificationTime as the
+    ingest event time for a streaming pipeline) — their types come from the
+    input schema."""
 
     def parse(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for b in batches:
             rows: list[dict] = []
-            for blob_id, payload in zip(b[id_col], b[payload_col]):
-                for rec in parse_warc_blob(bytes(payload)):
-                    rows.append({"blob_id": blob_id, **rec})
+            for i in range(len(b)):
+                blob_id = b[id_col].iloc[i]
+                extras = {c: b[c].iloc[i] for c in carry}
+                for rec in parse_warc_blob(bytes(b[payload_col].iloc[i])):
+                    rows.append({"blob_id": blob_id, **rec, **extras})
             yield pd.DataFrame(
                 rows,
                 columns=[
                     "blob_id", "rec_idx", "warc_type", "record_id", "warc_date",
                     "target_uri", "content_length", "payload", "valid",
-                    "leftover_bytes",
+                    "leftover_bytes", *carry,
                 ],
             )
 
+    carry_ddl = "".join(
+        f", {c} {blobs.schema[c].dataType.simpleString()}" for c in carry
+    )
     return blobs.select(
-        blobs[id_col].alias(id_col), blobs[payload_col].alias(payload_col)
-    ).mapInPandas(parse, schema=RECORD_SCHEMA)
+        blobs[id_col].alias(id_col),
+        blobs[payload_col].alias(payload_col),
+        *[blobs[c] for c in carry],
+    ).mapInPandas(parse, schema=RECORD_SCHEMA + carry_ddl)
 
 
 def read_warc(spark, path: str) -> DataFrame:
@@ -151,12 +166,15 @@ def read_warc(spark, path: str) -> DataFrame:
     return warc_records(files)
 
 
-def read_warc_stream(spark, path: str) -> DataFrame:
+def read_warc_stream(spark, path: str, with_ingest_ts: bool = False) -> DataFrame:
     """Streaming WARC ingest: new *.warc files landing under ``path`` become
     record rows continuously (binaryFile file-stream source with its fixed
     schema declared — the streaming side requires it). Same record schema
     and quarantine contract as the batch reader; pair with
-    streaming/lsh_dedup.py for dedup-at-ingest straight off the crawler."""
+    streaming/lsh_dedup.py for dedup-at-ingest straight off the crawler.
+    ``with_ingest_ts=True`` carries the file's modificationTime onto every
+    record as ``ingest_ts`` — the event-time column downstream watermarked
+    stages need."""
     from pyspark.sql import functions as F
 
     files = (
@@ -164,9 +182,13 @@ def read_warc_stream(spark, path: str) -> DataFrame:
         .schema("path string, modificationTime timestamp, length long, content binary")
         .option("pathGlobFilter", "*.warc")
         .load(path)
-        .select(F.xxhash64("path").alias("blob_id"), F.col("content").alias("payload"))
+        .select(
+            F.xxhash64("path").alias("blob_id"),
+            F.col("content").alias("payload"),
+            F.col("modificationTime").alias("ingest_ts"),
+        )
     )
-    return warc_records(files)
+    return warc_records(files, carry=("ingest_ts",) if with_ingest_ts else ())
 
 
 def encode_warc_record(
