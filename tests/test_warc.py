@@ -134,6 +134,127 @@ def test_read_warc_stream(spark, tmp_path):
     )
 
 
+def test_gz_member_chain_roundtrip():
+    """Common Crawl layout: one gzip member per record, members
+    concatenated. The decompressed stream must parse identically to the
+    plain concatenation — including the CRLFCRLF-in-payload trap."""
+    from timing_explorer_spark.sources.warc import gzip_warc_record
+
+    tricky = b"part one\r\n\r\nWARC/1.0\r\nContent-Length: 3\r\n\r\nfake"
+    r1 = encode_warc_record(tricky, "http://x/t", "<urn:uuid:30>")
+    r2 = encode_warc_record(b"after gz", "http://x/a", "<urn:uuid:31>")
+    plain = parse_warc_blob(r1 + r2)
+    gz = parse_warc_blob(gzip_warc_record(r1) + gzip_warc_record(r2))
+    assert gz == plain
+    assert gz[0]["payload"] == tricky and gz[1]["payload"] == b"after gz"
+    # determinism of the member encoder (mtime-free gzip header)
+    assert gzip_warc_record(r1) == gzip_warc_record(r1)
+    # a member holding MULTIPLE records (non-Common-Crawl alignment) still
+    # parses: decompression and the record walk are independent layers
+    assert parse_warc_blob(gzip_warc_record(r1 + r2)) == plain
+
+
+def test_gz_truncated_member_quarantines_compressed_tail():
+    from timing_explorer_spark.sources.warc import gzip_warc_record
+
+    good = gzip_warc_record(
+        encode_warc_record(b"ok", "http://x/ok", "<urn:uuid:32>")
+    )
+    cut = gzip_warc_record(
+        encode_warc_record(b"y" * 200, "http://x/cut", "<urn:uuid:33>")
+    )[:-20]
+    recs = parse_warc_blob(good + cut)
+    assert recs[0]["valid"] is True and recs[0]["payload"] == b"ok"
+    assert recs[1]["valid"] is False
+    assert recs[1]["leftover_bytes"] == len(cut)
+    # corrupt (non-gzip) bytes after valid members quarantine the same way
+    recs2 = parse_warc_blob(good + b"NOT GZIP DATA")
+    assert recs2[0]["valid"] is True
+    assert recs2[1]["valid"] is False
+    assert recs2[1]["leftover_bytes"] == len(b"NOT GZIP DATA")
+
+
+def test_read_warc_mixed_plain_and_gz_dir(spark, tmp_path):
+    """One directory holding both layouts: compression detected per blob
+    by magic, non-WARC files ignored by the glob."""
+    from timing_explorer_spark.sources.warc import gzip_warc_record
+
+    (tmp_path / "a.warc").write_bytes(
+        encode_warc_record(b"plain rec", "http://x/p", "<urn:uuid:40>")
+    )
+    (tmp_path / "b.warc.gz").write_bytes(
+        gzip_warc_record(
+            encode_warc_record(b"gz rec one", "http://x/g1", "<urn:uuid:41>")
+        )
+        + gzip_warc_record(
+            encode_warc_record(b"gz rec two", "http://x/g2", "<urn:uuid:42>")
+        )
+    )
+    (tmp_path / "ignore.txt").write_bytes(b"not warc")
+    rows = read_warc(spark, str(tmp_path)).collect()
+    got = {r["target_uri"]: bytes(r["payload"]) for r in rows if r["valid"]}
+    assert got == {
+        "http://x/p": b"plain rec",
+        "http://x/g1": b"gz rec one",
+        "http://x/g2": b"gz rec two",
+    }
+    assert all(r["valid"] for r in rows)
+
+
+def test_read_warc_stream_gz(spark, tmp_path):
+    """Streaming ingest of .warc.gz files — same record schema, same
+    quarantine contract as plain."""
+    from timing_explorer_spark.sources.warc import gzip_warc_record, read_warc_stream
+
+    indir, outdir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt"),
+    )
+    import os
+
+    os.makedirs(indir)
+    (tmp_path / "in" / "a.warc.gz").write_bytes(
+        gzip_warc_record(
+            encode_warc_record(b"stream gz", "http://x/s", "<urn:uuid:50>")
+        )
+    )
+    q = (
+        read_warc_stream(spark, indir)
+        .writeStream.format("parquet")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(outdir).collect()
+    assert len(rows) == 1 and rows[0]["valid"]
+    assert bytes(rows[0]["payload"]) == b"stream gz"
+
+
+def test_gz_fuzz_parity_with_plain():
+    """Property: for ANY record set, gz-member-per-record parses to the
+    same records as the plain concatenation."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from timing_explorer_spark.sources.warc import gzip_warc_record
+
+    @settings(max_examples=30, deadline=None)
+    @given(
+        payloads=st.lists(st.binary(min_size=0, max_size=150), min_size=1, max_size=5)
+    )
+    def prop(payloads):
+        recs = [
+            encode_warc_record(p, f"http://x/{i}", f"<urn:uuid:{i}>")
+            for i, p in enumerate(payloads)
+        ]
+        assert parse_warc_blob(b"".join(gzip_warc_record(r) for r in recs)) == (
+            parse_warc_blob(b"".join(recs))
+        )
+
+    prop()
+
+
 def test_fuzz_roundtrip_random_blobs():
     """Property: ANY payload bytes (including CRLF runs, fake WARC headers,
     empty) concatenated as N records parse back exactly — ids, URIs,

@@ -88,6 +88,7 @@ _EXPORTS = {
     "read_warc": "timing_explorer_spark.sources.warc:read_warc",
     "read_warc_stream": "timing_explorer_spark.sources.warc:read_warc_stream",
     "warc_records": "timing_explorer_spark.sources.warc:warc_records",
+    "gzip_warc_record": "timing_explorer_spark.sources.warc:gzip_warc_record",
     "canonicalize_url": "timing_explorer_spark.operators.html_extract:canonicalize_url",
     "squeeze_repeats": "timing_explorer_spark.functions.text:squeeze_repeats",
     # temporal joins

@@ -1231,6 +1231,42 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_warc_gz_extract",
+    oracle="""
+        SELECT doc_id,
+               'http://example.com/doc/' || CAST(doc_id AS VARCHAR) AS target_uri,
+               CAST(LENGTH(text) AS BIGINT) AS content_length,
+               substr(text, 1, 40) AS payload_head
+        FROM documents
+    """,
+    doc=(
+        "Gzipped WARC (.warc.gz) round trip, oracle-checked — the layout "
+        "Common Crawl ACTUALLY ships: one gzip MEMBER per record, members "
+        "concatenated (record-at-time compression, ISO 28500 annex D). "
+        "The member-chain decompressor (stdlib zlib, "
+        "sources/warc.py:_gunzip_members) feeds the identical "
+        "Content-Length walk, so the same oracle as q_warc_extract proves "
+        "the compressed leg lossless: URI, declared length, payload bytes "
+        "all hash-match the documents table through gzip+container. "
+        "Truncated/corrupt members quarantine their compressed tail "
+        "(pinned in pytest, tests/test_warc.py)."
+    ),
+    tags=("source", "warc", "gzip", "crawl", "llm-pipeline"),
+)
+def q_warc_gz_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.warc import synthetic_warc_blobs, warc_records
+
+    blobs = synthetic_warc_blobs(load(spark, sf_dir, "documents"), gz=True)
+    recs = warc_records(blobs)
+    return recs.where(F.col("valid")).select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),
+        "target_uri",
+        "content_length",
+        F.substring(F.decode("payload", "UTF-8"), 1, 40).alias("payload_head"),
+    )
+
+
+@register(
     "q_warc_html_pipeline",
     oracle=f"""
         WITH raw AS (
@@ -1241,8 +1277,10 @@ def q_warc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc=(
         "The FULL crawl entry chain, oracle-checked end to end: documents "
-        "-> synthesized HTML pages -> WARC records -> multi-record blobs -> "
-        "Content-Length record walk -> visible-text strip. The oracle "
+        "-> synthesized HTML pages -> WARC records -> per-record gzip "
+        "members (the Common Crawl .warc.gz layout, round 7) -> "
+        "member-chain decompression -> Content-Length record walk -> "
+        "visible-text strip. The oracle "
         "recomputes only synthesis+strip directly on the documents table, "
         "so a hash match proves the WARC encode/parse leg is lossless AND "
         "the strip chain is byte-identical through the container round "
@@ -1258,7 +1296,7 @@ def q_warc_html_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = load(spark, sf_dir, "documents").select(
         "doc_id", synthesize_html(F.col("text"), F.col("doc_id")).alias("text")
     )
-    blobs = synthetic_warc_blobs(pages)
+    blobs = synthetic_warc_blobs(pages, gz=True)
     recs = warc_records(blobs)
     return recs.where(F.col("valid")).select(
         F.regexp_extract("target_uri", r"/doc/(\d+)$", 1).cast("long").alias("doc_id"),

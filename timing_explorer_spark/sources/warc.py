@@ -26,10 +26,21 @@ front-end: operators/html_extract.py).
 Malformed input follows the line-protocol quarantine contract
 (sources/line_protocol.py): a blob that stops parsing cleanly emits one
 ``valid=false`` row carrying the unconsumed byte count — never a throw.
+
+Gzipped WARC (``.warc.gz``) is what Common Crawl actually ships: each
+record is an INDIVIDUAL gzip member and the members are concatenated, so
+a range request can decompress one record without its neighbors
+(the "record-at-time compression" recommendation of ISO 28500 annex D).
+``parse_warc_blob`` detects the gzip magic and walks the member chain with
+``zlib.decompressobj(wbits=31)`` / ``unused_data`` — stdlib only — then
+runs the identical Content-Length record walk over the decompressed
+stream, so plain and gzipped files share one parser and one quarantine
+contract (a truncated/corrupt member quarantines its compressed tail).
 """
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -40,11 +51,62 @@ RECORD_SCHEMA = (
     "payload binary, valid boolean, leftover_bytes long"
 )
 
+_GZIP_MAGIC = b"\x1f\x8b"
+
+
+def _gunzip_members(blob: bytes) -> tuple[bytes, bytes]:
+    """Decompress a chain of concatenated gzip members (the .warc.gz
+    layout: one member per record). Returns (decompressed bytes of all
+    COMPLETE members, leftover compressed bytes) — a truncated or corrupt
+    member contributes nothing to the decompressed stream; its compressed
+    bytes (and everything after) come back as leftover for quarantine."""
+    good = bytearray()
+    rest = blob
+    while rest[:2] == _GZIP_MAGIC:
+        d = zlib.decompressobj(wbits=31)
+        try:
+            chunk = d.decompress(rest)
+        except zlib.error:
+            break
+        if not d.eof:
+            # member truncated mid-stream: discard the torn partial output
+            break
+        good += chunk
+        rest = d.unused_data
+    return bytes(good), rest
+
 
 def parse_warc_blob(blob: bytes) -> list[dict]:
     """Walk one WARC blob into records (pure function — unit-testable and
     the single implementation both the column parser and the file source
-    use). Returns dicts matching RECORD_SCHEMA minus blob_id."""
+    use). Returns dicts matching RECORD_SCHEMA minus blob_id. Gzipped
+    blobs (Common Crawl .warc.gz member chains) are detected by magic and
+    decompressed member-by-member first; the record walk itself is
+    identical, and compressed garbage/truncation quarantines its byte
+    count like any other unparseable tail."""
+    if blob[:2] == _GZIP_MAGIC:
+        text, comp_left = _gunzip_members(blob)
+        out = parse_warc_blob(text)
+        if comp_left:
+            if out and not out[-1]["valid"]:
+                # decompressed tail already quarantined: fold the
+                # compressed remainder into the same row
+                out[-1]["leftover_bytes"] += len(comp_left)
+            else:
+                out.append(
+                    {
+                        "rec_idx": (out[-1]["rec_idx"] + 1) if out else 0,
+                        "warc_type": None,
+                        "record_id": None,
+                        "warc_date": None,
+                        "target_uri": None,
+                        "content_length": None,
+                        "payload": None,
+                        "valid": False,
+                        "leftover_bytes": len(comp_left),
+                    }
+                )
+        return out
     out: list[dict] = []
     pos, n = 0, len(blob)
     idx = 0
@@ -151,15 +213,20 @@ def warc_records(
     ).mapInPandas(parse, schema=RECORD_SCHEMA + carry_ddl)
 
 
+_WARC_GLOB = "*.{warc,warc.gz}"
+
+
 def read_warc(spark, path: str) -> DataFrame:
-    """Read *.warc files under ``path`` as records. One task per file
-    (binaryFile source) — the Common Crawl deployment shape; blob_id is a
-    hash of the file path."""
+    """Read *.warc and *.warc.gz files under ``path`` as records (mixed
+    directories are fine — compression is detected per blob by magic, so
+    one reader covers both the plain and the Common Crawl gzipped layout).
+    One task per file (binaryFile source) — the Common Crawl deployment
+    shape; blob_id is a hash of the file path."""
     from pyspark.sql import functions as F
 
     files = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.warc")
+        .option("pathGlobFilter", _WARC_GLOB)
         .load(path)
         .select(F.xxhash64("path").alias("blob_id"), F.col("content").alias("payload"))
     )
@@ -167,7 +234,8 @@ def read_warc(spark, path: str) -> DataFrame:
 
 
 def read_warc_stream(spark, path: str, with_ingest_ts: bool = False) -> DataFrame:
-    """Streaming WARC ingest: new *.warc files landing under ``path`` become
+    """Streaming WARC ingest: new *.warc / *.warc.gz files landing under
+    ``path`` become
     record rows continuously (binaryFile file-stream source with its fixed
     schema declared — the streaming side requires it). Same record schema
     and quarantine contract as the batch reader; pair with
@@ -180,7 +248,7 @@ def read_warc_stream(spark, path: str, with_ingest_ts: bool = False) -> DataFram
     files = (
         spark.readStream.format("binaryFile")
         .schema("path string, modificationTime timestamp, length long, content binary")
-        .option("pathGlobFilter", "*.warc")
+        .option("pathGlobFilter", _WARC_GLOB)
         .load(path)
         .select(
             F.xxhash64("path").alias("blob_id"),
@@ -213,11 +281,23 @@ def encode_warc_record(
     return head + payload + b"\r\n\r\n"
 
 
-def synthetic_warc_blobs(docs: DataFrame, n_blobs: int = 37) -> DataFrame:
+def gzip_warc_record(record: bytes) -> bytes:
+    """One gzip MEMBER per record — the Common Crawl .warc.gz layout
+    (record-at-time compression, ISO 28500 annex D). wbits=31 writes a
+    plain gzip header with zero mtime, so output is deterministic."""
+    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    return co.compress(record) + co.flush()
+
+
+def synthetic_warc_blobs(
+    docs: DataFrame, n_blobs: int = 37, gz: bool = False
+) -> DataFrame:
     """Deterministic multi-record WARC blobs from ``documents``: doc d's
     record (payload = its text bytes, uri = http://example.com/doc/<id>)
     lands in blob ``doc_id % n_blobs``, concatenated in doc_id order —
-    every blob exercises the sequential record walk."""
+    every blob exercises the sequential record walk. ``gz=True`` wraps
+    each record in its own gzip member before concatenation (the Common
+    Crawl .warc.gz layout), exercising the member-chain decompressor."""
     from collections.abc import Iterator as _It
 
     def enc(batches: _It) -> _It:
@@ -227,15 +307,16 @@ def synthetic_warc_blobs(docs: DataFrame, n_blobs: int = 37) -> DataFrame:
             rows = []
             for doc_id, text in zip(b["doc_id"], b["text"]):
                 i = int(doc_id)
+                rec = encode_warc_record(
+                    str(text).encode("utf-8"),
+                    target_uri=f"http://example.com/doc/{i}",
+                    record_id=f"<urn:uuid:{i:032d}>",
+                )
                 rows.append(
                     {
                         "blob_id": i % n_blobs,
                         "doc_id": i,
-                        "rec": encode_warc_record(
-                            str(text).encode("utf-8"),
-                            target_uri=f"http://example.com/doc/{i}",
-                            record_id=f"<urn:uuid:{i:032d}>",
-                        ),
+                        "rec": gzip_warc_record(rec) if gz else rec,
                     }
                 )
             yield pd.DataFrame(rows, columns=["blob_id", "doc_id", "rec"])
