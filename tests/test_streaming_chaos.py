@@ -23,6 +23,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from chaos_util import kill_chaos_run
 from timing_explorer_spark.streaming.pipeline import (
     event_time_windows,
     sensor_stream_from_files,
@@ -85,10 +86,10 @@ def test_kill_restart_soak(spark, tmp_path):
         deadline = time.monotonic() + 1.0 + 0.3 * cycle
         while time.monotonic() < deadline:
             time.sleep(0.05)
-        q_raw.stop()
-        q_win.stop()
-        q_raw.awaitTermination()
-        q_win.awaitTermination()
+        # tolerant teardown (chaos_util): the deliberate kill may surface as
+        # StreamingQueryException under load; correctness is judged on the
+        # strict final drain below
+        kill_chaos_run(q_raw, q_win)
         # sinks may be mid-stream here, but never inconsistent
         try:
             _assert_sinks_consistent(spark, sinks, final=False)

@@ -10,6 +10,7 @@ import time
 
 from pyspark.sql import functions as F
 
+from chaos_util import kill_chaos_run
 from timing_explorer_spark.streaming.joins import (
     interval_join_batch,
     interval_join_streams,
@@ -194,8 +195,10 @@ def test_join_kill_restart_exactly_once(spark, tmp_path):
         deadline = _t.monotonic() + 0.8 + 0.3 * cycle
         while _t.monotonic() < deadline:
             _t.sleep(0.05)
-        q.stop()
-        q.awaitTermination()
+        # tolerant teardown: the kill may surface as StreamingQueryException
+        # under load (the r6 flake) — exactly-once is judged on the strict
+        # final drain below, not on how the killed run died
+        kill_chaos_run(q)
 
     q = start({"availableNow": True})  # final drain on the same checkpoint
     q.awaitTermination()
