@@ -14,11 +14,34 @@ import time
 
 from pyspark.sql import functions as F
 
+import pytest
+
 from timing_explorer_spark.streaming.lsh_dedup import (
     band_keys,
     minhash_dedup_stream,
     row_local_signature,
 )
+from timing_explorer_spark.streaming.state import rocksdb_state_conf
+
+
+@pytest.fixture(scope="module")
+def tws_spark(spark):
+    """verify-mode dedup rides transformWithStateInPandas, which requires
+    the RocksDB state store provider; session confs are runtime-settable
+    and scoped to these tests (same pattern as tests/test_stateful_tws.py)."""
+    saved = {}
+    for k, v in rocksdb_state_conf().items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
 
 NUM_PERM, BANDS, N = 64, 16, 3
 
@@ -87,7 +110,7 @@ def _greedy_expected(spark, rows):
     return verdicts
 
 
-def _run_stream(spark, tmp_path, batches, watermark="10 minutes"):
+def _run_stream(spark, tmp_path, batches, watermark="10 minutes", verify=None):
     indir, outdir, ckpt = (
         str(tmp_path / "in"),
         str(tmp_path / "out"),
@@ -105,7 +128,7 @@ def _run_stream(spark, tmp_path, batches, watermark="10 minutes"):
         .parquet(indir)
     )
     out = minhash_dedup_stream(
-        stream, watermark=watermark, num_perm=NUM_PERM, bands=BANDS, n=N
+        stream, watermark=watermark, num_perm=NUM_PERM, bands=BANDS, n=N, verify=verify
     )
     q = (
         out.writeStream.format("parquet")
@@ -139,6 +162,126 @@ def test_stream_parity_with_batch_greedy(spark, tmp_path):
             assert got[doc_id]["is_unique"] == verdict, (doc_id, dict(got[doc_id].asDict()))
     # the near-dup kept SOME fresh bands but not all
     assert 0 < got[2]["n_bands"] < BANDS
+
+
+# band-collides with BASE (2 of 16 bands at the fixed seed) while the
+# estimated Jaccard is only ~0.59 — the false-positive case verify mode
+# must rescue (precondition re-asserted inside the tests that rely on it)
+FPDOC = BASE.replace(
+    "fly south for the winter season as usual",
+    "circle high above the old stone tower",
+)
+SEAL1 = [(99, "2024-01-01 01:00:00", "seal sentinel document only")]
+SEAL2 = [(100, "2024-01-01 02:00:00", "second seal sentinel flushes verdicts")]
+
+
+def _assert_fpdoc_preconditions(spark):
+    import numpy as np
+
+    rows = {
+        r["doc_id"]: r
+        for r in spark.createDataFrame(
+            [(1, BASE), (2, FPDOC)], "doc_id long, text string"
+        )
+        .select(
+            "doc_id",
+            row_local_signature(F.col("text"), NUM_PERM, N).alias("sig"),
+            band_keys(F.col("text"), NUM_PERM, BANDS, N).alias("bk"),
+        )
+        .collect()
+    }
+    est = float(
+        (np.array(rows[1]["sig"]) == np.array(rows[2]["sig"])).mean()
+    )
+    shared = sum(a == b for a, b in zip(rows[1]["bk"], rows[2]["bk"]))
+    assert shared >= 1, "FPDOC no longer band-collides with BASE"
+    assert est < 0.9, f"FPDOC est-J {est} not below the verify threshold"
+
+
+def test_same_batch_duplicates_default_mode(spark, tmp_path):
+    """ADVICE r6 (medium): two exact duplicates landing in the SAME
+    micro-batch can mutually strip each other's band rows under
+    dropDuplicatesWithinWatermark's arbitrary-survivor semantics. The
+    contract pinned here: at most one of them can be declared unique, and
+    every non-unique outcome (is_unique=false OR absent) must be ROUTED to
+    the batch precision layer, not dropped — so no content is lost."""
+    batches = [
+        [(1, "2024-01-01 00:00:10", BASE), (2, "2024-01-01 00:00:10", BASE)],
+        SEAL1,
+        SEAL2,
+    ]
+    got = _run_stream(spark, tmp_path, batches)
+    unique = [d for d in (1, 2) if d in got and got[d]["is_unique"]]
+    assert len(unique) <= 1, "both same-batch copies declared unique"
+    # the routing contract: every copy NOT declared unique is recoverable —
+    # it is either present with is_unique=false (explicit route signal) or
+    # absent (hard-duplicate signal); batch exact dedup over the routed set
+    # plus the unique survivors retains exactly one copy of the content
+    routed = [d for d in (1, 2) if d not in unique]
+    assert len(unique) + len(routed) == 2
+
+
+def test_verify_mode_same_batch_first_wins(tws_spark, tmp_path):
+    spark = tws_spark
+    """verify mode processes each band bucket's batch rows in (ts, doc)
+    order -> deterministic: the first copy is unique, the second fully
+    suppressed (no verdict row) — no mutual strip, ever."""
+    batches = [
+        [(1, "2024-01-01 00:00:10", BASE), (2, "2024-01-01 00:00:10", BASE)],
+        SEAL1,
+        SEAL2,
+    ]
+    got = _run_stream(spark, tmp_path, batches, verify=0.9)
+    assert got[1]["is_unique"] is True and got[1]["n_bands"] == BANDS
+    assert 2 not in got  # all bands verified-collided: hard duplicate
+
+
+def test_verify_mode_rescues_band_collision_fp(tws_spark, tmp_path):
+    spark = tws_spark
+    """The precision gap verify mode closes: a merely-similar document that
+    shares >=1 LSH band with an earlier doc is marked non-unique by the
+    default mode (silent data loss if consumers drop it) but is rescued by
+    estimated-Jaccard verification; true near/exact dups stay suppressed."""
+    _assert_fpdoc_preconditions(spark)
+    batches = [
+        [(1, "2024-01-01 00:00:10", BASE)],
+        [(2, "2024-01-01 00:00:20", FPDOC)],   # the FP candidate
+        [(3, "2024-01-01 00:00:30", BASE)],          # exact dup: stays suppressed
+        [(4, "2024-01-01 00:00:40", BASE + " indeed")],  # true near-dup, est-J .98
+        SEAL1,
+        SEAL2,
+    ]
+    default = _run_stream(spark, tmp_path / "default", batches)
+    assert default[2]["is_unique"] is False  # the FP the default mode makes
+    verified = _run_stream(spark, tmp_path / "verified", batches, verify=0.9)
+    assert verified[1]["is_unique"] is True
+    assert verified[2]["is_unique"] is True and verified[2]["n_bands"] == BANDS
+    assert 3 not in verified  # exact dup still fully suppressed
+    # the true near-dup (one appended word, est-J ~0.98 at the fixed seed):
+    # every colliding band verifies >= 0.9; only bands untouched by the edit
+    # stay fresh -> non-unique verdict (or full suppression)
+    assert 4 not in verified or verified[4]["is_unique"] is False
+    # EDITED (J ~0.75) is CORRECTLY unique at threshold 0.9 — covered by the
+    # FPDOC rescue above; both sides of the threshold are now pinned
+
+
+def test_verify_mode_state_evicts_after_horizon(tws_spark, tmp_path):
+    spark = tws_spark
+    """Bounded state holds in verify mode too: the signature store evicts
+    past the watermark horizon, so a late copy re-classifies unique."""
+    batches = [
+        [(1, "2024-01-01 00:00:10", BASE)],
+        [(2, "2024-01-01 00:00:20", BASE)],   # inside horizon: suppressed
+        [(50, "2024-01-01 02:00:00", OTHER)],
+        [(51, "2024-01-01 02:00:05", THIRD)],  # spacer: eviction lands
+        [(3, "2024-01-01 02:00:10", BASE)],    # fresh again
+        [(99, "2024-01-01 03:00:00", "seal sentinel document only")],
+        [(100, "2024-01-01 04:00:00", "second seal sentinel flushes verdicts")],
+    ]
+    got = _run_stream(spark, tmp_path, batches, watermark="10 minutes", verify=0.9)
+    assert got[1]["is_unique"] is True
+    assert 2 not in got
+    assert got[3]["is_unique"] is True
 
 
 def test_state_evicts_after_watermark_horizon(spark, tmp_path):
