@@ -102,6 +102,27 @@ def test_extract_main_text_end_to_end(spark):
     assert "Terms" not in r["main_text"]
 
 
+def test_extract_main_text_keeps_textless_docs(spark):
+    """ADVICE r6: a page with NO visible text (pure markup/script) must
+    still emit its row — main_text='' with zero block counts — instead of
+    silently disappearing (downstream inner joins would drop the doc with
+    no quarantine signal)."""
+    pages = spark.createDataFrame(
+        [
+            (1, "<html><head><script>var a=1;</script></head><body></body></html>"),
+            (2, "<p>real visible content that is long enough to maybe count</p>"),
+            (3, ""),  # empty page entirely
+        ],
+        "doc_id int, html string",
+    )
+    out = {r["doc_id"]: r for r in extract_main_text(pages).collect()}
+    assert set(out) == {1, 2, 3}  # every input doc present
+    for d in (1, 3):
+        assert out[d]["main_text"] == ""
+        assert out[d]["n_content_blocks"] == 0
+        assert out[d]["n_boilerplate_blocks"] == 0
+
+
 def test_synthesized_page_recovers_text(spark):
     docs = spark.createDataFrame(
         [(7, "the cat sat on the mat and the dog sat on the log near a mat")],
@@ -178,17 +199,35 @@ def test_canonicalize_url_idempotent_fuzz(spark):
     prop()
 
 
-def test_strip_html_known_limitation_attr_gt(spark):
-    """KNOWN LIMITATION, pinned so the docs can't rot: an attribute value
-    containing '>' shears the tag regex (every regexp-based stripper shares
-    this; a DOM parser is the fix). The leak is bounded — the attribute
-    TAIL appears as text; no content is LOST."""
-    df = spark.createDataFrame(
-        [('<a title="a>b">link</a> rest',)], "html string"
-    )
-    got = df.select(strip_html(F.col("html")).alias("c")).collect()[0]["c"]
-    assert got == 'b">link rest'  # sheared at the first '>', tail leaks as text
-    assert "link" in got and "rest" in got  # real content survives
+def test_strip_html_quote_aware_attr_gt(spark):
+    """r6's pinned limitation, FIXED in r7: '>' inside a quoted attribute
+    value no longer shears the tag (quote-aware _TAG_BODY grammar). The
+    residual, still pinned honestly: an UNTERMINATED quote degrades to the
+    old shear-at-next-'>' — bounded leak, content never lost."""
+    rows = [
+        ('<a title="a>b">link</a> rest', "link rest"),          # the r6 bug
+        ("<a title='x>y'>one</a> two", "one two"),              # single quotes
+        ('<div data-x="1" title="p>q">body</div>', "body"),     # mixed attrs
+        # unterminated quote: shears at the next '>' (old behavior, bounded)
+        ('<a title="oops>tail</a> keep', "tail keep"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in rows], "html string")
+    got = [r["c"] for r in df.select(strip_html(F.col("html")).alias("c")).collect()]
+    for (html, want), g in zip(rows, got):
+        assert g == want, (html, g)
+    # cross-engine pin: the DuckDB oracle mirror (_strip_sql, RE2) agrees
+    # with the Spark chain (Java regex) ON THE TRICKY QUOTE CASES, not just
+    # the clean synthesized fixture the driver checks
+    import duckdb
+
+    from timing_explorer_spark.plans.text_pipeline import _strip_sql
+
+    con = duckdb.connect()
+    for (html, want), g in zip(rows, got):
+        (oracle,) = con.execute(
+            f"SELECT {_strip_sql('?')}", [html]
+        ).fetchone()
+        assert oracle == g == want, (html, oracle, g)
 
 
 def test_langid_nb_separable_accuracy(spark, tmp_path):

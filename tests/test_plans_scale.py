@@ -331,6 +331,9 @@ _SANCTIONED_PYTHON = {
     # (sources/warc.py); at scale parallelism is per WARC file
     "q_warc_extract",
     "q_warc_html_pipeline",
+    # same walk plus the stdlib-zlib gzip member-chain decompression —
+    # still Arrow-batched where the bytes live (r7, .warc.gz)
+    "q_warc_gz_extract",
     # audio fingerprinting: Arrow-batched WAV decode + rfft where the bytes
     # live (multimodal/audio_fp.py); candidate join is JVM pigeonhole
     "q_media_audio_neardup",

@@ -45,15 +45,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Quote-aware tag body (round-7 verdict task #4): inside a tag, a '>' may
+# legally appear inside a quoted attribute value, so the body is a sequence
+# of (non-delimiter chars | "double-quoted run" | 'single-quoted run'). The
+# optional trailing piece degrades an UNTERMINATED quote to the old
+# shear-at-next-'>' behavior (bounded leak) instead of leaving the whole
+# tag in the text. Pure alternation of character classes — linear in both
+# Java regex (Spark) and RE2 (the DuckDB oracle mirror, _strip_sql).
+_TAG_BODY = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*(?:\"[^\">]*|'[^'>]*)?"
+
 # Block-level elements that start a new text block. Split happens on the
 # OPEN tag; close tags are stripped later (they never start content).
-_BLOCK_SPLIT = r"(?i)<(?:p|div|h[1-6]|li|br|td|th|tr|section|article|header|footer|nav|ul|ol|table|blockquote)\b[^>]*>"
+_BLOCK_SPLIT = (
+    r"(?i)<(?:p|div|h[1-6]|li|br|td|th|tr|section|article|header|footer|nav"
+    r"|ul|ol|table|blockquote)\b" + _TAG_BODY + ">"
+)
 
 # subtree-dropping patterns: non-greedy body, (?s) so newlines match
 _DROP_SUBTREES = (
-    r"(?is)<script\b[^>]*>.*?</script>",
-    r"(?is)<style\b[^>]*>.*?</style>",
-    r"(?is)<noscript\b[^>]*>.*?</noscript>",
+    r"(?is)<script\b" + _TAG_BODY + ">.*?</script>",
+    r"(?is)<style\b" + _TAG_BODY + ">.*?</style>",
+    r"(?is)<noscript\b" + _TAG_BODY + ">.*?</noscript>",
     r"(?s)<!--.*?-->",
 )
 _ENTITIES = (
@@ -72,14 +84,14 @@ def strip_html(html: Column) -> Column:
     subtrees, strip every remaining tag, decode the common entities,
     collapse whitespace. Pure regexp chain (oracle-expressible).
 
-    Known limitation (pinned in tests): an attribute value containing '>'
-    shears the tag pattern at that '>', leaking the attribute tail as text
-    — the shared failure mode of every regexp-based stripper (a DOM parser
-    is the fix). Content is never LOST, only boilerplate bytes leak in."""
+    The tag grammar is QUOTE-AWARE (r7): '>' inside a quoted attribute
+    value no longer shears the tag (the historic regexp-stripper failure
+    mode, fixed via _TAG_BODY). An UNTERMINATED quote still shears at the
+    next '>' — bounded leak, content never lost — pinned in tests."""
     c = html
     for pat in _DROP_SUBTREES:
         c = F.regexp_replace(c, pat, " ")
-    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    c = F.regexp_replace(c, "<" + _TAG_BODY + ">", " ")
     for ent, rep in _ENTITIES:
         c = F.regexp_replace(c, ent, rep)
     return F.trim(F.regexp_replace(c, r"\s+", " "))
@@ -111,7 +123,10 @@ def html_blocks(
     )
     # link text: the concatenation of <a ...>...</a> inner texts of the block
     link_text = F.array_join(
-        F.expr("regexp_extract_all(_raw, '(?is)<a\\\\b[^>]*>(.*?)</a>', 1)"), " "
+        F.regexp_extract_all(
+            "_raw", F.lit(r"(?is)<a\b" + _TAG_BODY + ">(.*?)</a>"), F.lit(1)
+        ),
+        " ",
     )
     visible = strip_html(F.col("_raw"))
     link_visible = strip_html(link_text)
@@ -190,37 +205,47 @@ def extract_main_text(
     docs: DataFrame, html_col: str = "html", id_col: str = "doc_id", **thresholds
 ) -> DataFrame:
     """The full front-end: blocks -> classify -> keep content -> reassemble.
-    Returns (id_col, main_text, n_content_blocks, n_boilerplate_blocks)."""
+    Returns (id_col, main_text, n_content_blocks, n_boilerplate_blocks).
+
+    Every input document emits exactly one row (ADVICE r6): a page whose
+    markup yields NO visible text (pure script/style/empty) produces zero
+    blocks, so the aggregation alone would silently drop it — the left
+    join back to the input doc set restores it as main_text='' with zero
+    block counts, keeping downstream joins and quarantine accounting
+    honest."""
     classified = classify_blocks(html_blocks(docs, html_col, id_col), **thresholds)
-    return (
-        classified.groupBy("_doc")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(
-                        F.collect_list(
-                            F.when(
-                                F.col("cls") == "good",
-                                F.struct("block_idx", "text"),
-                            )
+    agg = classified.groupBy("_doc").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("cls") == "good",
+                            F.struct("block_idx", "text"),
                         )
-                    ),
-                    lambda s: s["text"],
+                    )
                 ),
-                "\n",
-            ).alias("main_text"),
-            F.sum(F.when(F.col("cls") == "good", 1).otherwise(0)).alias(
-                "n_content_blocks"
+                lambda s: s["text"],
             ),
-            F.sum(F.when(F.col("cls") == "bad", 1).otherwise(0)).alias(
-                "n_boilerplate_blocks"
-            ),
-        )
+            "\n",
+        ).alias("main_text"),
+        F.sum(F.when(F.col("cls") == "good", 1).otherwise(0)).alias(
+            "n_content_blocks"
+        ),
+        F.sum(F.when(F.col("cls") == "bad", 1).otherwise(0)).alias(
+            "n_boilerplate_blocks"
+        ),
+    )
+    return (
+        docs.select(F.col(id_col).alias("_doc"))
+        .join(agg, "_doc", "left")
         .select(
             F.col("_doc").alias(id_col),
-            "main_text",
-            "n_content_blocks",
-            "n_boilerplate_blocks",
+            F.coalesce("main_text", F.lit("")).alias("main_text"),
+            F.coalesce("n_content_blocks", F.lit(0)).alias("n_content_blocks"),
+            F.coalesce("n_boilerplate_blocks", F.lit(0)).alias(
+                "n_boilerplate_blocks"
+            ),
         )
     )
 

@@ -1093,10 +1093,18 @@ _HTML_SYNTH_SQL = (
 )
 
 
+# the quote-aware tag body (html_extract._TAG_BODY) with single quotes
+# doubled for SQL string literals — RE2 runs the identical alternation
+_TAG_BODY_SQL = (
+    "(?:[^>\"'']|\"[^\"]*\"|''[^'']*'')*(?:\"[^\">]*|''[^''>]*)?"
+)
+
+
 def _strip_sql(inner: str) -> str:
     """The DuckDB mirror of operators/html_extract.py::strip_html, wrapped
     around any SQL string expression — shared by q_html_extract and the
-    WARC end-to-end pipeline oracle."""
+    WARC end-to-end pipeline oracle. Kept in lockstep with the Spark chain
+    (incl. the r7 quote-aware tag grammar)."""
     return f"""trim(regexp_replace(
         replace(replace(replace(replace(replace(replace(replace(
             regexp_replace(
@@ -1104,11 +1112,11 @@ def _strip_sql(inner: str) -> str:
                     regexp_replace(
                         regexp_replace(
                             regexp_replace({inner},
-                                '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
-                            '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
-                        '(?is)<noscript\\b[^>]*>.*?</noscript>', ' ', 'g'),
+                                '(?is)<script\\b{_TAG_BODY_SQL}>.*?</script>', ' ', 'g'),
+                            '(?is)<style\\b{_TAG_BODY_SQL}>.*?</style>', ' ', 'g'),
+                        '(?is)<noscript\\b{_TAG_BODY_SQL}>.*?</noscript>', ' ', 'g'),
                     '(?s)<!--.*?-->', ' ', 'g'),
-                '(?s)<[^>]*>', ' ', 'g'),
+                '<{_TAG_BODY_SQL}>', ' ', 'g'),
             '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
             '&quot;', '"'), '&#39;', ''''), '&copy;', '©'),
             '&amp;', '&'),
