@@ -67,7 +67,12 @@ def ref_train(texts: list[str], order: int):
         cc: Counter = Counter()
         for g in raw[k + 1]:
             cc[g[1:]] += 1
-        adj[k] = dict(cc)
+        # KenLM/Chen-Goodman sentence-boundary rule (r7): BOS-anchored grams
+        # keep RAW counts (their only left extension is <s>, so continuation
+        # counting degenerates to 1)
+        adj[k] = {
+            g: (raw[k][g] if g[0] == BOS else c) for g, c in cc.items()
+        }
     discounts = {k: _ref_discounts(adj[k].values()) for k in range(1, order + 1)}
     parts: dict[int, dict] = {}
     gammas: dict[int, dict] = {}
@@ -280,6 +285,60 @@ def test_kn_save_load_scores_identically(spark, tmp_path):
     after = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), loaded).collect()}
     assert after == before  # bit-identical scoring through the artifact
     loaded.unpersist()
+
+
+def test_kn_save_prune_monotone_ppl(spark, tmp_path):
+    """KenLM-style count-threshold pruning (kn_save(prune=t)): higher
+    thresholds drop a superset of part rows at orders >= 2, every
+    probability weakly decreases (mass falls through to backoff, gammas
+    not re-estimated), so per-doc perplexity degrades MONOTONICALLY in t
+    — and the artifact genuinely shrinks."""
+    from timing_explorer_spark.operators.kneser_ney import kn_load, kn_save
+
+    model = kn_train(_toy_df(spark), order=ORDER)
+    ppls, rows = [], []
+    for t in (0, 1, 2):
+        p = str(tmp_path / f"knm_p{t}")
+        kn_save(model, p, prune=t)
+        loaded = kn_load(spark, p)
+        ppls.append(
+            {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), loaded).collect()}
+        )
+        rows.append(sum(loaded.parts[k].count() for k in range(2, ORDER + 1)))
+        # unigram level is never pruned
+        assert loaded.parts[1].count() == model.parts[1].count()
+        loaded.unpersist()
+    assert rows[0] >= rows[1] >= rows[2]
+    assert rows[2] < rows[0], "pruning removed nothing on a singleton-rich corpus"
+    for d in ppls[0]:
+        assert ppls[0][d] <= ppls[1][d] * (1 + 1e-12)
+        assert ppls[1][d] <= ppls[2][d] * (1 + 1e-12)
+    assert any(ppls[1][d] > ppls[0][d] for d in ppls[0])  # degradation is real
+    model.unpersist()
+
+
+def test_kn_save_quantized_layout(spark, tmp_path):
+    """kn_save(quantize=True): part/gamma stored as float32 (KenLM's
+    quantized-binary analog); the loaded model reproduces exact-model
+    scores to float32 relative precision."""
+    from pyspark.sql.types import FloatType
+
+    from timing_explorer_spark.operators.kneser_ney import kn_load, kn_save
+
+    model = kn_train(_toy_df(spark), order=ORDER)
+    exact = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), model).collect()}
+    p = str(tmp_path / "knm_q")
+    kn_save(model, p, quantize=True)
+    on_disk = spark.read.parquet(f"{p}/part_{ORDER}.parquet")
+    assert isinstance(on_disk.schema["part"].dataType, FloatType)
+    g_disk = spark.read.parquet(f"{p}/gamma_{ORDER}.parquet")
+    assert isinstance(g_disk.schema["gamma"].dataType, FloatType)
+    loaded = kn_load(spark, p)
+    got = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), loaded).collect()}
+    for d, v in exact.items():
+        assert got[d] == pytest.approx(v, rel=1e-5), d
+    loaded.unpersist()
+    model.unpersist()
 
 
 def test_per_lang_models_equal_slice_training(spark):

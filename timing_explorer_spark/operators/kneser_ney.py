@@ -14,7 +14,10 @@ Model definition (Chen & Goodman's interpolated modified KN):
   p_k(w | h) = max(a(h,w) - D_k(a), 0) / denom(h)  +  gamma_k(h) * p_{k-1}(w | h')
 
   - a(h,w): ADJUSTED count — raw n-gram count at the highest order,
-    CONTINUATION count N_{1+}(. h w) (distinct left-extension types) below it
+    CONTINUATION count N_{1+}(. h w) (distinct left-extension types) below
+    it; grams whose context starts with <s> keep RAW counts at every order
+    (their only left extension is <s>, so continuation degenerates to 1 —
+    the KenLM/Chen-Goodman sentence-boundary rule, r7)
   - D_k(a): three discounts per order from that order's count-of-counts:
       Y = n1/(n1 + 2 n2); D1 = 1 - 2Y n2/n1; D2 = 2 - 3Y n3/n2; D3+ = 3 - 4Y n4/n3
   - gamma_k(h) = (D1 N1(h.) + D2 N2(h.) + D3+ N3+(h.)) / denom(h)
@@ -182,23 +185,34 @@ def kn_train(
             )
         else:
             # continuation: distinct (k+1)-gram types grouped by k-suffix.
-            # raw_above rows ARE the distinct types (one row per type).
+            # raw_above rows ARE the distinct types (one row per type), and
+            # their cnt column carries RAW counts, so the same pass yields
+            # both the type count (continuation) and the raw count: for
+            # k < order every span has a left-extension token (the BOS pad
+            # guarantees it), hence raw_k(g) = sum over x of raw_{k+1}(x.g).
             suffix = F.slice("gram", 2, k)
             cont = (
-                raw_above.select(suffix.alias("g"))
+                raw_above.select(suffix.alias("g"), "cnt")
                 .groupBy("g")
-                .agg(F.count(F.lit(1)).alias("a"))
+                .agg(F.count(F.lit(1)).alias("types"), F.sum("cnt").alias("raw"))
             )
+            # ADVICE r6 / KenLM rule: a gram whose context starts with <s>
+            # has exactly one possible left extension (<s> itself), so its
+            # continuation count degenerates to 1 regardless of frequency —
+            # Chen & Goodman / KenLM keep RAW counts for BOS-anchored grams
             adj = cont.select(
                 _ctx("g").alias("ctx"),
                 F.element_at("g", k).alias("w"),
-                "a",
+                F.when(F.element_at("g", 1) == BOS, F.col("raw"))
+                .otherwise(F.col("types"))
+                .alias("a"),
             )
             if k > 1:
-                # the next continuation level needs THIS level's raw types;
-                # for k < order the raw type set of order k is exactly the
-                # k-suffix set of order k+1 = cont's grain -> reuse it
-                raw_above = track_cache(cont.select(F.col("g").alias("gram"), F.col("a").alias("cnt")))
+                # the next continuation level needs THIS level's raw types
+                # AND raw counts; cont's grain is exactly that type set
+                raw_above = track_cache(
+                    cont.select(F.col("g").alias("gram"), F.col("raw").alias("cnt"))
+                )
         adjusted[k] = track_cache(adj)
 
     # --- discounts from per-order count-of-counts (driver-sized) --------
@@ -244,6 +258,9 @@ def kn_train(
                     F.greatest(F.col("a").cast("double") - dcol, F.lit(0.0))
                     / F.col("denom").cast("double")
                 ).alias("part"),
+                # adjusted count kept alongside: kn_save(prune=...) filters
+                # on it (KenLM-style count-threshold pruning)
+                F.col("a"),
             )
         )
         model.parts[k] = track_cache(part)
@@ -352,48 +369,85 @@ def ccnet_buckets_kn(
     return _bucketize(scored, id_col, lang_col, n_buckets, method)
 
 
-def kn_save(model: KNModel, path: str) -> None:
-    """Persist a trained model as parquet tables + a tiny JSON sidecar —
-    the train-once / score-many-corpora artifact (KenLM's .arpa analog).
-    Layout: <path>/part_k.parquet, <path>/gamma_k.parquet, <path>/meta.json."""
-    import json
-    import os
+def kn_save(
+    model: KNModel, path: str, prune: int = 0, quantize: bool = False
+) -> None:
+    """Persist a trained model as parquet tables + a 1-row parquet meta
+    table — the train-once / score-many-corpora artifact (KenLM's .arpa
+    analog). EVERYTHING goes through Spark writers, so the whole artifact
+    lands on ONE filesystem under ``path`` (driver-local open() would split
+    the sidecar from the tables on HDFS/S3 — ADVICE r6).
+    Layout: <path>/part_k.parquet, <path>/gamma_k.parquet, <path>/meta.parquet.
 
-    os.makedirs(path, exist_ok=True)
+    ``prune``: KenLM-style count-threshold pruning — n-gram part rows with
+    adjusted count <= prune are dropped at orders >= 2 (unigrams always
+    kept). Gamma tables are NOT re-estimated (deviation from KenLM, which
+    renormalizes): a pruned gram's mass falls through to backoff, so every
+    probability weakly DECREASES and perplexity degrades monotonically in
+    the threshold (property-pinned in tests) — the model stays a valid
+    sub-normalized distribution.
+
+    ``quantize``: store part/gamma as float32 (KenLM's quantized binary
+    analog) — roughly halves the value bytes; scores reproduce to float32
+    relative precision (pinned in tests)."""
+    spark = model.parts[1].sparkSession
+    import json
+
+    def _shrink(df: DataFrame, col: str) -> DataFrame:
+        return df.withColumn(col, F.col(col).cast("float")) if quantize else df
+
     for k in range(1, model.order + 1):
-        model.parts[k].write.mode("overwrite").parquet(f"{path}/part_{k}.parquet")
-        model.gammas[k].write.mode("overwrite").parquet(f"{path}/gamma_{k}.parquet")
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(
-            {
-                "order": model.order,
-                "gamma1": model.gamma1,
-                "vocab_size": model.vocab_size,
-                "discounts": {str(k): list(v) for k, v in model.discounts.items()},
-            },
-            f,
+        part = model.parts[k]
+        if prune > 0 and k >= 2:
+            part = part.where(F.col("a") > prune)
+        _shrink(part, "part").write.mode("overwrite").parquet(
+            f"{path}/part_{k}.parquet"
         )
+        _shrink(model.gammas[k], "gamma").write.mode("overwrite").parquet(
+            f"{path}/gamma_{k}.parquet"
+        )
+    spark.createDataFrame(
+        [
+            (
+                model.order,
+                float(model.gamma1),
+                int(model.vocab_size),
+                json.dumps({str(k): list(v) for k, v in model.discounts.items()}),
+                int(prune),
+                bool(quantize),
+            )
+        ],
+        "order int, gamma1 double, vocab_size long, discounts string, "
+        "prune int, quantized boolean",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta.parquet")
 
 
 def kn_load(spark, path: str) -> KNModel:
     """Load a kn_save artifact; the returned model scores identically to
-    the one that was saved (tested bit-for-bit)."""
+    the one that was saved (tested bit-for-bit; float32-identical when the
+    artifact was quantized). Reads only through Spark — same single
+    filesystem as the write side."""
     import json
-    import os
 
-    with open(os.path.join(path, "meta.json")) as f:
-        meta = json.load(f)
+    meta = spark.read.parquet(f"{path}/meta.parquet").collect()[0]
     model = KNModel(
         order=int(meta["order"]),
         gamma1=float(meta["gamma1"]),
         vocab_size=int(meta["vocab_size"]),
-        discounts={int(k): tuple(v) for k, v in meta["discounts"].items()},
+        discounts={
+            int(k): tuple(v) for k, v in json.loads(meta["discounts"]).items()
+        },
     )
     from .dedup import track_cache
 
     for k in range(1, model.order + 1):
-        model.parts[k] = track_cache(spark.read.parquet(f"{path}/part_{k}.parquet"))
-        model.gammas[k] = track_cache(spark.read.parquet(f"{path}/gamma_{k}.parquet"))
+        part = spark.read.parquet(f"{path}/part_{k}.parquet")
+        gamma = spark.read.parquet(f"{path}/gamma_{k}.parquet")
+        if bool(meta["quantized"]):
+            part = part.withColumn("part", F.col("part").cast("double"))
+            gamma = gamma.withColumn("gamma", F.col("gamma").cast("double"))
+        model.parts[k] = track_cache(part)
+        model.gammas[k] = track_cache(gamma)
     return model
 
 

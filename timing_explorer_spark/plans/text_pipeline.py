@@ -1007,7 +1007,8 @@ def q_kn_ngram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc=(
         "Distributed modified Kneser-Ney 5-gram LM training (Chen & Goodman "
         "1998 §2.7 — the KenLM model family CCNet actually uses, Wenzek "
-        "2020): raw counts at order 5, continuation counts below, three "
+        "2020): raw counts at order 5, continuation counts below (raw for "
+        "<s>-anchored grams — the KenLM sentence-boundary rule, r7), three "
         "count-of-counts discounts per order, part/gamma tables as one "
         "groupBy per order — ALL JVM dataflow, zero Python anywhere. The "
         "driver sees only the 15-number discount matrix and two scalars. "
