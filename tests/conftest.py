@@ -30,6 +30,29 @@ def spark():
     yield s
 
 
+@pytest.fixture()
+def rocksdb_spark(spark):
+    """The shared session with the RocksDB state store provider enabled for
+    one test — required by every transformWithStateInPandas operator
+    (verify-mode LSH dedup, TWS pseudo-windows). Runtime-settable; restored
+    after the test."""
+    from timing_explorer_spark.streaming.state import rocksdb_state_conf
+
+    saved = {}
+    for k, v in rocksdb_state_conf().items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    yield spark
+    for k, v in saved.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
 @pytest.fixture(scope="session")
 def sf_smoke() -> str:
     return SF_SMOKE

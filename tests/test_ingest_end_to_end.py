@@ -36,7 +36,12 @@ def _warc(payload_html: str, uri: str, rid: int) -> bytes:
     return encode_warc_record(payload_html.encode(), uri, f"<urn:uuid:{rid}>")
 
 
-def test_warc_to_neardup_verdicts_live(spark, tmp_path):
+def _build_crawl_dir(tmp_path):
+    """Four triggers landing over time — trigger 2 (the mirror copy)
+    arrives as a .warc.gz per-record gzip member, so the live chain
+    exercises the mixed plain/gz Common Crawl shape end to end."""
+    from timing_explorer_spark.sources.warc import gzip_warc_record
+
     indir = tmp_path / "crawl"
     indir.mkdir()
     # trigger 1: the original article + an unrelated page
@@ -46,9 +51,12 @@ def test_warc_to_neardup_verdicts_live(spark, tmp_path):
     )
     time.sleep(1.1)
     # trigger 2: the SAME article under a mirror URL, re-encoded with extra
-    # whitespace (byte-different payload, identical visible text)
-    (indir / "seg-1.warc").write_bytes(
-        _warc(ARTICLE.replace("<p>", "<p>\n  "), "http://mirror.example/post", 3)
+    # whitespace (byte-different payload, identical visible text) — shipped
+    # GZIPPED, the way Common Crawl actually serves records
+    (indir / "seg-1.warc.gz").write_bytes(
+        gzip_warc_record(
+            _warc(ARTICLE.replace("<p>", "<p>\n  "), "http://mirror.example/post", 3)
+        )
     )
     time.sleep(3.2)
     # trigger 3: the seal sentinel, far enough ahead of the 2s horizon that
@@ -70,7 +78,10 @@ def test_warc_to_neardup_verdicts_live(spark, tmp_path):
             100,
         )
     )
+    return indir
 
+
+def _run_chain(spark, tmp_path, indir, verify=None):
     records = read_warc_stream(spark, str(indir), with_ingest_ts=True)
     docs = records.where("valid").select(
         F.xxhash64("target_uri").alias("doc_id"),
@@ -78,7 +89,7 @@ def test_warc_to_neardup_verdicts_live(spark, tmp_path):
         strip_html(F.decode("payload", "UTF-8")).alias("text"),
     )
     verdicts = minhash_dedup_stream(
-        docs, watermark="2 seconds", seal_window="1 second"
+        docs, watermark="2 seconds", seal_window="1 second", verify=verify
     )
     outdir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
     q = (
@@ -107,7 +118,10 @@ def test_warc_to_neardup_verdicts_live(spark, tmp_path):
         .select(F.xxhash64("target_uri").alias("doc_id"), "target_uri")
         .collect()
     }
-    by_uri = {uri_of[r["doc"]]: r for r in got if r["doc"] in uri_of}
+    return {uri_of[r["doc"]]: r for r in got if r["doc"] in uri_of}
+
+
+def _assert_verdicts(by_uri):
     # the original + unrelated page are unique; the re-encoded mirror is a
     # near-dup (exact dup of the VISIBLE text -> all bands collide -> no row,
     # or partial -> is_unique false)
@@ -115,3 +129,19 @@ def test_warc_to_neardup_verdicts_live(spark, tmp_path):
     assert by_uri["http://b.example/tech"]["is_unique"]
     mirror = by_uri.get("http://mirror.example/post")
     assert mirror is None or not mirror["is_unique"], "mirror page not suppressed"
+
+
+def test_warc_to_neardup_verdicts_live(spark, tmp_path):
+    _assert_verdicts(_run_chain(spark, tmp_path, _build_crawl_dir(tmp_path)))
+
+
+def test_warc_to_verified_neardup_verdicts_live(rocksdb_spark, tmp_path):
+    """Same live chain under verify mode (the precision layer): the mirror
+    page's visible text is byte-identical to the original, so the
+    estimated Jaccard is 1.0 against every stored band occupant — still
+    suppressed — while the verification state keeps the chain running on
+    the RocksDB-backed TWS path end to end."""
+    spark = rocksdb_spark
+    _assert_verdicts(
+        _run_chain(spark, tmp_path, _build_crawl_dir(tmp_path), verify=0.8)
+    )
