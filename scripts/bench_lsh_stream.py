@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Streaming-LSH dedup throughput probe (round 7): docs/s of
+minhash_dedup_stream in default (all-JVM dropDuplicatesWithinWatermark)
+vs verify mode (TWS signature store) at the default operating point
+(num_perm=64, bands=16), on the same corpus.
+
+Fixture: sf0.1 documents replicated REPLICAS x with fresh ids + 1-second
+ts spacing, landed as N_FILES parquet files, drained availableNow with
+FILES_PER_TRIGGER files per micro-batch. The number that matters at
+100 TB/day is docs/s per core and the default/verify ratio — the price
+of the precision layer.
+
+Prints ONE JSON line; write BENCH_lsh_stream.json via --json.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+REPLICAS = 40  # 500 docs x 40 = 20k docs
+N_FILES = 8
+FILES_PER_TRIGGER = 2
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
+    ap.add_argument("--json", default=None)
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.compat import ensure_protobuf
+    from timing_explorer_spark.session import get_spark
+    from timing_explorer_spark.streaming.lsh_dedup import minhash_dedup_stream
+    from timing_explorer_spark.streaming.state import rocksdb_state_conf
+
+    ensure_protobuf()
+    spark = get_spark(
+        app_name="lsh-stream-bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    for k, v in rocksdb_state_conf().items():
+        spark.conf.set(k, v)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    indir = tempfile.mkdtemp(prefix="lshbench_in_")
+    docs = (
+        spark.read.parquet(f"{args.sf_dir}/documents.parquet")
+        .crossJoin(spark.range(REPLICAS).select(F.col("id").alias("rep")))
+        .select(
+            (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
+            # note: replicas of one doc are EXACT duplicates — the stream
+            # suppresses them, which is the realistic hot path (dup-heavy
+            # crawl); ts spreads 1s apart inside one watermark horizon
+            F.to_timestamp(
+                F.lit("2024-01-01 00:00:00")
+            ).cast("timestamp").alias("base"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            (F.col("base") + F.make_interval(secs=F.col("doc_id") % 36000)).alias("ts"),
+            "text",
+        )
+    )
+    n_docs = docs.count()
+    docs.repartition(N_FILES).write.mode("overwrite").parquet(indir)
+
+    def run(verify):
+        out = tempfile.mkdtemp(prefix="lshbench_out_")
+        stream = (
+            spark.readStream.schema("doc_id long, ts timestamp, text string")
+            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+            .parquet(indir)
+        )
+        verdicts = minhash_dedup_stream(stream, watermark="11 hours", verify=verify)
+        t0 = time.monotonic()
+        q = (
+            verdicts.writeStream.format("parquet")
+            .option("path", f"{out}/o")
+            .option("checkpointLocation", f"{out}/c")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.monotonic() - t0
+        emitted = spark.read.parquet(f"{out}/o").count()
+        return {
+            "wall_sec": round(wall, 1),
+            "docs_per_sec": int(n_docs / wall),
+            "verdicts_emitted": emitted,
+        }
+
+    results = {"default": run(None), "verify_0.8": run(0.8)}
+    out = {
+        "metric": "streaming_lsh_throughput",
+        "cpus": args.cpus,
+        "n_docs": n_docs,
+        "n_files": N_FILES,
+        "files_per_trigger": FILES_PER_TRIGGER,
+        "verify_cost_ratio": round(
+            results["verify_0.8"]["wall_sec"] / results["default"]["wall_sec"], 2
+        ),
+        "results": results,
+    }
+    if args.json:
+        Path(args.json).write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
