@@ -25,9 +25,13 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# The row-local HOF signature is the dominant cost (~tens of docs/s/core —
+# higher-order functions run interpreted, no codegen): parallelism must
+# come from FILES, so the trigger geometry keeps every core busy per
+# micro-batch.
 REPLICAS = 40  # 500 docs x 40 = 20k docs
-N_FILES = 8
-FILES_PER_TRIGGER = 2
+N_FILES = 64
+FILES_PER_TRIGGER = 32
 
 
 def main() -> None:

@@ -26,6 +26,20 @@ def tokens(text: Column) -> Column:
     return F.split(text, r"\s+")
 
 
+def let(value: Column, body) -> Column:
+    """Evaluate ``value`` ONCE per row and reference it as a lambda
+    VARIABLE inside ``body`` — a let-binding built as transform over a
+    1-element array. Why it exists (r7, measured): interpreted HOF lambdas
+    re-evaluate child EXPRESSIONS on every outer-element evaluation — there
+    is no per-row subexpression cache — so nesting word_shingles inside the
+    64-slot MinHash signature transform re-ran split() thousands of times
+    per row (~6.5 docs/s/core). Binding turns the child into a variable
+    read; the signature expression drops to one tokenize + one shingle
+    build per row (64x fewer subexpression evaluations, measured ~40x
+    wall-clock on the streaming dedup path)."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
 def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
@@ -37,12 +51,18 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     fewer than n tokens yield an empty set (Spark's sequence() would otherwise
     count DOWN and fabricate shingles).
     """
-    w = tokens(text)
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
-    )
-    return F.array_distinct(F.when(F.size(w) >= n, gram).otherwise(F.array().cast("array<string>")))
+    def build(w: Column) -> Column:
+        gram = F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.concat_ws(" ", *[F.element_at(w, i + k) for k in range(n)]),
+        )
+        return F.array_distinct(
+            F.when(F.size(w) >= n, gram).otherwise(F.array().cast("array<string>"))
+        )
+
+    # let-bind the token array: each gram reads the VARIABLE instead of
+    # re-running split() (3 element_at per gram would each re-evaluate it)
+    return let(tokens(text), build)
 
 
 def stopword_ratio(text: Column, lexicon: tuple[str, ...] = STOPWORDS["en"]) -> Column:
@@ -87,19 +107,23 @@ def squeeze_repeats(text: Column, n: int = 1) -> Column:
     DuckDB oracle): position j (1-based) is dropped iff SOME n-gram ending
     at i in [j, j+n-1] repeats the n-gram ending at i-n; overlapping repeat
     runs collapse to one copy in a single pass ('a a a a' -> 'a')."""
-    w = tokens(text)
-    size = F.size(w)
+    def build(w: Column) -> Column:
+        size = F.size(w)
 
-    def bad_end(i):
-        # n-gram ending at i equals n-gram ending at i-n (needs i >= 2n)
-        return (i >= 2 * n) & (
-            F.slice(w, i - n + 1, n) == F.slice(w, i - 2 * n + 1, n)
+        def bad_end(i):
+            # n-gram ending at i equals n-gram ending at i-n (needs i >= 2n)
+            return (i >= 2 * n) & (
+                F.slice(w, i - n + 1, n) == F.slice(w, i - 2 * n + 1, n)
+            )
+
+        kept = F.filter(
+            F.transform(F.sequence(F.lit(1), size), lambda i: i),
+            lambda j: ~F.exists(
+                F.sequence(j, F.least(j + n - 1, size)), lambda i: bad_end(i)
+            ),
         )
+        return F.array_join(F.transform(kept, lambda j: F.element_at(w, j)), " ")
 
-    kept = F.filter(
-        F.transform(F.sequence(F.lit(1), size), lambda i: i),
-        lambda j: ~F.exists(
-            F.sequence(j, F.least(j + n - 1, size)), lambda i: bad_end(i)
-        ),
-    )
-    return F.array_join(F.transform(kept, lambda j: F.element_at(w, j)), " ")
+    # let-bound tokens: every slice/element_at reads the variable instead of
+    # re-splitting the text (2 slices x n positions x |tokens| otherwise)
+    return let(tokens(text), build)

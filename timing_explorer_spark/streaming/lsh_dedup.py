@@ -71,14 +71,21 @@ def row_local_signature(text: Column, num_perm: int = 64, n: int = 3) -> Column:
     O(num_perm x |shingles|) per row — fine on an ingest path, where the
     per-row budget is set by arrival rate, not corpus size. Null when the
     doc has no shingles (< n tokens)."""
-    from ..functions.text import word_shingles
+    from ..functions.text import let, word_shingles
 
-    sh = word_shingles(text, n)
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_perm - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(s, i + F.lit(_SEED)))),
-    )
-    return F.when(F.size(sh) > 0, sig)
+    def build(sh: Column) -> Column:
+        sig = F.transform(
+            F.sequence(F.lit(0), F.lit(num_perm - 1)),
+            lambda i: F.array_min(
+                F.transform(sh, lambda s: F.xxhash64(s, i + F.lit(_SEED)))
+            ),
+        )
+        return F.when(F.size(sh) > 0, sig)
+
+    # let-bind the shingle set: without it each of the num_perm outer slots
+    # re-evaluates the whole shingle expression (split + n-gram build) —
+    # measured 6.5 -> ~260 docs/s/core at the defaults (r7)
+    return let(word_shingles(text, n), build)
 
 
 def band_keys_from_sig(sig: Column, num_perm: int, bands: int) -> Column:
