@@ -8,7 +8,11 @@ Fixture: sf0.1 documents replicated REPLICAS x with fresh ids + 1-second
 ts spacing, landed as N_FILES parquet files, drained availableNow with
 FILES_PER_TRIGGER files per micro-batch. The number that matters at
 100 TB/day is docs/s per core and the default/verify ratio — the price
-of the precision layer.
+of the precision layer. verdicts_emitted is 0 BY DESIGN: the watermark
+horizon exceeds the fixture's time span, so no verdict window seals
+during the drain — the measured work is the signature + banding + stateful
+dedup stages, which is the ingest hot path (emission itself is a tiny
+windowed count).
 
 Prints ONE JSON line; write BENCH_lsh_stream.json via --json.
 """
@@ -29,7 +33,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # higher-order functions run interpreted, no codegen): parallelism must
 # come from FILES, so the trigger geometry keeps every core busy per
 # micro-batch.
-REPLICAS = 40  # 500 docs x 40 = 20k docs
+REPLICAS = 40  # sf0.1's 5000 docs x 40 = 200k docs
 N_FILES = 64
 FILES_PER_TRIGGER = 32
 
