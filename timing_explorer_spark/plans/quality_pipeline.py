@@ -29,13 +29,22 @@ from .registry import register
 
 def _bigrams(text) -> "F.Column":
     """ALL word 2-grams (non-distinct, order-preserving) — repetition metrics
-    need multiplicity, unlike the set-semantics word_shingles."""
-    w = tokens(text)
-    gram = F.transform(
-        F.sequence(F.lit(1), F.size(w) - 1),
-        lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
-    )
-    return F.when(F.size(w) >= 2, gram).otherwise(F.array().cast("array<string>"))
+    need multiplicity, unlike the set-semantics word_shingles. Tokens are
+    let-bound (functions.text.let): interpreted HOF lambdas re-evaluate
+    child expressions per element, so the unbound form re-ran split() twice
+    per gram."""
+    from ..functions.text import let
+
+    def build(w: "F.Column") -> "F.Column":
+        gram = F.transform(
+            F.sequence(F.lit(1), F.size(w) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(w, i), F.element_at(w, i + 1)),
+        )
+        return F.when(F.size(w) >= 2, gram).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return let(tokens(text), build)
 
 
 @register(
