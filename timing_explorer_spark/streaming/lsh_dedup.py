@@ -84,7 +84,7 @@ def row_local_signature(text: Column, num_perm: int = 64, n: int = 3) -> Column:
 
     # let-bind the shingle set: without it each of the num_perm outer slots
     # re-evaluates the whole shingle expression (split + n-gram build) —
-    # measured 6.5 -> ~260 docs/s/core at the defaults (r7)
+    # measured 6.5 -> 815 docs/s/core at the defaults (r7)
     return let(word_shingles(text, n), build)
 
 
