@@ -46,6 +46,10 @@ OPS = (
     # near-duplicate vectors (within-cluster pairs only)
     "q_dsir_importance_weights",
     "q_semdedup_pairs",
+    # r7: ExactSubstr trim — the heaviest shuffle shape in the repo (the
+    # span table is ~N_tokens rows; tiled x10 corpus makes every boilerplate
+    # span hit df>=3 by construction, the adversarial removal load)
+    "q_exact_substr_trim",
 )
 
 # Training-style queries do their distributed work EAGERLY inside build()

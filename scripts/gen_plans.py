@@ -131,6 +131,11 @@ def main() -> None:
         "q_media_audio_neardup",
         "q_langid_nb",
         "q_squeeze_repeats",
+        # Round-7: crawl-cleanup additions.
+        "q_fix_mojibake",
+        "q_blocklist_filter",
+        "q_paragraph_dedup",
+        "q_exact_substr_trim",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

@@ -127,3 +127,47 @@ def squeeze_repeats(text: Column, n: int = 1) -> Column:
     # let-bound tokens: every slice/element_at reads the variable instead of
     # re-splitting the text (2 slices x n positions x |tokens| otherwise)
     return let(tokens(text), build)
+
+
+# The printable subset of the classic UTF-8-read-as-cp1252 double-encoding
+# table (what ftfy calls "sloppy windows-1252" mojibake): each SOURCE is the
+# full cp1252 rendering of one UTF-8 byte sequence, so repair is an exact
+# string substitution — no heuristics, no partial matches. Only sequences
+# whose every byte maps to a PRINTABLE cp1252 char are listed (artifacts
+# containing C1 controls / NBSP can't round-trip through a text column
+# deterministically); order is fixed and mirrored verbatim in oracles.
+MOJIBAKE_TABLE = (
+    ("â€™", "’"),  # â€™ -> right single quote
+    ("â€˜", "‘"),  # â€˜ -> left single quote
+    ("â€œ", "“"),  # â€œ -> left double quote
+    ("â€“", "–"),  # â€“ -> en dash
+    ("â€”", "—"),  # â€” -> em dash
+    ("â€¦", "…"),  # â€¦ -> ellipsis
+    ("Ã©", "é"),  # Ã© -> é
+    ("Ã¨", "è"),  # Ã¨ -> è
+    ("Ã¡", "á"),  # Ã¡ -> á
+    ("Ã³", "ó"),  # Ã³ -> ó
+    ("Ãº", "ú"),  # Ãº -> ú
+    ("Ã±", "ñ"),  # Ã± -> ñ
+    ("Ã¼", "ü"),  # Ã¼ -> ü
+    ("Ã¶", "ö"),  # Ã¶ -> ö
+    ("Ã¤", "ä"),  # Ã¤ -> ä
+    ("Ã§", "ç"),  # Ã§ -> ç
+    ("Ã¯", "ï"),  # Ã¯ -> ï
+)
+
+
+def fix_mojibake(text: Column) -> Column:
+    """Repair UTF-8-decoded-as-cp1252 mojibake ('CafÃ©' -> 'Café',
+    'donâ€™t' -> 'don’t') — the encoding-repair pass every web-crawl
+    pipeline runs before tokenization (ftfy's core fix, restricted to the
+    deterministic printable-table subset; see MOJIBAKE_TABLE).
+
+    A fold of exact substitutions: pure JVM string replace chain, map-only,
+    stays in whole-stage codegen — no Python, no regex backtracking. The
+    table's sources are mutually prefix-free full sequences, so the fold is
+    confluent; repair is idempotent on its own output (pytest-pinned)."""
+    out = text
+    for src, dst in MOJIBAKE_TABLE:
+        out = F.replace(out, F.lit(src), F.lit(dst))
+    return out

@@ -1677,3 +1677,211 @@ def q_squeeze_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
         squeeze_repeats(doctored, 1).alias("squeezed_1"),
         squeeze_repeats(doctored, 2).alias("squeezed_2"),
     )
+
+
+# cp1252-mojibake repair as a DuckDB replace() fold — mirrors
+# functions.text.MOJIBAKE_TABLE verbatim, in the same order
+def _mojibake_sql(col: str) -> str:
+    from ..functions.text import MOJIBAKE_TABLE
+
+    expr = col
+    for src, dst in MOJIBAKE_TABLE:
+        expr = f"replace({expr}, '{src}', '{dst}')"
+    return expr
+
+
+@register(
+    "q_fix_mojibake",
+    oracle=f"""
+        WITH doctored AS (
+            SELECT doc_id,
+                   text || ' CafÃ© â€œquotedâ€¦ donâ€™t â€“ maÃ±ana Ã¼ber'
+                       AS garbled
+            FROM documents
+        )
+        SELECT doc_id,
+               {_mojibake_sql('garbled')} AS fixed,
+               LENGTH(garbled) - LENGTH({_mojibake_sql('garbled')})
+                   AS chars_removed,
+               LENGTH(garbled) <> LENGTH({_mojibake_sql('garbled')})
+                   AS had_mojibake
+        FROM doctored
+    """,
+    doc=(
+        "Encoding repair (ftfy-style): fix UTF-8-decoded-as-cp1252 mojibake "
+        "('CafÃ©' -> 'Café', 'donâ€™t' -> 'don’t') — the cleanup pass every "
+        "web-crawl pipeline runs before tokenization. The synthetic corpus "
+        "is clean ASCII, so the fixture GARBLES each document with a fixed "
+        "mojibake tail (the q_squeeze_repeats doctoring pattern) and both "
+        "engines repair it with the identical substitution fold "
+        "(functions/text.py::fix_mojibake / MOJIBAKE_TABLE) — the full "
+        "repaired text is hash-checked, plus an artifact-count metric "
+        "(every table entry shrinks 1 char per hit). Pure JVM replace "
+        "chain, map-only, whole-stage codegen; idempotence and real-sample "
+        "repairs pinned in tests/test_text_fixes.py."
+    ),
+    tags=("text", "quality", "encoding", "transform", "llm-pipeline"),
+)
+def q_fix_mojibake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import fix_mojibake
+
+    d = load(spark, sf_dir, "documents")
+    garbled = F.concat(
+        F.col("text"),
+        F.lit(" CafÃ© â€œquotedâ€¦ donâ€™t â€“ maÃ±ana Ã¼ber"),
+    )
+    fixed = fix_mojibake(garbled)
+    return d.select(
+        "doc_id",
+        fixed.alias("fixed"),
+        (F.length(garbled) - F.length(fixed)).alias("chars_removed"),
+        (F.length(garbled) != F.length(fixed)).alias("had_mojibake"),
+    )
+
+
+# The blocklist a real pipeline loads is the public LDNOOBW word list (the
+# C4 cleanup recipe, Raffel et al. 2020 §2.2 "Dirty, Naughty, Obscene");
+# this placeholder uses corpus-vocabulary terms so hits are nonzero and the
+# machinery is exercised end to end.
+_BLOCK_WORDS = ("slow", "merge")
+_BLOCK_PHRASES = ("big table", "fast key")
+
+
+@register(
+    "q_blocklist_filter",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, text, string_split(text, ' ') AS toks
+            FROM documents
+        )
+        SELECT doc_id,
+               LEN(list_filter(toks, x -> x IN {_BLOCK_WORDS!r})) AS n_word_hits,
+               LEN(regexp_extract_all(text, '\\bbig table\\b'))
+               + LEN(regexp_extract_all(text, '\\bfast key\\b')) AS n_phrase_hits,
+               LEN(list_filter(toks, x -> x IN {_BLOCK_WORDS!r})) = 0
+               AND LEN(regexp_extract_all(text, '\\bbig table\\b')) = 0
+               AND LEN(regexp_extract_all(text, '\\bfast key\\b')) = 0 AS keep
+        FROM t
+    """,
+    doc=(
+        "C4-style blocklist document filter (Raffel et al. 2020: drop any "
+        "page containing a blocklisted word): exact word-grain hits via a "
+        "token-array HOF filter (token grain, so 'slowest' never matches "
+        "'slow') plus multi-word PHRASE hits via word-boundary-anchored "
+        "regexp_count ('big tables' never matches 'big table' — real "
+        "blocklists are phrase-heavy), and the keep verdict a pipeline "
+        "filters on. Map-only column "
+        "expressions, no shuffle, whole-stage codegen. At 100 TB with a "
+        "large lexicon the word leg becomes an explode + broadcast "
+        "semi-join against the blocklist table; the HOF IN-list form used "
+        "here is the small-lexicon fast path."
+    ),
+    tags=("text", "quality", "filter", "llm-pipeline"),
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_word_hits = F.size(F.filter(toks, lambda x: x.isin(*_BLOCK_WORDS)))
+    phrase_hits = None
+    for p in _BLOCK_PHRASES:
+        h = F.regexp_count(F.col("text"), F.lit(rf"\b{p}\b"))
+        phrase_hits = h if phrase_hits is None else phrase_hits + h
+    return d.select(
+        "doc_id",
+        n_word_hits.alias("n_word_hits"),
+        phrase_hits.alias("n_phrase_hits"),
+        ((n_word_hits == 0) & (phrase_hits == 0)).alias("keep"),
+    )
+
+
+_PARA_FOOTER = " | subscribe to our newsletter today | special offer click now"
+
+
+@register(
+    "q_paragraph_dedup",
+    oracle=f"""
+        WITH doctored AS (
+            SELECT doc_id,
+                   string_split(text || '{_PARA_FOOTER}', ' | ') AS parts
+            FROM documents
+        ),
+        paras AS (
+            SELECT doc_id, i AS para_idx, parts[i] AS para
+            FROM doctored, UNNEST(range(1, LEN(parts) + 1)) AS r(i)
+        ),
+        ranked AS (
+            SELECT doc_id, para_idx, para,
+                   ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, para_idx) AS rn
+            FROM paras
+        ),
+        agg AS (
+            SELECT doc_id,
+                   COUNT(*) AS kept_paras,
+                   md5(string_agg(para, ' | ' ORDER BY para_idx)) AS cleaned_md5
+            FROM ranked WHERE rn = 1 GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               LEN(d.parts)                       AS n_paras,
+               COALESCE(a.kept_paras, 0)          AS kept_paras,
+               COALESCE(a.cleaned_md5, md5(''))   AS cleaned_md5
+        FROM doctored d LEFT JOIN agg a USING (doc_id)
+    """,
+    doc=(
+        "Paragraph-grain exact dedup — CCNet's actual dedup step (Wenzek "
+        "et al. 2020 §3.1 dedups SHA1-hashed PARAGRAPHS across the whole "
+        "crawl dump, not documents): split each document on the paragraph "
+        "separator, keep only the corpus-wide FIRST occurrence of every "
+        "paragraph hash (total order (doc_id, para_idx) — deterministic, "
+        "dedups within-doc repeats too), reassemble the surviving text in "
+        "order and hash-verify it. The synthetic corpus is newline-free, so "
+        "the fixture injects a shared two-paragraph boilerplate footer "
+        "behind a ' | ' separator (the q_squeeze_repeats doctoring "
+        "pattern; in deployment the separator is '\\n') — the lowest "
+        "doc_id keeps the footer, every other document sheds it, and on "
+        "tiled corpora (scripts/make_sf1.py, x10 verbatim copies) later "
+        "full-document copies keep ZERO paragraphs. One shuffle on the "
+        "paragraph hash (the window), one doc_id shuffle for reassembly; "
+        "per-group width bounded by paragraph duplication count — the "
+        "hash-groupBy shape that survives 100 TB, never pairwise."
+    ),
+    tags=("text", "dedup", "paragraph", "ccnet", "llm-pipeline"),
+)
+def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    doctored = d.select(
+        "doc_id",
+        F.split(F.concat(F.col("text"), F.lit(_PARA_FOOTER)), r" \| ").alias("parts"),
+    )
+    paras = doctored.select(
+        "doc_id", F.posexplode("parts").alias("pos0", "para")
+    ).select("doc_id", (F.col("pos0") + 1).alias("para_idx"), "para")
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "para_idx")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("kept_paras"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                    lambda s: s.para,
+                ),
+                " | ",
+            )
+        ).alias("cleaned_md5"),
+    )
+    return (
+        doctored.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.size("parts").alias("n_paras"),
+            F.coalesce("kept_paras", F.lit(0)).alias("kept_paras"),
+            F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
