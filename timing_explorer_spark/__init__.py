@@ -91,6 +91,7 @@ _EXPORTS = {
     "gzip_warc_record": "timing_explorer_spark.sources.warc:gzip_warc_record",
     "canonicalize_url": "timing_explorer_spark.operators.html_extract:canonicalize_url",
     "squeeze_repeats": "timing_explorer_spark.functions.text:squeeze_repeats",
+    "fix_mojibake": "timing_explorer_spark.functions.text:fix_mojibake",
     # temporal joins
     "asof_join": "timing_explorer_spark.operators.joins:asof_join",
     "interval_pairs": "timing_explorer_spark.operators.joins:interval_pairs",
