@@ -296,3 +296,22 @@ def test_fuzz_roundtrip_random_blobs():
             assert bad == []
 
     prop()
+
+
+def test_gz_whole_file_single_member():
+    # some writers gzip the WHOLE file as one member (not per-record
+    # chains): a 1-member chain whose decompressed stream holds many
+    # records — the same walk must yield them all
+    import gzip
+
+    from timing_explorer_spark.sources.warc import encode_warc_record, parse_warc_blob
+
+    recs = [
+        encode_warc_record(f"payload {i}".encode(), f"http://ex.com/{i}", f"<urn:uuid:{i}>")
+        for i in range(5)
+    ]
+    blob = gzip.compress(b"".join(recs))
+    rows = parse_warc_blob(blob)
+    good = [r for r in rows if r["valid"]]
+    assert len(good) == 5
+    assert [r["payload"] for r in good] == [f"payload {i}".encode() for i in range(5)]
