@@ -50,6 +50,10 @@ OPS = (
     # span table is ~N_tokens rows; tiled x10 corpus makes every boilerplate
     # span hit df>=3 by construction, the adversarial removal load)
     "q_exact_substr_trim",
+    # r7: CCNet paragraph dedup — on the x10-verbatim corpus every later
+    # document copy sheds ALL paragraphs (the window's group width is the
+    # duplication count, exactly the skew this probe bounds)
+    "q_paragraph_dedup",
 )
 
 # Training-style queries do their distributed work EAGERLY inside build()

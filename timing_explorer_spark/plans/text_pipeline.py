@@ -1842,8 +1842,10 @@ _PARA_FOOTER = " | subscribe to our newsletter today | special offer click now"
         "tiled corpora (scripts/make_sf1.py, x10 verbatim copies) later "
         "full-document copies keep ZERO paragraphs. One shuffle on the "
         "paragraph hash (the window), one doc_id shuffle for reassembly; "
-        "per-group width bounded by paragraph duplication count — the "
-        "hash-groupBy shape that survives 100 TB, never pairwise."
+        "per-group width bounded by paragraph duplication count, and the "
+        "rn=1 window compiles to a two-sided WindowGroupLimit (duplicates "
+        "pruned map-side before the shuffle) — the hash-groupBy shape that "
+        "survives 100 TB, never pairwise."
     ),
     tags=("text", "dedup", "paragraph", "ccnet", "llm-pipeline"),
 )
@@ -1883,5 +1885,120 @@ def q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("parts").alias("n_paras"),
             F.coalesce("kept_paras", F.lit(0)).alias("kept_paras"),
             F.coalesce("cleaned_md5", F.md5(F.lit(""))).alias("cleaned_md5"),
+        )
+    )
+
+
+_V2_TAIL = " CafÃ© donâ€™t spam spam spam | subscribe to our newsletter today"
+
+
+@register(
+    "q_corpus_prep_v2",
+    oracle=f"""
+        WITH doctored AS (
+            SELECT doc_id, text || '{_V2_TAIL}' AS g FROM documents
+        ),
+        fixed AS (
+            SELECT doc_id, {_mojibake_sql('g')} AS f FROM doctored
+        ),
+        sq AS (SELECT doc_id, string_split(f, ' ') AS w FROM fixed),
+        squeezed AS (SELECT doc_id, {_squeeze_sql('w', 1)} AS s FROM sq),
+        parted AS (
+            SELECT doc_id, string_split(s, ' | ') AS parts FROM squeezed
+        ),
+        paras AS (
+            SELECT doc_id, LEN(parts) AS n_paras, i AS para_idx, parts[i] AS para
+            FROM parted, UNNEST(range(1, LEN(parts) + 1)) AS r(i)
+        ),
+        ranked AS (
+            SELECT doc_id, n_paras, para_idx, para,
+                   ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                      ORDER BY doc_id, para_idx) AS rn
+            FROM paras
+        ),
+        clean AS (
+            SELECT doc_id, n_paras,
+                   COUNT(*) AS kept_paras,
+                   string_agg(para, ' | ' ORDER BY para_idx) AS t
+            FROM ranked WHERE rn = 1 GROUP BY doc_id, n_paras
+        ),
+        gated AS (
+            SELECT * FROM clean
+            WHERE LEN(regexp_extract_all(t, '\\bfast key\\b')) = 0
+              AND LENGTH(t) >= 80
+        ),
+        deduped AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(t)
+                                         ORDER BY doc_id) AS rn2
+            FROM gated
+        )
+        SELECT doc_id, n_paras, kept_paras,
+               LENGTH(t) AS n_chars_clean, md5(t) AS text_md5
+        FROM deduped WHERE rn2 = 1
+    """,
+    doc=(
+        "The FULL modern cleanup recipe as ONE composed declarative plan — "
+        "the CCNet/C4/Gopher stack end to end: mojibake repair -> "
+        "within-doc repetition squeeze -> paragraph-grain corpus dedup "
+        "(first-occurrence-wins + ordered reassembly) -> blocklist phrase "
+        "filter -> length quality gate -> exact document dedup (min doc_id "
+        "per content hash). The fixture tail exercises every stage (a "
+        "mojibake'd prefix, a period-1 spam run, a corpus-shared footer "
+        "paragraph); survivors' full cleaned text is hash-verified against "
+        "DuckDB running the identical composition. THREE shuffles total at "
+        "any scale (paragraph-hash window, doc_id reassembly, content-hash "
+        "window) — everything else fuses map-side into the scan, and the "
+        "rn=1 windows compile to WindowGroupLimit on BOTH exchange sides, "
+        "so duplicated paragraphs are pruned map-side BEFORE they shuffle "
+        "(plan-verified); compare "
+        "q_corpus_prep_pipeline for the v1 (sample/PII/chunk) composition."
+    ),
+    tags=("text", "llm-pipeline", "composed", "flagship"),
+)
+def q_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions.text import fix_mojibake, squeeze_repeats
+
+    d = load(spark, sf_dir, "documents")
+    cleaned = squeeze_repeats(
+        fix_mojibake(F.concat(F.col("text"), F.lit(_V2_TAIL))), 1
+    )
+    parted = d.select("doc_id", F.split(cleaned, r" \| ").alias("parts"))
+    paras = parted.select(
+        "doc_id",
+        F.size("parts").alias("n_paras"),
+        F.posexplode("parts").alias("pos0", "para"),
+    ).select("doc_id", "n_paras", (F.col("pos0") + 1).alias("para_idx"), "para")
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "para_idx")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    clean = kept.groupBy("doc_id", "n_paras").agg(
+        F.count(F.lit(1)).alias("kept_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s.para,
+            ),
+            " | ",
+        ).alias("t"),
+    )
+    gated = clean.where(
+        (F.regexp_count(F.col("t"), F.lit(r"\bfast key\b")) == 0)
+        & (F.length("t") >= 80)
+    )
+    w2 = Window.partitionBy(F.md5("t")).orderBy("doc_id")
+    return (
+        gated.withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") == 1)
+        .select(
+            "doc_id",
+            "n_paras",
+            "kept_paras",
+            F.length("t").alias("n_chars_clean"),
+            F.md5("t").alias("text_md5"),
         )
     )
