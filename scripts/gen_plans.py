@@ -136,6 +136,7 @@ def main() -> None:
         "q_blocklist_filter",
         "q_paragraph_dedup",
         "q_exact_substr_trim",
+        "q_corpus_prep_v2",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}
