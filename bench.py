@@ -248,14 +248,21 @@ def main() -> None:
     # One more dimension: the composed corpus-prep pipeline (hash sample ->
     # PII scrub -> quality gate -> exact dedup -> chunking in one plan) —
     # the end-to-end training-data shape, timed warm like the headline set.
-    pipe = all_queries()["q_corpus_prep_pipeline"].build(spark, sf_dir)
-    pipe.write.mode("overwrite").format("noop").save()  # untimed codegen pass
-    pipe_runs = []
-    for _ in range(3):
-        t0 = time.monotonic()
-        pipe.write.mode("overwrite").format("noop").save()
-        pipe_runs.append(time.monotonic() - t0)
-    pipeline = {"corpus_prep_sec": round(min(pipe_runs), 3)}
+    pipeline = {}
+    for pname, pkey in (
+        ("q_corpus_prep_pipeline", "corpus_prep_sec"),
+        # v2: the r7 six-stage cleanup recipe (mojibake fix -> squeeze ->
+        # paragraph dedup -> blocklist -> gate -> exact dedup) in one plan
+        ("q_corpus_prep_v2", "corpus_prep_v2_sec"),
+    ):
+        pipe = all_queries()[pname].build(spark, sf_dir)
+        pipe.write.mode("overwrite").format("noop").save()  # untimed codegen pass
+        pipe_runs = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            pipe.write.mode("overwrite").format("noop").save()
+            pipe_runs.append(time.monotonic() - t0)
+        pipeline[pkey] = round(min(pipe_runs), 3)
 
     # Transparent comparator: the SAME oracle SQL each headline query is
     # hash-verified against, timed hot in DuckDB (min of 3 after a warm-up

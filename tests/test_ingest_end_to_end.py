@@ -82,7 +82,14 @@ def _build_crawl_dir(tmp_path):
 
 
 def _run_chain(spark, tmp_path, indir, verify=None):
-    records = read_warc_stream(spark, str(indir), with_ingest_ts=True)
+    # maxFilesPerTrigger is a SOURCE option (on the sink it is silently
+    # ignored and every file lands in ONE availableNow batch — the r7
+    # session caught this when a same-batch arbitrary survivor beat the
+    # first-arrival doc): throttle at the reader so the four files really
+    # arrive as four ordered micro-batches
+    records = read_warc_stream(
+        spark, str(indir), with_ingest_ts=True, max_files_per_trigger=1
+    )
     docs = records.where("valid").select(
         F.xxhash64("target_uri").alias("doc_id"),
         F.col("ingest_ts").alias("ts"),
@@ -97,7 +104,6 @@ def _run_chain(spark, tmp_path, indir, verify=None):
         .outputMode("append")
         .option("path", outdir)
         .option("checkpointLocation", ckpt)
-        .option("maxFilesPerTrigger", 1)
         .trigger(availableNow=True)
         .start()
     )
@@ -145,3 +151,76 @@ def test_warc_to_verified_neardup_verdicts_live(rocksdb_spark, tmp_path):
     _assert_verdicts(
         _run_chain(spark, tmp_path, _build_crawl_dir(tmp_path), verify=0.8)
     )
+
+
+def test_warc_cleanup_chain_dedups_garbled_mirror(spark, tmp_path):
+    """The r7 cleanup stage composes into the SAME live pipeline: a mirror
+    page whose text is cp1252-mojibake'd and word-doubled (byte- AND
+    text-different after strip) repairs to the original under
+    fix_mojibake + squeeze_repeats, so the dedup layer must suppress it —
+    cleanup-equivalent pages are duplicates."""
+    from timing_explorer_spark.functions.text import fix_mojibake, squeeze_repeats
+
+    clean_p = (
+        "the café cat don’t sit on the mat while birds fly south for "
+        "winter and the dog watches the quiet yard every single day"
+    )
+    garbled_p = clean_p.replace("café", "cafÃ©").replace("don’t", "donâ€™t").replace(
+        "the mat", "the mat mat"
+    )
+    shell = "<html><body><p>{}</p></body></html>"
+    indir = tmp_path / "crawl"
+    indir.mkdir()
+    (indir / "seg-0.warc").write_bytes(
+        _warc(shell.format(clean_p), "http://a.example/clean", 1)
+    )
+    time.sleep(1.1)
+    (indir / "seg-1.warc").write_bytes(
+        _warc(shell.format(garbled_p), "http://m.example/garbled", 2)
+    )
+    time.sleep(3.2)
+    (indir / "seg-2.warc").write_bytes(
+        _warc(shell.format("sentinel one closing with plenty of unique words "
+                           "to shingle across the horizon"), "http://z/s1", 8)
+    )
+    time.sleep(1.1)
+    (indir / "seg-3.warc").write_bytes(
+        _warc(shell.format("sentinel two flushing sealed verdict windows "
+                           "through the very final trigger"), "http://z/s2", 9)
+    )
+
+    records = read_warc_stream(
+        spark, str(indir), with_ingest_ts=True, max_files_per_trigger=1
+    )
+    docs = records.where("valid").select(
+        F.xxhash64("target_uri").alias("doc_id"),
+        F.col("ingest_ts").alias("ts"),
+        squeeze_repeats(
+            fix_mojibake(strip_html(F.decode("payload", "UTF-8")))
+        ).alias("text"),
+    )
+    verdicts = minhash_dedup_stream(docs, watermark="2 seconds", seal_window="1 second")
+    outdir, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    q = (
+        verdicts.writeStream.format("parquet")
+        .outputMode("append")
+        .option("path", outdir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(outdir).collect()
+    ids = {
+        r["target_uri"]: r["doc_id"]
+        for r in spark.createDataFrame(
+            [("http://a.example/clean",), ("http://m.example/garbled",)],
+            "target_uri string",
+        )
+        .select("target_uri", F.xxhash64("target_uri").alias("doc_id"))
+        .collect()
+    }
+    by_doc = {r["doc"]: r for r in got}
+    assert by_doc[ids["http://a.example/clean"]]["is_unique"]
+    mirror = by_doc.get(ids["http://m.example/garbled"])
+    assert mirror is None or not mirror["is_unique"], "garbled mirror not suppressed"

@@ -233,7 +233,12 @@ def read_warc(spark, path: str) -> DataFrame:
     return warc_records(files)
 
 
-def read_warc_stream(spark, path: str, with_ingest_ts: bool = False) -> DataFrame:
+def read_warc_stream(
+    spark,
+    path: str,
+    with_ingest_ts: bool = False,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """Streaming WARC ingest: new *.warc / *.warc.gz files landing under
     ``path`` become
     record rows continuously (binaryFile file-stream source with its fixed
@@ -242,14 +247,21 @@ def read_warc_stream(spark, path: str, with_ingest_ts: bool = False) -> DataFram
     streaming/lsh_dedup.py for dedup-at-ingest straight off the crawler.
     ``with_ingest_ts=True`` carries the file's modificationTime onto every
     record as ``ingest_ts`` — the event-time column downstream watermarked
-    stages need."""
+    stages need. ``max_files_per_trigger`` throttles micro-batch width; it
+    is a SOURCE option (setting it on the sink is silently ignored — found
+    the hard way), and Trigger.AvailableNow honors it, so replay tests get
+    real multi-batch arrival order instead of one giant batch."""
     from pyspark.sql import functions as F
 
-    files = (
+    reader = (
         spark.readStream.format("binaryFile")
         .schema("path string, modificationTime timestamp, length long, content binary")
         .option("pathGlobFilter", _WARC_GLOB)
-        .load(path)
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    files = (
+        reader.load(path)
         .select(
             F.xxhash64("path").alias("blob_id"),
             F.col("content").alias("payload"),
