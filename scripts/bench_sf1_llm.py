@@ -54,6 +54,8 @@ OPS = (
     # document copy sheds ALL paragraphs (the window's group width is the
     # duplication count, exactly the skew this probe bounds)
     "q_paragraph_dedup",
+    # r7: the six-stage composed cleanup recipe (3 exchanges end to end)
+    "q_corpus_prep_v2",
 )
 
 # Training-style queries do their distributed work EAGERLY inside build()

@@ -2002,3 +2002,59 @@ def q_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.md5("t").alias("text_md5"),
         )
     )
+
+
+@register(
+    "q_blocklist_semijoin",
+    oracle=f"""
+        WITH lex(word) AS (VALUES ('slow'), ('merge'), ('spam'), ('stop')),
+        hits AS (
+            SELECT doc_id, COUNT(*) AS n_hits,
+                   COUNT(DISTINCT tok)  AS n_distinct_hits
+            FROM (
+                SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+                FROM documents
+            ) t
+            SEMI JOIN lex ON t.tok = lex.word
+            GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               COALESCE(h.n_hits, 0)          AS n_hits,
+               COALESCE(h.n_distinct_hits, 0) AS n_distinct_hits,
+               h.doc_id IS NULL               AS keep
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+    """,
+    doc=(
+        "The LARGE-lexicon form of the C4 blocklist filter (the "
+        "q_blocklist_filter docstring's deployment note made real): when "
+        "the word list is too big for an IN-expression (LDNOOBW x100 "
+        "languages, phrase tables), the filter becomes explode + BROADCAST "
+        "semi-join against a lexicon TABLE — one map-side-combined "
+        "(doc, hit) aggregate, lexicon shipped once per executor, fact "
+        "table never shuffled on the lexicon. Left join back restores "
+        "clean docs with keep=true. The lexicon here is an inline 4-word "
+        "table so the oracle mirrors it as VALUES; in deployment it's any "
+        "DataFrame (broadcast() below pins the build side)."
+    ),
+    tags=("text", "quality", "filter", "join", "llm-pipeline"),
+)
+def q_blocklist_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = spark.createDataFrame(
+        [("slow",), ("merge",), ("spam",), ("stop",)], "word string"
+    )
+    d = load(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    hits = (
+        toks.join(F.broadcast(lex), toks.tok == lex.word, "left_semi")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.count_distinct("tok").alias("n_distinct_hits"),
+        )
+    )
+    return d.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_hits"),
+        F.coalesce("n_distinct_hits", F.lit(0)).alias("n_distinct_hits"),
+        F.col("n_hits").isNull().alias("keep"),
+    )
