@@ -105,6 +105,7 @@ _EXPORTS = {
     # streaming
     "dedup_stream": "timing_explorer_spark.streaming.pipeline:dedup_stream",
     "minhash_dedup_stream": "timing_explorer_spark.streaming.lsh_dedup:minhash_dedup_stream",
+    "paragraph_dedup_stream": "timing_explorer_spark.streaming.paragraph_dedup:paragraph_dedup_stream",
 }
 
 __all__ = ["__version__", *sorted(_EXPORTS)]
