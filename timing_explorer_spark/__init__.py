@@ -82,6 +82,9 @@ _EXPORTS = {
     "pca_fit": "timing_explorer_spark.operators.pca:pca_fit",
     "pca_project": "timing_explorer_spark.operators.pca:pca_project",
     "cluster_safe_split": "timing_explorer_spark.operators.splits:cluster_safe_split",
+    "pq_train_codebooks": "timing_explorer_spark.operators.similarity:pq_train_codebooks",
+    "pq_encode": "timing_explorer_spark.operators.similarity:pq_encode",
+    "ivfpq_topk": "timing_explorer_spark.operators.similarity:ivfpq_topk",
     # raw-crawl front-end
     "strip_html": "timing_explorer_spark.operators.html_extract:strip_html",
     "extract_main_text": "timing_explorer_spark.operators.html_extract:extract_main_text",

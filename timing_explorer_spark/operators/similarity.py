@@ -578,3 +578,218 @@ def semdedup_pairs(
         .select("bucket", "id_a", "id_b", cos.alias("cos"))
         .where(F.col("cos") >= F.lit(threshold))
     )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    m: int = 8,
+    k_sub: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Product-quantization codebooks (Jégou, Douze, Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): the L2-normalized vector is
+    split into ``m`` contiguous subspaces and an independent ``k_sub``-way
+    k-means is trained per subspace. Returns m codebooks of k_sub centroids
+    each — m x k_sub x (d/m) floats, a driver-sized model that broadcasts
+    (at the defaults on d=64: 8 x 16 x 8 doubles = 8 KB).
+
+    Training is m bounded pyspark.ml jobs over subvector slices (sampled
+    with ``sample_fraction`` at scale — codebook quality needs ~100x k_sub
+    points per subspace, not the corpus)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import Normalizer
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    base = corpus.select(array_to_vector(as_double(F.col(vec_col))).alias("raw"))
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    base = Normalizer(p=2.0, inputCol="raw", outputCol="nrm").transform(base)
+    base = base.select(vector_to_array(F.col("nrm")).alias("v"))
+    dim = len(base.first()["v"])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        piece = base.select(
+            array_to_vector(F.slice(F.col("v"), j * sub + 1, sub)).alias("features")
+        )
+        model = KMeans(k=k_sub, seed=seed + j, maxIter=10).fit(piece)
+        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_alias: str | None = None,
+) -> DataFrame:
+    """Encode vectors to PQ codes: array<int>[m], code j = index of the
+    nearest centroid of codebook j for the j-th subvector of the
+    L2-normalized vector. m x k_sub tiny argmins per row — the same dense
+    Arrow-batched exception as ivf_assign; codebooks ride the closure. The
+    full vector is DROPPED from the output: codes are m small ints per
+    vector (the memory compression that lets 100 TB of embeddings fit an
+    ANN serving tier)."""
+    import numpy as np
+
+    C = [np.asarray(b, dtype=np.float64) for b in books]  # m x (k, sub)
+    m = len(C)
+    sub = C[0].shape[1]
+    ida = id_alias or id_col
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            X = X / norms
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                piece = X[:, j * sub : (j + 1) * sub]  # (b, sub)
+                # argmin ||c - x|| == argmax c.x - ||c||^2/2 per subspace
+                scores = piece @ C[j].T - (C[j] * C[j]).sum(axis=1) / 2.0
+                codes[:, j] = scores.argmax(axis=1)
+            yield pd.DataFrame(
+                {ida: pdf[id_col].to_numpy(), "codes": list(codes)}
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(fn, f"{ida} long, codes array<int>")
+
+
+def _pq_query_luts(
+    queries: DataFrame,
+    books: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Per-query ADC lookup table: lut[(j*k_sub)+c] = <query_sub_j,
+    centroid_c_j> over the L2-normalized query — flattened so the JVM-side
+    scorer indexes it with pure arithmetic."""
+    import numpy as np
+
+    C = [np.asarray(b, dtype=np.float64) for b in books]
+    m, k_sub = len(C), C[0].shape[0]
+    sub = C[0].shape[1]
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            X = X / norms
+            luts = np.empty((len(X), m * k_sub), dtype=np.float64)
+            for j in range(m):
+                luts[:, j * k_sub : (j + 1) * k_sub] = (
+                    X[:, j * sub : (j + 1) * sub] @ C[j].T
+                )
+            yield pd.DataFrame(
+                {"query_id": pdf[id_col].to_numpy(), "lut": list(luts)}
+            )
+
+    return queries.select(id_col, vec_col).mapInPandas(
+        fn, "query_id long, lut array<double>"
+    )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_sub: int = 16,
+    refine: int | None = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the design that actually serves
+    billion-vector ANN (FAISS IVFPQ; Jégou et al. 2011): IVF coarse lists
+    bound WHICH vectors a query meets, PQ codes bound the BYTES each
+    candidate costs.
+
+      1. coarse centroids + inverted lists (reused from ivf_topk)
+      2. corpus compressed to m-byte-ish PQ codes — the full vectors leave
+         the candidate path entirely
+      3. query-side ADC lookup tables (one m x k_sub inner-product table
+         per query); candidate score = sum of m LUT entries, a pure JVM
+         ``aggregate`` over the code array after the bucket equi-join
+      4. ``refine``: the ADC top (refine * k) per query re-ranks EXACTLY by
+         joining those few candidates back to the full vectors (the
+         standard two-stage serving layout; refine=None returns raw ADC
+         ranks).
+
+    Simplification vs the paper, documented: codes quantize the RAW
+    normalized vector, not the IVF residual — at test scale (few coarse
+    lists) residual encoding buys little; the residual variant drops in by
+    re-centering in pq_encode/_pq_query_luts per bucket. Scale shape: one
+    corpus shuffle on bucket; LUTs broadcast with the (small) query side;
+    the exact-refine join touches refine*k rows per query, never a list."""
+    centers = ivf_train_centroids(
+        corpus, n_centroids=n_centroids, seed=seed, vec_col=vec_col
+    )
+    books = pq_train_codebooks(corpus, m=m, k_sub=k_sub, seed=seed, vec_col=vec_col)
+
+    c_bucket = ivf_assign(
+        corpus, centers, id_col, vec_col, n_probe=1, id_alias="neighbor_id",
+        vec_alias="cvec",
+    )
+    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col,
+                      id_alias="neighbor_id")
+    inv = c_bucket.select("neighbor_id", "bucket").join(codes, "neighbor_id")
+
+    q_bucket = ivf_assign(
+        queries, centers, id_col, vec_col, n_probe=n_probe, id_alias="query_id",
+        vec_alias="qvec",
+    ).select("query_id", "bucket")
+    luts = _pq_query_luts(queries, books, id_col, vec_col)
+    q = q_bucket.join(luts, "query_id")
+
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.col("lut"), j * k_sub + F.element_at(F.col("codes"), j + 1) + 1
+        ),
+    )
+    cands = (
+        inv.join(F.broadcast(q), "bucket")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("neighbor_id"))
+    ranked = cands.select("*", F.row_number().over(w).alias("rank"))
+    if refine is None:
+        return ranked.where(F.col("rank") <= k).select(
+            "query_id", "neighbor_id", F.col("adc").alias("score"), "rank"
+        )
+    shortlist = ranked.where(F.col("rank") <= refine * k).select(
+        "query_id", "neighbor_id"
+    )
+    nvec = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+    )
+    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    exact = (
+        shortlist.join(nvec, "neighbor_id")
+        .join(F.broadcast(qvec), "query_id")
+        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return exact.select("*", F.row_number().over(w2).alias("rank")).where(
+        F.col("rank") <= k
+    )

@@ -140,6 +140,33 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_ann_ivfpq_topk",
+    oracle=None,  # approximate by construction; recall vs brute force in pytest
+    doc=(
+        "Approximate top-10 via IVF-PQ (Jégou et al. 2011; the FAISS IVFPQ "
+        "serving layout): IVF lists bound WHICH vectors a query meets, "
+        "product-quantization codes bound the BYTES each candidate costs — "
+        "the full vectors leave the candidate path entirely (96-bit codes "
+        "here, 21x smaller than the float32 vectors). Candidate score = "
+        "sum of m LUT entries (pure JVM aggregate over the code array "
+        "after the bucket equi-join); the ADC shortlist re-ranks EXACTLY "
+        "against the full vectors (two-stage refine). Rows-only driver "
+        "check; tests pin recall vs brute_force_topk (1.0 at the pinned "
+        "operating point on the worst-case near-uniform synthetic vectors)."
+    ),
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def q_ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivfpq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    return ivfpq_topk(
+        emb, emb.where(F.col("vec_id") < 5), k=10,
+        n_centroids=16, n_probe=8, m=16, k_sub=64, refine=8,
+    )
+
+
+@register(
     "q_embedding_rp_project",
     oracle="""
         SELECT vec_id,
