@@ -243,6 +243,23 @@ def main() -> int:
     }
     lsh_recall = round(len(exact & approx) / len(exact), 3)
 
+    # IVF-PQ at the same 20k scale: codes-only candidates + exact refine —
+    # recall must not degrade as the corpus grows (same pinned operating
+    # point as tests/test_similarity.py; near-uniform vectors are PQ's
+    # worst case)
+    from timing_explorer_spark.operators.similarity import ivfpq_topk
+
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in ivfpq_topk(
+            emb, queries, k=10, n_centroids=32, n_probe=16, m=16, k_sub=64,
+            refine=8,
+        )
+        .select("query_id", "neighbor_id")
+        .collect()
+    }
+    pq_recall = round(len(exact & pq) / len(exact), 3)
+
     out = {
         "metric": "sf1_llm_ops",
         "unit": "sec",
@@ -254,6 +271,7 @@ def main() -> int:
         "task_skew_bound": MAX_OVER_MEDIAN,
         "ops": results,
         "lsh_top10_recall_at_20k": lsh_recall,
+        "ivfpq_top10_recall_at_20k": pq_recall,
         "skew_violations": violations,
     }
     print(json.dumps(out))

@@ -137,6 +137,8 @@ def main() -> None:
         "q_paragraph_dedup",
         "q_exact_substr_trim",
         "q_corpus_prep_v2",
+        "q_ann_ivfpq_topk",
+        "q_blocklist_semijoin",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}
