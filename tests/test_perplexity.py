@@ -109,7 +109,12 @@ def test_registered_query_on_fixture(spark, sf_smoke):
 
 def test_approx_method_matches_exact_within_tolerance(spark):
     # 60 docs per lang with distinct ppl values: the sketch at accuracy 1e4
-    # is exact at this size, so bucket assignments must agree except at ties
+    # is exact at this size, so bucket assignments must agree except at ties.
+    # 'z' carries a DIFFERENT logp than the other letters — with a uniform
+    # vocab every doc's mean logp is identical (ppl == 26 exactly for all
+    # 120 docs, a full tie plateau; the old double-sum noise used to break
+    # the ties, which the r7 order-independent decimal sum removed), so the
+    # mix ratio must genuinely move the mean for ppls to be distinct
     rows = []
     for lang in ("en", "de"):
         for k in range(60):
@@ -117,6 +122,7 @@ def test_approx_method_matches_exact_within_tolerance(spark):
     docs = _docs(spark, rows)
     # fixed single-piece vocab: ppl is a deterministic function of the mix
     vocab = {c: math.log(1.0 / 26) for c in "abcdefghijklmnopqrstuvwxyz"}
+    vocab["z"] = math.log(1.0 / 52)
     exact = {
         r["doc_id"]: r["bucket"]
         for r in ccnet_buckets(docs, vocab, 1, n_buckets=3, method="exact").collect()

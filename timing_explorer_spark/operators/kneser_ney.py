@@ -331,9 +331,19 @@ def kn_perplexity(
     tok = _padded_tokens(docs, model.order, text_col, id_col)
     events = _spans(tok, model.order, model.order)  # (doc, gram) per event
     distinct = events.select("gram").distinct()
+    # log p quantized to DECIMAL(38,18) BEFORE the per-doc sum: double
+    # addition is non-associative, and the partial-sum merge order varies
+    # with input partitioning (a freshly loaded kn_load model scans
+    # different splits than the trained one — surfaced as a last-ULP
+    # save/load flake under full-suite load, r7). The decimal sum is exact
+    # integer arithmetic — bit-identical under ANY partitioning; the
+    # 1e-18 quantization grain is far below double's own ULP at these
+    # magnitudes. |sum| stays within precision 38 up to ~1e17 grams/doc.
     scored = kn_prob(distinct, model).select(
         F.array_join("gram", SEP).alias("_g"),
-        F.log(F.greatest(F.col("p"), F.lit(1e-300))).alias("_logp"),
+        F.log(F.greatest(F.col("p"), F.lit(1e-300)))
+        .cast("decimal(38,18)")
+        .alias("_logp"),
     )
     return (
         events.select("_doc", F.array_join("gram", SEP).alias("_g"))
@@ -343,7 +353,9 @@ def kn_perplexity(
         .select(
             F.col("_doc").alias(id_col),
             "n_tokens",
-            F.exp(-F.col("_s") / F.col("n_tokens").cast("double")).alias("ppl"),
+            F.exp(
+                -F.col("_s").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("ppl"),
         )
     )
 

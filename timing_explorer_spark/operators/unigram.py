@@ -233,12 +233,18 @@ def doc_perplexity(
         .groupBy("_doc")
         .agg(
             F.sum("n_pieces").alias("n_tokens"),
-            F.sum("logp").alias("sum_logp"),
+            # DECIMAL(38,18)-quantized log p before the per-doc sum: exact,
+            # order-independent arithmetic regardless of input partitioning
+            # (double sums flip last-ULP bits when the partial-merge order
+            # changes — the KN save/load flake, kneser_ney.py::kn_perplexity)
+            F.sum(F.col("logp").cast("decimal(38,18)")).alias("sum_logp"),
         )
         .select(
             F.col("_doc").alias(id_col),
             "n_tokens",
-            F.exp(-F.col("sum_logp") / F.col("n_tokens").cast("double")).alias("ppl"),
+            F.exp(
+                -F.col("sum_logp").cast("double") / F.col("n_tokens").cast("double")
+            ).alias("ppl"),
         )
     )
 
