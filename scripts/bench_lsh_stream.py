@@ -111,7 +111,16 @@ def main() -> None:
             "verdicts_emitted": emitted,
         }
 
-    results = {"default": run(None), "verify_0.8": run(0.8)}
+    # r8: interleaved D/V/D/V rounds (the BENCH_sd_repin protocol) so the
+    # default/verify ratio is robust to host-load drift between runs;
+    # headline = best round of each mode (same-warmth comparison)
+    rounds = []
+    for _ in range(2):
+        rounds.append({"default": run(None), "verify_0.8": run(0.8)})
+    results = {
+        mode: min((r[mode] for r in rounds), key=lambda x: x["wall_sec"])
+        for mode in ("default", "verify_0.8")
+    }
     out = {
         "metric": "streaming_lsh_throughput",
         "cpus": args.cpus,
@@ -122,6 +131,7 @@ def main() -> None:
             results["verify_0.8"]["wall_sec"] / results["default"]["wall_sec"], 2
         ),
         "results": results,
+        "interleaved_rounds": rounds,
     }
     if args.json:
         Path(args.json).write_text(json.dumps(out, indent=1) + "\n")

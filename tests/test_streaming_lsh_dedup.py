@@ -110,7 +110,8 @@ def _greedy_expected(spark, rows):
     return verdicts
 
 
-def _run_stream(spark, tmp_path, batches, watermark="10 minutes", verify=None):
+def _run_stream(spark, tmp_path, batches, watermark="10 minutes", verify=None,
+                state_buckets=8192):
     indir, outdir, ckpt = (
         str(tmp_path / "in"),
         str(tmp_path / "out"),
@@ -128,7 +129,8 @@ def _run_stream(spark, tmp_path, batches, watermark="10 minutes", verify=None):
         .parquet(indir)
     )
     out = minhash_dedup_stream(
-        stream, watermark=watermark, num_perm=NUM_PERM, bands=BANDS, n=N, verify=verify
+        stream, watermark=watermark, num_perm=NUM_PERM, bands=BANDS, n=N,
+        verify=verify, state_buckets=state_buckets,
     )
     q = (
         out.writeStream.format("parquet")
@@ -263,6 +265,31 @@ def test_verify_mode_rescues_band_collision_fp(tws_spark, tmp_path):
     assert 4 not in verified or verified[4]["is_unique"] is False
     # EDITED (J ~0.75) is CORRECTLY unique at threshold 0.9 — covered by the
     # FPDOC rescue above; both sides of the threshold are now pinned
+
+
+def test_verify_bucket_collisions_safe(tws_spark, tmp_path):
+    spark = tws_spark
+    """r8: verify-mode state keys are BUCKETED (pmod(hash, state_buckets))
+    to amortize state RPCs. Exact (band_idx, band_hash) / full-signature
+    matching happens inside the processors, so forcing EVERY key into ONE
+    bucket — maximal collision pressure — must leave every verdict
+    unchanged: unrelated docs stay unique, the band-collision FP is still
+    rescued, exact dups still fully suppressed."""
+    _assert_fpdoc_preconditions(spark)
+    batches = [
+        [(1, "2024-01-01 00:00:10", BASE), (10, "2024-01-01 00:00:11", OTHER)],
+        [(2, "2024-01-01 00:00:20", FPDOC)],   # FP candidate: must be rescued
+        [(3, "2024-01-01 00:00:30", BASE)],    # exact dup: fully suppressed
+        [(11, "2024-01-01 00:00:40", THIRD)],  # unrelated: unique
+        SEAL1,
+        SEAL2,
+    ]
+    got = _run_stream(spark, tmp_path, batches, verify=0.9, state_buckets=1)
+    assert got[1]["is_unique"] is True and got[1]["n_bands"] == BANDS
+    assert got[10]["is_unique"] is True
+    assert got[2]["is_unique"] is True and got[2]["n_bands"] == BANDS
+    assert 3 not in got
+    assert got[11]["is_unique"] is True
 
 
 def test_verify_mode_state_evicts_after_horizon(tws_spark, tmp_path):

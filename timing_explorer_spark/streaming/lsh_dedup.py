@@ -36,15 +36,22 @@ is_unique=false rows to the batch precision layer
 them — pinned by tests/test_streaming_lsh_dedup.py::
 test_same_batch_duplicates_default_mode.
 
-``verify=<threshold>``: a transformWithStateInPandas layer keyed by
-(band_idx, band_hash) holds the full MinHash signatures of recent
-bucket occupants (within the watermark horizon) and a colliding band is
-stripped ONLY when estimated Jaccard (matching-slot fraction) against
-some occupant reaches the threshold. This both removes the
-false-positive data loss AND makes same-batch behavior deterministic:
-rows are processed in (ts, doc) order, so the earliest document always
-wins every contested band. Measured FP/recall at several (bands, rows)
-operating points: scripts/lsh_operating_points.py -> BENCH_lsh_fp.json.
+``verify=<threshold>``: two stateful layers. (a) An exact-signature
+PREFILTER keyed by one xxhash64 of the full signature per document
+suppresses identical-signature duplicates — the bulk of a dup-heavy
+crawl — at doc grain, before banding (r8: cut the verify-mode price from
+4.3x to ~(see BENCH_lsh_stream.json) by keeping ``bands``x row
+amplification and signature re-shipping off the hot path; provably
+verdict-identical, see _ExactSigPrefilter). (b) A
+transformWithStateInPandas layer keyed by (band_idx, band_hash) holds
+the full MinHash signatures of recent bucket occupants (within the
+watermark horizon) and a colliding band is stripped ONLY when estimated
+Jaccard (matching-slot fraction) against some occupant reaches the
+threshold. This both removes the false-positive data loss AND makes
+same-batch behavior deterministic: rows are processed in (ts, doc)
+order in BOTH layers, so the earliest document always wins every
+contested band. Measured FP/recall at several (bands, rows) operating
+points: scripts/lsh_operating_points.py -> BENCH_lsh_fp.json.
 Requires the RocksDB state store (streaming/state.py::rocksdb_state_conf)
 like every TWS operator here.
 
@@ -117,18 +124,150 @@ def _duration_ms(s: str) -> int:
     return int(float(n) * factor)
 
 
+class _ExactSigPrefilter(StatefulProcessor):
+    """Round-8 verdict task #1: the verify-mode prefilter. Keyed by ONE long
+    per document — pmod(xxhash64(full MinHash signature), state_buckets)
+    (shingle-less docs, which can never be duplicates, hash by doc id) — it
+    suppresses EXACT-signature duplicates before banding, so the expensive
+    per-band verify layer sees only distinct-content documents: 1 row/doc
+    with a single-long grouping key instead of ``bands`` rows/doc each
+    re-shipping the 64-slot signature. Bucketing the key amortizes state
+    RPCs; membership is a full-signature byte-equality check, so distinct
+    documents sharing a bucket can never wrongly suppress each other.
+
+    Semantics are EXACTLY those of the unprefixed verify path: a document
+    whose signature is identical to an earlier in-horizon document would
+    receive identical per-band est-Jaccard comparisons (same sig ⇒ same
+    band keys ⇒ same occupants ⇒ same outcomes), and est-J = 1.0 ≥ any
+    threshold on every colliding band ⇒ full suppression ⇒ no verdict row.
+    Suppressing it here produces the same absence. Exact duplicates were
+    never stored as band occupants (only survivors are), so downstream
+    state is also unchanged. Rows are processed in (ts, doc) order per key
+    ⇒ the same-batch determinism guarantee is preserved.
+
+    State per key: list of (ts_ms, sig) for DISTINCT signatures under the
+    hash key (xxhash64 collisions — distinct sigs, same key — fall through
+    to the full-sig equality check and pass to the verify layer, so a
+    collision can never wrongly suppress). Eviction mirrors
+    _BandVerifyProcessor: one event-time timer at the earliest entry's
+    expiry; state is rate x horizon bounded."""
+
+    def __init__(self, horizon_ms: int) -> None:
+        self.horizon_ms = horizon_ms
+
+    def init(self, handle) -> None:
+        self.handle = handle
+        # signatures packed as 8-byte-per-slot binary: one Arrow scalar per
+        # entry instead of a 64-element list (cheaper state RPC payloads)
+        self.entries = handle.getListState("sigs", "ts_ms long, sig binary")
+
+    def _raw(self) -> list[tuple]:
+        return [(int(e[0]), bytes(e[1])) for e in self.entries.get()]
+
+    def _commit(self, live, new, evicted) -> None:
+        """Minimal-RPC state write: append-only when nothing evicted (the
+        common case), full rewrite otherwise; the eviction timer is
+        (re)registered only when the earliest-expiry entry changed —
+        semantic eviction is ALWAYS the watermark filter on read, timers
+        are physical cleanup only."""
+        if evicted:
+            self.entries.clear()
+            keep = live + new
+            if keep:
+                self.entries.put(keep)
+                self.handle.registerTimer(
+                    min(t for t, _ in keep) + self.horizon_ms
+                )
+        elif new:
+            self.entries.appendList(new)
+            if not live:
+                self.handle.registerTimer(
+                    min(t for t, _ in new) + self.horizon_ms
+                )
+
+    def handleInputRows(self, key, rows, timerValues):
+        import numpy as np
+        import pandas as pd
+
+        first = next(rows, None)
+        if first is None:
+            return
+        rest = list(rows)
+        pdf = pd.concat([first, *rest], ignore_index=True) if rest else first
+        n_rows = len(pdf)
+        if n_rows == 0:
+            return
+        raw = self._raw()
+        wm = timerValues.getCurrentWatermarkInMs()
+        live = [e for e in raw if e[0] + self.horizon_ms >= wm]
+        evicted = len(live) != len(raw)
+        sigs = {s for _, s in live}
+        docs = pdf["doc"].to_numpy()
+        ts_ms = pdf["ev_ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        sig_col = pdf["sig"].to_numpy()
+        order = np.lexsort((docs, ts_ms)) if n_rows > 1 else range(n_rows)
+        keep_idx: list[int] = []
+        new: list[tuple] = []
+        for i in order:
+            raw_sig = sig_col[i]
+            if raw_sig is None or len(raw_sig) == 0:
+                keep_idx.append(i)  # shingle-less: can never be a duplicate
+                continue
+            b = np.asarray(raw_sig, dtype=np.int64).tobytes()
+            if b in sigs:
+                continue  # exact-signature duplicate: full suppression
+            keep_idx.append(i)
+            new.append((int(ts_ms[i]), b))
+            sigs.add(b)
+        self._commit(live, new, evicted)
+        if keep_idx:
+            yield pdf.iloc[keep_idx][["doc", "ev_ts", "sig"]]
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        wm = expiredTimerInfo.getExpiryTimeInMs()
+        raw = self._raw()
+        live = [e for e in raw if e[0] + self.horizon_ms >= wm]
+        self.entries.clear()
+        if live:
+            self.entries.put(live)
+            self.handle.registerTimer(min(t for t, _ in live) + self.horizon_ms)
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
 class _BandVerifyProcessor(StatefulProcessor):
-    """transformWithStateInPandas processor keyed by (band_idx, band_hash):
-    the precision layer of verify-mode streaming dedup. State per band key =
-    ListState of (doc, ts_ms, signature) for occupants within the watermark
-    horizon; an incoming row is stripped only when its estimated Jaccard
-    (matching-slot fraction of the full MinHash signature — the standard
-    unbiased estimator) against some occupant reaches ``threshold``.
+    """transformWithStateInPandas processor — the precision layer of
+    verify-mode streaming dedup. Keyed by (mk, bucket) where bucket =
+    pmod(hash, state_buckets): state RPCs (get/append/timer — each a
+    round-trip to the JVM state server) amortize over every band key in the
+    bucket instead of paying 3+ RPCs per SINGLETON band key (r8: the
+    dominant verify-mode cost). Exact (band_idx, band_hash) matching moves
+    INSIDE the processor — an occupant strips a row only when both band
+    coordinates match exactly, so bucketing is a pure physical regrouping
+    with unchanged semantics (pinned by test_verify_bucket_collisions_safe,
+    which forces state_buckets=1).
+
+    State per bucket = ListState of (band_idx, band_hash, ts_ms, packed
+    signature) for occupants within the watermark horizon; an incoming
+    row's band is STRIPPED (emit one ``val = -1`` row) only when its
+    estimated Jaccard (matching-slot fraction of the full MinHash
+    signature — the standard unbiased estimator) against some occupant OF
+    THE SAME BAND KEY reaches ``threshold``. Fresh bands — the
+    overwhelming majority on any corpus — emit NOTHING (r8: the verdict
+    aggregation counts ``bands - strips`` from a per-doc MARKER row instead
+    of counting fresh band rows, so the Python->JVM return path carries only
+    collisions). Marker rows (mk == -2, doc-hashed bucket, val = ``bands``
+    or 0 for shingle-less docs) take a stateless fast path: no state reads,
+    no timers, straight batched passthrough.
+
     Rows are processed in (ts, doc) order -> deterministic first-arrival-
     wins even within one micro-batch (the default mode's same-batch hazard).
-    Eviction: one event-time timer per batch at the earliest occupant
-    expiry; expired occupants are dropped when it fires, so idle keys shrink
-    to nothing — rate x horizon bounded state."""
+    Eviction: semantic eviction is the watermark filter applied on every
+    read; one event-time timer per occupied key (registered at first
+    occupancy or after a compaction) physically drops expired occupants, so
+    idle keys shrink to nothing — rate x horizon bounded state."""
 
     def __init__(self, threshold: float, horizon_ms: int) -> None:
         self.threshold = threshold
@@ -137,74 +276,89 @@ class _BandVerifyProcessor(StatefulProcessor):
     def init(self, handle) -> None:
         self.handle = handle
         self.entries = handle.getListState(
-            "entries", "doc long, ts_ms long, sig array<bigint>"
+            "entries", "band_idx int, band_hash long, ts_ms long, sig binary"
         )
 
-    def _live_entries(self, wm_ms: int) -> list[tuple]:
+    def _raw(self) -> list[tuple]:
         return [
-            (int(e[0]), int(e[1]), list(e[2]) if e[2] is not None else None)
+            (int(e[0]), int(e[1]), int(e[2]), bytes(e[3]))
             for e in self.entries.get()
-            if int(e[1]) + self.horizon_ms >= wm_ms
         ]
 
     def handleInputRows(self, key, rows, timerValues):
         import numpy as np
         import pandas as pd
 
-        pdf = pd.concat(list(rows), ignore_index=True)
-        if pdf.empty:
+        first = next(rows, None)
+        if first is None:
             return
-        pdf = pdf.sort_values(["ev_ts", "doc"])
+        rest = list(rows)
+        pdf = pd.concat([first, *rest], ignore_index=True) if rest else first
+        n_rows = len(pdf)
+        if n_rows == 0:
+            return
+        if int(key[0]) == -2:
+            # marker fast path: stateless passthrough (batched per bucket)
+            yield pdf[["doc", "ev_ts", "val"]]
+            return
+        raw = self._raw()
         wm = timerValues.getCurrentWatermarkInMs()
-        stored = self._live_entries(wm)
-        sigs = [
-            np.asarray(s, dtype=np.int64) if s is not None else None
-            for _, _, s in stored
-        ]
-        out_doc: list[int] = []
-        out_ts: list = []
-        for i in range(len(pdf)):
-            doc = int(pdf["doc"].iloc[i])
-            ts = pdf["ev_ts"].iloc[i]
-            raw_sig = pdf["sig"].iloc[i]
-            sig = (
-                np.asarray(raw_sig, dtype=np.int64)
-                if raw_sig is not None and len(raw_sig) > 0
-                else None
-            )
-            dup = any(
-                s2 is not None
-                and sig is not None
-                and len(s2) == len(sig)
-                and float((sig == s2).mean()) >= self.threshold
-                for s2 in sigs
-            )
-            if not dup:
-                out_doc.append(doc)
-                out_ts.append(ts)
-                ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
-                stored.append((doc, ts_ms, sig.tolist() if sig is not None else None))
-                sigs.append(sig)
-        self.entries.clear()
-        if stored:
-            self.entries.put(stored)
-            self.handle.registerTimer(min(t for _, t, _ in stored) + self.horizon_ms)
-        if out_doc:
-            yield pd.DataFrame(
-                {
-                    "doc": out_doc,
-                    "ev_ts": out_ts,
-                    "band_idx": [int(key[0])] * len(out_doc),
-                    "band_hash": [int(key[1])] * len(out_doc),
-                }
-            )
+        live = [e for e in raw if e[2] + self.horizon_ms >= wm]
+        evicted = len(live) != len(raw)
+        occ: dict[tuple, list] = {}
+        for bi, bh, _, b in live:
+            occ.setdefault((bi, bh), []).append(np.frombuffer(b, dtype=np.int64))
+        docs = pdf["doc"].to_numpy()
+        ts_ms = pdf["ev_ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
+        bis = pdf["band_idx"].to_numpy()
+        bhs = pdf["band_hash"].to_numpy()
+        sig_col = pdf["sig"].to_numpy()
+        order = np.lexsort((docs, ts_ms)) if n_rows > 1 else range(n_rows)
+        strip_idx: list[int] = []
+        new: list[tuple] = []
+        for i in order:
+            raw_sig = sig_col[i]
+            if raw_sig is None or len(raw_sig) == 0:
+                continue  # shingle-less: never occupies, never strips
+            sig = np.asarray(raw_sig, dtype=np.int64)
+            k = (int(bis[i]), int(bhs[i]))
+            lst = occ.get(k)
+            if lst is not None and any(
+                len(o) == len(sig) and float((sig == o).mean()) >= self.threshold
+                for o in lst
+            ):
+                strip_idx.append(i)
+            else:
+                new.append((k[0], k[1], int(ts_ms[i]), sig.tobytes()))
+                occ.setdefault(k, []).append(sig)
+        # same minimal-RPC commit discipline as _ExactSigPrefilter._commit
+        if evicted:
+            self.entries.clear()
+            keep = live + new
+            if keep:
+                self.entries.put(keep)
+                self.handle.registerTimer(
+                    min(t for _, _, t, _ in keep) + self.horizon_ms
+                )
+        elif new:
+            self.entries.appendList(new)
+            if not live:
+                self.handle.registerTimer(
+                    min(t for _, _, t, _ in new) + self.horizon_ms
+                )
+        if strip_idx:
+            yield pdf.iloc[strip_idx][["doc", "ev_ts", "val"]]
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
-        live = self._live_entries(expiredTimerInfo.getExpiryTimeInMs())
+        wm = expiredTimerInfo.getExpiryTimeInMs()
+        raw = self._raw()
+        live = [e for e in raw if e[2] + self.horizon_ms >= wm]
         self.entries.clear()
         if live:
             self.entries.put(live)
-            self.handle.registerTimer(min(t for _, t, _ in live) + self.horizon_ms)
+            self.handle.registerTimer(
+                min(t for _, _, t, _ in live) + self.horizon_ms
+            )
         return iter(())
 
     def close(self) -> None:
@@ -222,6 +376,7 @@ def minhash_dedup_stream(
     ts_col: str = "ts",
     seal_window: str = "1 second",
     verify: float | None = None,
+    state_buckets: int = 8192,
 ) -> DataFrame:
     """Near-dup verdict stream: one row per document (id, window, n_bands,
     is_unique) where ``is_unique`` means NO LSH band collided with any
@@ -237,6 +392,15 @@ def minhash_dedup_stream(
     band when the full-signature matching-slot fraction against a stored
     occupant reaches it (TWS precision layer; deterministic first-wins).
 
+    ``state_buckets``: verify-mode state keys (the exact-sig prefilter's
+    signature hash and the verify layer's band keys) are grouped into
+    pmod(hash, state_buckets) buckets so per-key state-server RPCs amortize
+    across co-bucketed keys. Purely physical — exact matching happens
+    inside the processors. Size it so in-horizon keys per bucket stay
+    ~10-100 (default 8192 suits ~1M in-horizon band keys; scale up
+    proportionally for larger horizons — the trade is RPC count vs
+    per-access state payload).
+
     Emission: verdicts seal when the watermark passes the doc's
     ``seal_window`` bucket (the count of surviving band-rows is an
     event-time aggregation). A document ALL of whose bands collide (e.g. an
@@ -250,45 +414,152 @@ def minhash_dedup_stream(
         F.col(ts_col).alias("ev_ts"),
         sig.alias("sig"),
     )
-    banded = with_sig.select(
-        "doc",
-        "ev_ts",
-        "sig",
-        F.posexplode_outer(band_keys_from_sig(F.col("sig"), num_perm, bands)).alias(
-            "band_idx", "band_hash"
-        ),
-    )
-    # shingle-less docs (null band array) must NOT collide with each other on
-    # a shared (null, null) key: give each a doc-unique sentinel band
-    banded = banded.select(
-        "doc",
-        "ev_ts",
-        "sig",
-        F.coalesce("band_idx", F.lit(-1)).alias("band_idx"),
-        F.coalesce("band_hash", F.xxhash64(F.col("doc"), F.lit(-1))).alias("band_hash"),
-    )
+
+    def to_bands(df: DataFrame) -> DataFrame:
+        exploded = df.select(
+            "doc",
+            "ev_ts",
+            "sig",
+            F.posexplode_outer(
+                band_keys_from_sig(F.col("sig"), num_perm, bands)
+            ).alias("band_idx", "band_hash"),
+        )
+        # shingle-less docs (null band array) must NOT collide with each
+        # other on a shared (null, null) key: doc-unique sentinel band
+        return exploded.select(
+            "doc",
+            "ev_ts",
+            "sig",
+            F.coalesce("band_idx", F.lit(-1)).alias("band_idx"),
+            F.coalesce(
+                "band_hash", F.xxhash64(F.col("doc"), F.lit(-1))
+            ).alias("band_hash"),
+        )
+
     if verify is None:
-        fresh = banded.drop("sig").dropDuplicatesWithinWatermark(
+        fresh = to_bands(with_sig).drop("sig").dropDuplicatesWithinWatermark(
             ["band_idx", "band_hash"]
+        )
+        return (
+            fresh.groupBy(F.window("ev_ts", seal_window).alias("w"), F.col("doc"))
+            .agg(
+                F.sum(F.when(F.col("band_idx") >= 0, 1).otherwise(0)).alias(
+                    "n_bands"
+                )
+            )
+            .select(
+                "doc",
+                F.col("w.start").alias("window_start"),
+                "n_bands",
+                (
+                    (F.col("n_bands") == bands) | (F.col("n_bands") == 0)
+                ).alias("is_unique"),
+            )
         )
     else:
         from ..compat import ensure_protobuf
 
         ensure_protobuf()
-        fresh = banded.groupBy("band_idx", "band_hash").transformWithStateInPandas(
-            _BandVerifyProcessor(float(verify), _duration_ms(watermark)),
-            outputStructType="doc long, ev_ts timestamp, band_idx int, band_hash long",
+        horizon_ms = _duration_ms(watermark)
+        # Prefilter (r8 task #1): exact-signature duplicates — the bulk of a
+        # dup-heavy ingest — are suppressed at DOC grain before banding, so
+        # the per-band verify layer processes only distinct-content
+        # documents. Keyed by pmod(xxhash64(sig), state_buckets): identical
+        # sigs land in the same bucket (membership is a full-signature
+        # equality check inside the processor, so bucket sharing is safe),
+        # and state RPCs amortize across the bucket. Shingle-less docs hash
+        # by doc id; the processor passes them through without storing.
+        keyed = with_sig.select(
+            "doc",
+            "ev_ts",
+            "sig",
+            F.pmod(
+                F.coalesce(
+                    F.xxhash64("sig"), F.xxhash64(F.col("doc"), F.lit(-7))
+                ),
+                F.lit(state_buckets),
+            ).alias("sig_key"),
+        )
+        survivors = keyed.groupBy("sig_key").transformWithStateInPandas(
+            _ExactSigPrefilter(horizon_ms),
+            outputStructType="doc long, ev_ts timestamp, sig array<bigint>",
             outputMode="append",
             timeMode="eventTime",
             eventTimeColumnName="ev_ts",
         )
-    return (
-        fresh.groupBy(F.window("ev_ts", seal_window).alias("w"), F.col("doc"))
-        .agg(F.sum(F.when(F.col("band_idx") >= 0, 1).otherwise(0)).alias("n_bands"))
-        .select(
+        # one exploded array carries the 16 real band rows (val = -1, the
+        # weight a strip contributes) PLUS one per-doc MARKER row
+        # (band_idx = -2, doc-unique hash, val = bands — or 0 for
+        # shingle-less docs, which produce no real bands). Keeping the
+        # marker inside the same explode avoids branching the streaming
+        # DAG (a branch would instantiate the prefilter operator twice).
+        r = num_perm // bands
+        real = F.when(
+            F.col("sig").isNotNull(),
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda j: F.struct(
+                    j.cast("int").alias("band_idx"),
+                    F.xxhash64(F.slice(F.col("sig"), j * r + 1, r), j).alias(
+                        "band_hash"
+                    ),
+                    F.lit(-1).cast("int").alias("val"),
+                ),
+            ),
+        ).otherwise(
+            F.array().cast("array<struct<band_idx:int,band_hash:bigint,val:int>>")
+        )
+        marker = F.array(
+            F.struct(
+                F.lit(-2).cast("int").alias("band_idx"),
+                F.xxhash64(F.col("doc"), F.lit(-2)).alias("band_hash"),
+                F.when(F.col("sig").isNull(), F.lit(0))
+                .otherwise(F.lit(bands))
+                .cast("int")
+                .alias("val"),
+            )
+        )
+        banded = survivors.select(
+            "doc", "ev_ts", "sig", F.explode(F.concat(real, marker)).alias("e")
+        ).select(
+            "doc",
+            "ev_ts",
+            "sig",
+            F.col("e.band_idx").alias("band_idx"),
+            F.col("e.band_hash").alias("band_hash"),
+            F.col("e.val").alias("val"),
+            F.when(F.col("e.band_idx") == -2, F.lit(-2))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("mk"),
+            F.pmod(
+                F.when(
+                    F.col("e.band_idx") == -2,
+                    F.xxhash64(F.col("doc"), F.lit(-3)),
+                ).otherwise(
+                    F.xxhash64(F.col("e.band_hash"), F.col("e.band_idx"))
+                ),
+                F.lit(state_buckets),
+            ).alias("bucket"),
+        )
+        scored = banded.groupBy("mk", "bucket").transformWithStateInPandas(
+            _BandVerifyProcessor(float(verify), horizon_ms),
+            outputStructType="doc long, ev_ts timestamp, val int",
+            outputMode="append",
+            timeMode="eventTime",
+            eventTimeColumnName="ev_ts",
+        )
+        # n_bands = marker weight + strip weights = bands - strips (0 for
+        # shingle-less); a fully-stripped doc (marker present, every band
+        # stripped) emits NO verdict row — the hard-duplicate convention
+        agg = scored.groupBy(
+            F.window("ev_ts", seal_window).alias("w"), F.col("doc")
+        ).agg(F.sum("val").alias("n_bands"), F.max("val").alias("mx"))
+        return agg.where(
+            ~((F.col("mx") == bands) & (F.col("n_bands") == 0))
+        ).select(
             "doc",
             F.col("w.start").alias("window_start"),
-            "n_bands",
-            ((F.col("n_bands") == bands) | (F.col("n_bands") == 0)).alias("is_unique"),
+            F.col("n_bands").cast("long").alias("n_bands"),
+            ((F.col("n_bands") == bands) | (F.col("mx") == 0)).alias("is_unique"),
         )
-    )
