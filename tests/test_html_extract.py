@@ -201,15 +201,33 @@ def test_canonicalize_url_idempotent_fuzz(spark):
 
 def test_strip_html_quote_aware_attr_gt(spark):
     """r6's pinned limitation, FIXED in r7: '>' inside a quoted attribute
-    value no longer shears the tag (quote-aware _TAG_BODY grammar). The
-    residual, still pinned honestly: an UNTERMINATED quote degrades to the
-    old shear-at-next-'>' — bounded leak, content never lost."""
+    value no longer shears the tag (quote-aware _TAG_BODY grammar).
+
+    r7's residual, FIXED in r8 (verdict task #4): an UNTERMINATED quote
+    used to pair with a quote in a LATER tag, swallowing every visible
+    char in between. Quoted runs now stop at a tag-opening '<' ('<' +
+    letter or '/'), so the unterminated quote degrades to
+    attribute-end-at-next-'>' and the visible text survives; '<' that
+    does not open a tag (spaced comparisons) stays legal inside quotes."""
     rows = [
         ('<a title="a>b">link</a> rest', "link rest"),          # the r6 bug
         ("<a title='x>y'>one</a> two", "one two"),              # single quotes
         ('<div data-x="1" title="p>q">body</div>', "body"),     # mixed attrs
-        # unterminated quote: shears at the next '>' (old behavior, bounded)
+        # unterminated quote, no later quote: attribute ends at next '>'
         ('<a title="oops>tail</a> keep', "tail keep"),
+        # the r8 fix: unterminated quote + a LATER quoted tag — the visible
+        # text between them used to be swallowed by the spanning quote run
+        (
+            '<a title="broken>Welcome to the site<div class="x">hi</div>',
+            "Welcome to the site hi",
+        ),
+        # single-quote flavor of the same shear
+        (
+            "<a title='broken>Reader text<div class='x'>yo</div>",
+            "Reader text yo",
+        ),
+        # '<' NOT opening a tag stays legal inside a terminated quote
+        ('<a onclick="if (a < 3) go()">click</a> on', "click on"),
     ]
     df = spark.createDataFrame([(h,) for h, _ in rows], "html string")
     got = [r["c"] for r in df.select(strip_html(F.col("html")).alias("c")).collect()]

@@ -45,14 +45,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-# Quote-aware tag body (round-7 verdict task #4): inside a tag, a '>' may
-# legally appear inside a quoted attribute value, so the body is a sequence
-# of (non-delimiter chars | "double-quoted run" | 'single-quoted run'). The
-# optional trailing piece degrades an UNTERMINATED quote to the old
-# shear-at-next-'>' behavior (bounded leak) instead of leaving the whole
-# tag in the text. Pure alternation of character classes — linear in both
-# Java regex (Spark) and RE2 (the DuckDB oracle mirror, _strip_sql).
-_TAG_BODY = "(?:[^>\"']|\"[^\"]*\"|'[^']*')*(?:\"[^\">]*|'[^'>]*)?"
+# Quote-aware tag body (round-7 verdict task #4; r8 unterminated-quote
+# tolerance): inside a tag, a '>' may legally appear inside a quoted
+# attribute value, so the body is a sequence of (non-delimiter chars |
+# "double-quoted run" | 'single-quoted run'). r8: a quoted run may NOT
+# span a TAG-OPENING '<' ('<' followed by a letter or '/') — real crawl
+# HTML contains unterminated quotes, and letting the run pair with a quote
+# in a LATER tag swallowed every visible char in between. '<' NOT starting
+# a tag (spaced comparisons in onclick handlers, '< 3' etc.) stays legal
+# inside quotes. The optional trailing piece degrades a quote that never
+# closes to attribute-end-at-next-'>' (bounded, content never lost). Pure
+# alternation of character classes — no lookahead, linear in both Java
+# regex (Spark) and RE2 (the DuckDB oracle mirror, _strip_sql).
+_DQ_RUN = "\"(?:[^\"<]|<[^a-zA-Z/\"])*\""
+_SQ_RUN = "'(?:[^'<]|<[^a-zA-Z/'])*'"
+_TAG_BODY = (
+    "(?:[^>\"']|" + _DQ_RUN + "|" + _SQ_RUN + ")*(?:\"[^\">]*|'[^'>]*)?"
+)
 
 # Block-level elements that start a new text block. Split happens on the
 # OPEN tag; close tags are stripped later (they never start content).

@@ -1094,10 +1094,15 @@ _HTML_SYNTH_SQL = (
 )
 
 
-# the quote-aware tag body (html_extract._TAG_BODY) with single quotes
-# doubled for SQL string literals — RE2 runs the identical alternation
+# the quote-aware tag body (html_extract._TAG_BODY, incl. the r8
+# unterminated-quote tolerance: quoted runs may not span a tag-opening '<')
+# with single quotes doubled for SQL string literals — RE2 runs the
+# identical alternation
 _TAG_BODY_SQL = (
-    "(?:[^>\"'']|\"[^\"]*\"|''[^'']*'')*(?:\"[^\">]*|''[^''>]*)?"
+    "(?:[^>\"'']"
+    "|\"(?:[^\"<]|<[^a-zA-Z/\"])*\""
+    "|''(?:[^''<]|<[^a-zA-Z/''])*''"
+    ")*(?:\"[^\">]*|''[^''>]*)?"
 )
 
 
