@@ -343,6 +343,36 @@ def test_bpe_encode_reproduces_training_state(spark, sf_smoke):
     assert sorted(a) == sorted(b)
 
 
+def test_bpe_sampled_training_equivalence(spark):
+    """r8 verdict task #5: the scale path is sampled TRAINING + full-corpus
+    encode (every merge is a full pair-count pass — O(n_merges x corpus) —
+    so training cost must be bounded by sample_fraction, like
+    pq_train_codebooks). On a replicated fixture whose pair-frequency ranks
+    are scale-invariant and well separated, a half-sample must learn the
+    IDENTICAL merge sequence (counts scale, ranks don't), and encoding
+    held-out text with the sampled table must equal the full table's
+    encoding."""
+    from timing_explorer_spark.operators.bpe import bpe_encode, bpe_train
+
+    rows = (
+        [("the cat sat on the mat",)] * 120
+        + [("big dog ran far away now",)] * 60
+        + [("tiny bird flew very high up",)] * 30
+    )
+    docs = spark.createDataFrame(rows, ["text"]).repartition(8)
+    full, _ = bpe_train(docs, 4)
+    sampled, _ = bpe_train(docs, 4, sample_fraction=0.5, seed=7)
+    assert [(a, b) for _, a, b, _ in full] == [(a, b) for _, a, b, _ in sampled]
+    # sampled counts are bounded by the full counts (a strict subset corpus)
+    assert all(s[3] <= f[3] for f, s in zip(full, sampled))
+    held_out = spark.createDataFrame(
+        [("the cat sat on a new mat today",), ("big dog ran far",)], ["text"]
+    )
+    enc_full = [tuple(r["toks"]) for r in bpe_encode(held_out, full).collect()]
+    enc_samp = [tuple(r["toks"]) for r in bpe_encode(held_out, sampled).collect()]
+    assert sorted(enc_full) == sorted(enc_samp)
+
+
 def test_containment_dominates_jaccard(spark, sf_smoke):
     """Mathematical invariant: C(A,B) = |A∩B|/min(|A|,|B|) >= J(A,B) for
     every pair, so the containment threshold can never be LESS selective

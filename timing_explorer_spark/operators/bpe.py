@@ -84,17 +84,38 @@ def apply_merge(toks: DataFrame, a: str, b: str, col: str = "toks") -> DataFrame
     return toks.withColumn(col, F.expr(expr))
 
 
-def bpe_train(docs: DataFrame, n_merges: int, text_col: str = "text") -> tuple[list, DataFrame]:
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    sample_fraction: float | None = None,
+    seed: int = 42,
+) -> tuple[list, DataFrame]:
     """Run ``n_merges`` rounds; returns (merge table, final tokenized corpus).
 
     merge table rows: (rank, a, b, cnt) in merge order — the artifact a
     tokenizer ships. Each round re-counts pairs on the merged corpus; the
     corpus DataFrame is iteratively persisted so round i+1 reads round i's
     arrays, not the raw text re-derived (the PageRank/components pattern).
+
+    COST BOUND (r8 verdict task #5): every merge is one FULL pair-count
+    pass over the (current) corpus — training is O(n_merges x corpus),
+    inherent to exact BPE. The deployment answer at scale is the same as
+    pq_train_codebooks': train the merge table on a bounded SAMPLE
+    (``sample_fraction``; seeded, reproducible) — pair-frequency ranks are
+    corpus statistics that stabilize long before full coverage — then run
+    ``bpe_encode`` (shuffle-free, linear) over the full corpus. Sampling
+    changes only which merges win ties near the frequency floor; a merge
+    table trained on a representative sample encodes unseen text
+    identically (equivalence pinned on a deterministic fixture in
+    tests/test_round3_ops.py, cost measured in BENCH_sf1.json).
     """
     from .dedup import track_cache
 
-    toks = track_cache(docs.select(F.split(F.col(text_col), r"\s+").alias("toks")))
+    base = docs
+    if sample_fraction is not None:
+        base = base.sample(fraction=sample_fraction, seed=seed)
+    toks = track_cache(base.select(F.split(F.col(text_col), r"\s+").alias("toks")))
     merges: list = []
     for rank in range(n_merges):
         row = top_pair(toks).collect()
