@@ -1,0 +1,152 @@
+#!/usr/bin/env python
+"""IVF-PQ operating-point sweep at 200k vectors (round-8 verdict task #6):
+recall@10 and wall seconds vs (m, n_probe, refine) on the BENCH_sf10_llm
+corpus (sf0.1 embeddings tiled 10x with per-replica perturbation — the
+near-uniform synthetic vectors are PQ's WORST case, so these recalls are
+floors). Ground truth = brute-force cosine top-10 for the 16-query probe
+set (16 x 200k cosines, cheap and exact).
+
+Artifacts are trained ONCE per m (coarse centroids shared across all
+points; sampled training via the r8 sample_fraction path) and injected via
+ivfpq_topk(centers=..., books=...) — the serving shape. Each sweep point
+is then pure query-path cost: assign + bucket equi-join + ADC (+ exact
+refine join).
+
+Prints ONE JSON line; write BENCH_ivfpq_sweep.json via --json. A readable
+table lands in USER_GUIDE.md ("IVF-PQ operating points").
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+
+from make_sf10 import make_sf10  # noqa: E402
+
+N_CENTROIDS = 64
+K_SUB = 64
+K = 10
+N_QUERIES = 16
+TRAIN_SAMPLE = 0.25
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--fixture-dir", default=None)
+    ap.add_argument("--json", default=None)
+    ap.add_argument(
+        "--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_train_centroids,
+        ivfpq_topk,
+        pq_train_codebooks,
+    )
+    from timing_explorer_spark.session import get_spark
+    from timing_explorer_spark.sources.tables import load
+
+    fixture = args.fixture_dir or make_sf10()
+    spark = get_spark(
+        app_name="ivfpq-sweep",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=args.cpus,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    emb = load(spark, fixture, "embeddings").persist()
+    n_vecs = emb.count()
+    queries = emb.limit(N_QUERIES).persist()
+    queries.count()
+
+    truth = {}
+    for r in brute_force_topk(emb, queries, k=K).collect():
+        truth.setdefault(int(r["query_id"]), set()).add(int(r["neighbor_id"]))
+    n_truth = sum(len(v) for v in truth.values())
+
+    t0 = time.monotonic()
+    centers = ivf_train_centroids(
+        emb, n_centroids=N_CENTROIDS, sample_fraction=TRAIN_SAMPLE
+    )
+    t_centers = time.monotonic() - t0
+    books_by_m = {}
+    train_books_sec = {}
+    for m in (8, 16):
+        t0 = time.monotonic()
+        books_by_m[m] = pq_train_codebooks(
+            emb, m=m, k_sub=K_SUB, sample_fraction=TRAIN_SAMPLE
+        )
+        train_books_sec[m] = round(time.monotonic() - t0, 1)
+
+    points = []
+    for m in (8, 16):
+        for n_probe in (2, 4, 8, 16):
+            for refine in (None, 8):
+                t0 = time.monotonic()
+                got = {}
+                rows = ivfpq_topk(
+                    emb,
+                    queries,
+                    k=K,
+                    n_probe=n_probe,
+                    refine=refine,
+                    centers=centers,
+                    books=books_by_m[m],
+                ).collect()
+                wall = time.monotonic() - t0
+                for r in rows:
+                    got.setdefault(int(r["query_id"]), set()).add(
+                        int(r["neighbor_id"])
+                    )
+                hits = sum(
+                    len(truth[q] & got.get(q, set())) for q in truth
+                )
+                point = {
+                    "m": m,
+                    "k_sub": K_SUB,
+                    "code_bits": m * 6,  # log2(64) per subspace
+                    "n_probe": n_probe,
+                    "refine": refine,
+                    "recall_at_10": round(hits / n_truth, 3),
+                    "wall_sec": round(wall, 1),
+                }
+                points.append(point)
+                print(json.dumps(point), file=sys.stderr)
+
+    out = {
+        "metric": "ivfpq_operating_points",
+        "cpus": args.cpus,
+        "n_vectors": n_vecs,
+        "n_queries": N_QUERIES,
+        "k": K,
+        "n_centroids": N_CENTROIDS,
+        "train_sample_fraction": TRAIN_SAMPLE,
+        "train_centers_sec": round(t_centers, 1),
+        "train_books_sec": train_books_sec,
+        "points": points,
+        "note": (
+            "near-uniform synthetic embeddings are PQ's worst case (no "
+            "cluster structure to quantize) — recalls here are floors; "
+            "real-corpus recall at the same points is higher. Artifacts "
+            "trained once (sampled) and reused across points, so wall_sec "
+            "is the query-path cost."
+        ),
+    }
+    if args.json:
+        Path(args.json).write_text(json.dumps(out, indent=1) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -237,7 +237,8 @@ def test_ivfpq_topk_recall_vs_brute_force(spark, sf_smoke):
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.95, f"IVF-PQ recall {recall}"
     # refined scores are exact cosines: spot-check one overlapping pair
-    cos_by_pair = {(r["query_id"], r["neighbor_id"]): r["cos"] for r in approx_rows}
+    # (unified r8 schema: 'score' for both refine settings)
+    cos_by_pair = {(r["query_id"], r["neighbor_id"]): r["score"] for r in approx_rows}
     bf = {
         (r["query_id"], r["neighbor_id"]): r["cos"]
         for r in brute_force_topk(emb, queries, k=10).collect()

@@ -384,7 +384,8 @@ def ivf_assign(
     n_probe = min(n_probe, len(centers))
     ida = id_alias or id_col
     va = vec_alias or vec_col
-    schema = f"{ida} long, {va} array<float>, bucket int"
+    id_type = df.schema[id_col].dataType.simpleString()
+    schema = f"{ida} {id_type}, {va} array<float>, bucket int"
 
     def fn(batches):
         import pandas as pd
@@ -607,7 +608,13 @@ def pq_train_codebooks(
         base = base.sample(fraction=sample_fraction, seed=seed)
     base = Normalizer(p=2.0, inputCol="raw", outputCol="nrm").transform(base)
     base = base.select(vector_to_array(F.col("nrm")).alias("v"))
-    dim = len(base.first()["v"])
+    row = base.first()
+    if row is None:
+        raise ValueError(
+            "pq_train_codebooks: empty training corpus "
+            "(after sample_fraction, if set) — nothing to train on"
+        )
+    dim = len(row["v"])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
     books: list[list[list[float]]] = []
@@ -640,6 +647,7 @@ def pq_encode(
     m = len(C)
     sub = C[0].shape[1]
     ida = id_alias or id_col
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def fn(batches):
         import pandas as pd
@@ -661,7 +669,9 @@ def pq_encode(
                 {ida: pdf[id_col].to_numpy(), "codes": list(codes)}
             )
 
-    return df.select(id_col, vec_col).mapInPandas(fn, f"{ida} long, codes array<int>")
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, f"{ida} {id_type}, codes array<int>"
+    )
 
 
 def _pq_query_luts(
@@ -678,6 +688,7 @@ def _pq_query_luts(
     C = [np.asarray(b, dtype=np.float64) for b in books]
     m, k_sub = len(C), C[0].shape[0]
     sub = C[0].shape[1]
+    id_type = queries.schema[id_col].dataType.simpleString()
 
     def fn(batches):
         import pandas as pd
@@ -699,7 +710,7 @@ def _pq_query_luts(
             )
 
     return queries.select(id_col, vec_col).mapInPandas(
-        fn, "query_id long, lut array<double>"
+        fn, f"query_id {id_type}, lut array<double>"
     )
 
 
@@ -715,6 +726,9 @@ def ivfpq_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_fraction: float | None = None,
+    centers: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the design that actually serves
     billion-vector ANN (FAISS IVFPQ; Jégou et al. 2011): IVF coarse lists
@@ -737,11 +751,30 @@ def ivfpq_topk(
     lists) residual encoding buys little; the residual variant drops in by
     re-centering in pq_encode/_pq_query_luts per bucket. Scale shape: one
     corpus shuffle on bucket; LUTs broadcast with the (small) query side;
-    the exact-refine join touches refine*k rows per query, never a list."""
-    centers = ivf_train_centroids(
-        corpus, n_centroids=n_centroids, seed=seed, vec_col=vec_col
-    )
-    books = pq_train_codebooks(corpus, m=m, k_sub=k_sub, seed=seed, vec_col=vec_col)
+    the exact-refine join touches refine*k rows per query, never a list.
+
+    ``sample_fraction`` bounds TRAINING cost (forwarded to both trainers —
+    the coarse k-means and the m per-subspace k-means jobs, m+1 full-corpus
+    passes otherwise): centroid/codebook quality needs ~100x k points, not
+    the corpus. Output schema is the same for both refine settings:
+    (query_id, neighbor_id, score, rank) — score is the exact cosine when
+    ``refine`` is set, the raw ADC approximation when refine=None.
+
+    ``centers``/``books`` inject pre-trained artifacts (the serving shape:
+    train once, reuse across query batches and operating points — same
+    pattern as ivf_topk's ``centers``); when given, m/k_sub/n_centroids
+    describe them rather than trigger training."""
+    if centers is None:
+        centers = ivf_train_centroids(
+            corpus, n_centroids=n_centroids, seed=seed, vec_col=vec_col,
+            sample_fraction=sample_fraction,
+        )
+    if books is None:
+        books = pq_train_codebooks(
+            corpus, m=m, k_sub=k_sub, seed=seed, vec_col=vec_col,
+            sample_fraction=sample_fraction,
+        )
+    m, k_sub = len(books), len(books[0])
 
     c_bucket = ivf_assign(
         corpus, centers, id_col, vec_col, n_probe=1, id_alias="neighbor_id",
@@ -787,9 +820,13 @@ def ivfpq_topk(
     exact = (
         shortlist.join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
-        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+        )
     )
-    w2 = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
     return exact.select("*", F.row_number().over(w2).alias("rank")).where(
         F.col("rank") <= k
     )
