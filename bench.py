@@ -254,6 +254,9 @@ def main() -> None:
         # v2: the r7 six-stage cleanup recipe (mojibake fix -> squeeze ->
         # paragraph dedup -> blocklist -> gate -> exact dedup) in one plan
         ("q_corpus_prep_v2", "corpus_prep_v2_sec"),
+        # r8 flagship: gz-WARC ingest -> strip -> mojibake -> paragraph
+        # dedup -> gates -> exact dedup -> mixture rates, oracle-matched
+        ("q_crawl_to_corpus", "crawl_to_corpus_sec"),
     ):
         pipe = all_queries()[pname].build(spark, sf_dir)
         pipe.write.mode("overwrite").format("noop").save()  # untimed codegen pass

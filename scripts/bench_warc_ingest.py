@@ -152,6 +152,48 @@ def main() -> None:
         "records_per_sec": int(n / wall),
     }
 
+    # r8: the STREAMING leg of the crawl-to-corpus flagship — gz-WARC
+    # stream -> visible-text strip -> mojibake repair -> paragraph-grain
+    # dedup verdicts (streaming/paragraph_dedup.py), drained availableNow.
+    # Verdict rows are 0 here by design (the horizon exceeds the fixture
+    # span); the measured work is the full ingest-path transform + the
+    # stateful paragraph layer — the batch counterpart is
+    # q_crawl_to_corpus (oracle-matched).
+    from timing_explorer_spark.functions.text import fix_mojibake
+    from timing_explorer_spark.streaming.paragraph_dedup import (
+        paragraph_dedup_stream,
+    )
+
+    cdir = tempfile.mkdtemp(prefix="warcbench_c_")
+    t0 = time.monotonic()
+    cleaned = (
+        read_warc_stream(spark, gz_dir)
+        .where("valid")
+        .select(
+            F.xxhash64("blob_id", "rec_idx").alias("doc_id"),
+            F.timestamp_millis(
+                F.lit(1704067200000) + F.pmod(F.col("blob_id"), F.lit(36000)) * 1000
+            ).alias("ts"),
+            fix_mojibake(
+                strip_html(F.decode("payload", "UTF-8"))
+            ).alias("text"),
+        )
+    )
+    q = (
+        paragraph_dedup_stream(cleaned, watermark="11 hours")
+        .writeStream.format("parquet")
+        .option("path", f"{cdir}/out")
+        .option("checkpointLocation", f"{cdir}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    wall = time.monotonic() - t0
+    results["stream_crawl_chain"] = {
+        "wall_sec": round(wall, 2),
+        "records_per_sec": int(fx["n_records"] / wall),
+    }
+
     out = {
         "metric": "warc_ingest_throughput",
         "cpus": args.cpus,

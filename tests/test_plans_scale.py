@@ -337,6 +337,12 @@ _SANCTIONED_PYTHON = {
     # same walk plus the stdlib-zlib gzip member-chain decompression —
     # still Arrow-batched where the bytes live (r7, .warc.gz)
     "q_warc_gz_extract",
+    # the r8 crawl flagship rides the same WARC container walk (the only
+    # Python in its plan); every cleanup stage downstream is JVM
+    "q_crawl_to_corpus",
+    # same WARC walk + the bounded dictionary KN scorer DP (the
+    # q_ccnet_perplexity_buckets contract: distinct-gram grain only)
+    "q_crawl_to_corpus_ppl",
     # audio fingerprinting: Arrow-batched WAV decode + rfft where the bytes
     # live (multimodal/audio_fp.py); candidate join is JVM pigeonhole
     "q_media_audio_neardup",
@@ -440,6 +446,9 @@ _SANCTIONED_GLOBAL_WINDOW = {
     "q_concurrent_events",
     "q_tfidf_top_terms",
     "q_mixture_token_budget",
+    # the flagship's mixture stage: the same |sources|-row aggregate window
+    # as q_mixture_token_budget (class (b); never fact rows)
+    "q_crawl_to_corpus",
     "q_pareto_revenue",
     "q_key_skew_report",
     "q_event_transitions",

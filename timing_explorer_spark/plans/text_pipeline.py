@@ -2009,6 +2009,243 @@ def q_corpus_prep_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The crawl-to-corpus doctoring tail: a mojibake'd phrase (exercises the
+# encoding repair) plus a corpus-shared footer paragraph (exercises
+# paragraph-grain dedup) — appended INSIDE the synthesized page body.
+_CRAWL_TAIL = " CafÃ© donâ€™t forget | subscribe to our newsletter today"
+
+
+def _crawl_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared batch crawl-to-corpus cleanup chain (r8 verdict task #7):
+
+      documents -> doctored text -> synthesized HTML page -> WARC record ->
+      per-record gzip member (.warc.gz, the Common Crawl layout) ->
+      member-chain gunzip -> Content-Length record walk -> visible-text
+      strip -> mojibake repair -> paragraph-grain corpus dedup
+      (first-occurrence-wins, ordered reassembly) -> blocklist phrase gate
+      -> length gate -> exact content dedup.
+
+    Returns one row per surviving document: (doc_id, source, n_paras,
+    kept_paras, t) with t the full cleaned text. Exchanges: the paragraph-
+    hash window, the doc_id reassembly, the content-hash window, plus one
+    doc_id join back to documents for `source` — everything upstream fuses
+    map-side into the WARC scan. Feeds q_crawl_to_corpus (oracle-matched
+    end to end) and q_crawl_to_corpus_ppl (KN perplexity bucketing)."""
+    from pyspark.sql import Window
+
+    from ..functions.text import fix_mojibake
+    from ..operators.html_extract import strip_html, synthesize_html
+    from ..sources.warc import synthetic_warc_blobs, warc_records
+
+    d = load(spark, sf_dir, "documents")
+    pages = d.select(
+        "doc_id",
+        synthesize_html(
+            F.concat(F.col("text"), F.lit(_CRAWL_TAIL)), F.col("doc_id")
+        ).alias("text"),
+    )
+    recs = warc_records(synthetic_warc_blobs(pages, gz=True)).where(F.col("valid"))
+    extracted = recs.select(
+        F.regexp_extract("target_uri", r"/doc/(\d+)$", 1)
+        .cast("long")
+        .alias("doc_id"),
+        fix_mojibake(strip_html(F.decode("payload", "UTF-8"))).alias("clean"),
+    )
+    parted = extracted.select(
+        "doc_id", F.split(F.col("clean"), r" \| ").alias("parts")
+    )
+    paras = parted.select(
+        "doc_id",
+        F.size("parts").alias("n_paras"),
+        F.posexplode("parts").alias("pos0", "para"),
+    ).select("doc_id", "n_paras", (F.col("pos0") + 1).alias("para_idx"), "para")
+    w = Window.partitionBy(F.md5("para")).orderBy("doc_id", "para_idx")
+    kept = (
+        paras.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    clean = kept.groupBy("doc_id", "n_paras").agg(
+        F.count(F.lit(1)).alias("kept_paras"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("para_idx", "para"))),
+                lambda s: s.para,
+            ),
+            " | ",
+        ).alias("t"),
+    )
+    gated = clean.where(
+        (F.regexp_count(F.col("t"), F.lit(r"\bfast key\b")) == 0)
+        & (F.length("t") >= 120)
+    )
+    w2 = Window.partitionBy(F.md5("t")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn2", F.row_number().over(w2))
+        .where(F.col("rn2") == 1)
+        .drop("rn2")
+    )
+    return deduped.join(d.select("doc_id", "source"), "doc_id")
+
+
+@register(
+    "q_crawl_to_corpus",
+    oracle=f"""
+        WITH doctored AS (
+            SELECT doc_id, source, text || '{_CRAWL_TAIL}' AS text
+            FROM documents
+        ),
+        raw AS (
+            SELECT doc_id, source, {_HTML_SYNTH_SQL} AS html FROM doctored
+        ),
+        fixed AS (
+            SELECT doc_id, source,
+                   {_mojibake_sql(_strip_sql("html"))} AS clean
+            FROM raw
+        ),
+        parted AS (
+            SELECT doc_id, source, string_split(clean, ' | ') AS parts
+            FROM fixed
+        ),
+        paras AS (
+            SELECT doc_id, source, LEN(parts) AS n_paras,
+                   i AS para_idx, parts[i] AS para
+            FROM parted, UNNEST(range(1, LEN(parts) + 1)) AS r(i)
+        ),
+        ranked AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(para)
+                                         ORDER BY doc_id, para_idx) AS rn
+            FROM paras
+        ),
+        clean AS (
+            SELECT doc_id, source, n_paras,
+                   COUNT(*) AS kept_paras,
+                   string_agg(para, ' | ' ORDER BY para_idx) AS t
+            FROM ranked WHERE rn = 1 GROUP BY doc_id, source, n_paras
+        ),
+        gated AS (
+            SELECT * FROM clean
+            WHERE LEN(regexp_extract_all(t, '\\bfast key\\b')) = 0
+              AND LENGTH(t) >= 120
+        ),
+        deduped AS (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(t)
+                                         ORDER BY doc_id) AS rn2
+            FROM gated
+        ),
+        docs_clean AS (
+            SELECT doc_id, source, n_paras, kept_paras,
+                   LEN(string_split(t, ' ')) AS n_tokens,
+                   md5(t) AS text_md5
+            FROM deduped WHERE rn2 = 1
+        ),
+        rates AS (
+            SELECT source,
+                   LEAST(1.0, (100000.0 / COUNT(*) OVER ())
+                         / SUM(n_tokens)) AS src_sample_rate
+            FROM docs_clean GROUP BY source
+        )
+        SELECT d.doc_id, d.source, d.n_paras, d.kept_paras, d.n_tokens,
+               d.text_md5, r.src_sample_rate
+        FROM docs_clean d JOIN rates r USING (source)
+    """,
+    doc=(
+        "THE crawl-to-corpus FLAGSHIP (r8): every front-end piece composed "
+        "as ONE declarative plan and hash-verified end to end — documents "
+        "-> doctored page text (mojibake phrase + corpus-shared footer "
+        "paragraph) -> synthesized HTML -> WARC records -> per-record gzip "
+        "members (the Common Crawl .warc.gz layout) -> member-chain gunzip "
+        "-> Content-Length record walk -> visible-text strip (quote-aware "
+        "r8 grammar) -> mojibake repair -> paragraph-grain corpus dedup "
+        "with ordered reassembly -> blocklist phrase gate -> length gate "
+        "-> exact content dedup -> per-source mixture sampling rates "
+        "toward a 100k-token budget. The DuckDB oracle recomputes "
+        "synthesis+cleanup directly on the documents table, so a hash "
+        "match proves BOTH the container round trip lossless (through "
+        "gzip + WARC + non-ASCII payloads) AND the whole cleanup "
+        "composition byte-identical. Scale shape: map-fused through the "
+        "WARC scan; three content exchanges (paragraph-hash window with "
+        "two-sided WindowGroupLimit, doc_id reassembly, content-hash "
+        "window) + one doc_id join + a |sources|-row mixture aggregate. "
+        "See also q_crawl_to_corpus_ppl (the KN quality-bucketing leg) "
+        "and USER_GUIDE 'From crawl to training corpus'."
+    ),
+    tags=("text", "warc", "crawl", "llm-pipeline", "composed", "flagship"),
+)
+def q_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs_clean = _crawl_cleaned(spark, sf_dir).select(
+        "doc_id",
+        "source",
+        "n_paras",
+        "kept_paras",
+        F.size(F.split(F.col("t"), " ")).alias("n_tokens"),
+        F.md5("t").alias("text_md5"),
+    )
+    per_src = docs_clean.groupBy("source").agg(
+        F.sum("n_tokens").alias("src_tokens")
+    )
+    w = Window.partitionBy()
+    rate = F.least(
+        F.lit(1.0),
+        (F.lit(100000.0) / F.count(F.lit(1)).over(w)) / F.col("src_tokens"),
+    )
+    rates = per_src.select("source", rate.alias("src_sample_rate"))
+    return docs_clean.join(F.broadcast(rates), "source").select(
+        "doc_id",
+        "source",
+        "n_paras",
+        "kept_paras",
+        "n_tokens",
+        "text_md5",
+        "src_sample_rate",
+    )
+
+
+@register(
+    "q_crawl_to_corpus_ppl",
+    oracle=None,  # KN LM is iteratively trained — rows-only; chain + bucketing pinned elsewhere
+    doc=(
+        "The quality-bucketing leg of the crawl flagship: the SAME cleaned "
+        "corpus as q_crawl_to_corpus (shared _crawl_cleaned chain, itself "
+        "oracle-matched), then CCNet perplexity gating under the true LM "
+        "family — a 5-gram modified-Kneser-Ney model trained on the "
+        "high-quality reference slice (src0-src3) OF THE CLEANED TEXT, "
+        "every surviving document scored via the dictionary-encoded KN "
+        "scorer, per-language head/middle/tail equal-frequency buckets. "
+        "Output per (source, bucket): docs, tokens, perplexity band — the "
+        "table a data-mixture owner reads to set per-bucket sampling "
+        "weights. Rows-only by declared design (EM/iterative LM); the "
+        "cleanup chain is hash-verified in q_crawl_to_corpus and the KN "
+        "scorer/bucketing carry their own pytest pins."
+    ),
+    tags=("text", "warc", "crawl", "perplexity", "kneser-ney", "llm-pipeline", "composed"),
+)
+def q_crawl_to_corpus_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.kneser_ney import kn_train
+    from ..operators.unigram import ccnet_buckets
+
+    cleaned = _crawl_cleaned(spark, sf_dir)
+    docs = cleaned.join(
+        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+    ).select("doc_id", "source", "lang", F.col("t").alias("text"))
+    reference = docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
+    model = kn_train(reference, order=5)
+    scored = ccnet_buckets(docs, n_buckets=3, model=model)
+    return (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("ppl").alias("ppl_min"),
+            F.max("ppl").alias("ppl_max"),
+        )
+        .orderBy("source", "bucket")
+    )
+
+
 @register(
     "q_blocklist_semijoin",
     oracle=f"""
