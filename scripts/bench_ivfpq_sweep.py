@@ -89,40 +89,53 @@ def main() -> None:
         )
         train_books_sec[m] = round(time.monotonic() - t0, 1)
 
+    grid = [
+        (m, n_probe, refine, False, books_by_m[m])
+        for m in (8, 16)
+        for n_probe in (2, 4, 8, 16)
+        for refine in (None, 8)
+    ] + [
+        # residual encoding rows (r8): books=None -> pooled residual
+        # codebooks train inside (sampled); n_probe fixed to 4
+        (m, 4, refine, True, None)
+        for m in (8, 16)
+        for refine in (None, 8)
+    ]
     points = []
-    for m in (8, 16):
-        for n_probe in (2, 4, 8, 16):
-            for refine in (None, 8):
-                t0 = time.monotonic()
-                got = {}
-                rows = ivfpq_topk(
-                    emb,
-                    queries,
-                    k=K,
-                    n_probe=n_probe,
-                    refine=refine,
-                    centers=centers,
-                    books=books_by_m[m],
-                ).collect()
-                wall = time.monotonic() - t0
-                for r in rows:
-                    got.setdefault(int(r["query_id"]), set()).add(
-                        int(r["neighbor_id"])
-                    )
-                hits = sum(
-                    len(truth[q] & got.get(q, set())) for q in truth
-                )
-                point = {
-                    "m": m,
-                    "k_sub": K_SUB,
-                    "code_bits": m * 6,  # log2(64) per subspace
-                    "n_probe": n_probe,
-                    "refine": refine,
-                    "recall_at_10": round(hits / n_truth, 3),
-                    "wall_sec": round(wall, 1),
-                }
-                points.append(point)
-                print(json.dumps(point), file=sys.stderr)
+    for m, n_probe, refine, residual, books in grid:
+        t0 = time.monotonic()
+        got = {}
+        rows = ivfpq_topk(
+            emb,
+            queries,
+            k=K,
+            m=m,
+            k_sub=K_SUB,
+            n_probe=n_probe,
+            refine=refine,
+            centers=centers,
+            books=books,
+            residual=residual,
+            sample_fraction=TRAIN_SAMPLE,
+        ).collect()
+        wall = time.monotonic() - t0
+        for r in rows:
+            got.setdefault(int(r["query_id"]), set()).add(
+                int(r["neighbor_id"])
+            )
+        hits = sum(len(truth[q] & got.get(q, set())) for q in truth)
+        point = {
+            "m": m,
+            "k_sub": K_SUB,
+            "code_bits": m * 6,  # log2(64) per subspace
+            "n_probe": n_probe,
+            "refine": refine,
+            "residual": residual,
+            "recall_at_10": round(hits / n_truth, 3),
+            "wall_sec": round(wall, 1),
+        }
+        points.append(point)
+        print(json.dumps(point), file=sys.stderr)
 
     out = {
         "metric": "ivfpq_operating_points",
@@ -140,7 +153,14 @@ def main() -> None:
             "cluster structure to quantize) — recalls here are floors; "
             "real-corpus recall at the same points is higher. Artifacts "
             "trained once (sampled) and reused across points, so wall_sec "
-            "is the query-path cost."
+            "is the query-path cost — EXCEPT the residual=true rows, whose "
+            "wall includes their pooled-residual codebook training "
+            "(residual books are bucket-structure-dependent). Residual "
+            "encoding wins on CLUSTERED data (2x finer ADC, pinned in "
+            "tests/test_similarity.py::test_ivfpq_residual_encoding_wins_"
+            "on_clustered_data); on this unclustered corpus it is "
+            "recall-neutral, which is why residual=False stays the "
+            "operator default."
         ),
     }
     if args.json:

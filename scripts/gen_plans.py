@@ -139,6 +139,9 @@ def main() -> None:
         "q_corpus_prep_v2",
         "q_ann_ivfpq_topk",
         "q_blocklist_semijoin",
+        # Round-8: the crawl flagship + its KN quality leg.
+        "q_crawl_to_corpus",
+        "q_crawl_to_corpus_ppl",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

@@ -85,6 +85,7 @@ _EXPORTS = {
     "pq_train_codebooks": "timing_explorer_spark.operators.similarity:pq_train_codebooks",
     "pq_encode": "timing_explorer_spark.operators.similarity:pq_encode",
     "ivfpq_topk": "timing_explorer_spark.operators.similarity:ivfpq_topk",
+    "ivf_residuals": "timing_explorer_spark.operators.similarity:ivf_residuals",
     # raw-crawl front-end
     "strip_html": "timing_explorer_spark.operators.html_extract:strip_html",
     "extract_main_text": "timing_explorer_spark.operators.html_extract:extract_main_text",

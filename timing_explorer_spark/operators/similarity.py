@@ -368,6 +368,7 @@ def ivf_assign(
     n_probe: int = 1,
     id_alias: str | None = None,
     vec_alias: str | None = None,
+    with_score: bool = False,
 ) -> DataFrame:
     """Assign each vector to its ``n_probe`` nearest centroids (euclidean on
     the L2-normalized vector == cosine order against fixed centers:
@@ -376,7 +377,9 @@ def ivf_assign(
     Dense (batch x centroids) scoring is a numpy matmul via Arrow batches —
     the same dense-algebra exception as nearest_neighbor_all; the centroid
     matrix rides the closure (n_centroids x dim doubles, KBs). Output has one
-    row per (vector, probed bucket)."""
+    row per (vector, probed bucket); ``with_score`` adds ``cscore`` =
+    <normalized vector, centroid> (the exact first-order term the residual-PQ
+    ADC decomposition needs: <q̂,x̂> = <q̂,c_b> + <q̂,residual>)."""
     import numpy as np
 
     C = np.asarray(centers, dtype=np.float64)  # (k, d)
@@ -386,6 +389,8 @@ def ivf_assign(
     va = vec_alias or vec_col
     id_type = df.schema[id_col].dataType.simpleString()
     schema = f"{ida} {id_type}, {va} array<float>, bucket int"
+    if with_score:
+        schema += ", cscore double"
 
     def fn(batches):
         import pandas as pd
@@ -399,15 +404,60 @@ def ivf_assign(
             scores = (X / norms) @ C.T - half_sq  # (b, k)
             # top n_probe buckets per row, best first
             order = np.argsort(-scores, axis=1)[:, :n_probe]
+            out = {
+                ida: np.repeat(pdf[id_col].to_numpy(), n_probe),
+                va: [v for v in pdf[vec_col] for _ in range(n_probe)],
+                "bucket": order.reshape(-1).astype("int32"),
+            }
+            if with_score:
+                dots = scores + half_sq  # <x̂, c> without the -||c||²/2 shift
+                out["cscore"] = np.take_along_axis(dots, order, axis=1).reshape(-1)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+
+
+def ivf_residuals(
+    df: DataFrame,
+    centers: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    id_alias: str | None = None,
+) -> DataFrame:
+    """(id, bucket, rvec): each vector's IVF residual — L2-normalized vector
+    minus its nearest coarse centroid — the quantity residual PQ encodes
+    (Jégou et al. 2011 §IV; FAISS IVFPQ's default). Same Arrow-batched dense
+    shape as ivf_assign (centroid matrix in the closure, n_probe=1)."""
+    import numpy as np
+
+    C = np.asarray(centers, dtype=np.float64)
+    half_sq = (C * C).sum(axis=1) / 2.0
+    ida = id_alias or id_col
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            Xn = X / norms
+            best = (Xn @ C.T - half_sq).argmax(axis=1)
+            R = Xn - C[best]
             yield pd.DataFrame(
                 {
-                    ida: np.repeat(pdf[id_col].to_numpy(), n_probe),
-                    va: [v for v in pdf[vec_col] for _ in range(n_probe)],
-                    "bucket": order.reshape(-1).astype("int32"),
+                    ida: pdf[id_col].to_numpy(),
+                    "bucket": best.astype("int32"),
+                    "rvec": list(R),
                 }
             )
 
-    return df.select(id_col, vec_col).mapInPandas(fn, schema)
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, f"{ida} {id_type}, bucket int, rvec array<double>"
+    )
 
 
 def ivf_topk(
@@ -588,6 +638,7 @@ def pq_train_codebooks(
     seed: int = 42,
     vec_col: str = "embedding",
     sample_fraction: float | None = None,
+    normalize: bool = True,
 ) -> list[list[list[float]]]:
     """Product-quantization codebooks (Jégou, Douze, Schmid 2011, "Product
     Quantization for Nearest Neighbor Search"): the L2-normalized vector is
@@ -598,7 +649,9 @@ def pq_train_codebooks(
 
     Training is m bounded pyspark.ml jobs over subvector slices (sampled
     with ``sample_fraction`` at scale — codebook quality needs ~100x k_sub
-    points per subspace, not the corpus)."""
+    points per subspace, not the corpus). ``normalize=False`` trains on
+    the vectors AS GIVEN — the residual-PQ path (ivf_residuals output must
+    not be re-normalized)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.feature import Normalizer
     from pyspark.ml.functions import array_to_vector, vector_to_array
@@ -606,8 +659,11 @@ def pq_train_codebooks(
     base = corpus.select(array_to_vector(as_double(F.col(vec_col))).alias("raw"))
     if sample_fraction is not None:
         base = base.sample(fraction=sample_fraction, seed=seed)
-    base = Normalizer(p=2.0, inputCol="raw", outputCol="nrm").transform(base)
-    base = base.select(vector_to_array(F.col("nrm")).alias("v"))
+    if normalize:
+        base = Normalizer(p=2.0, inputCol="raw", outputCol="nrm").transform(base)
+        base = base.select(vector_to_array(F.col("nrm")).alias("v"))
+    else:
+        base = base.select(vector_to_array(F.col("raw")).alias("v"))
     row = base.first()
     if row is None:
         raise ValueError(
@@ -633,10 +689,12 @@ def pq_encode(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     id_alias: str | None = None,
+    normalize: bool = True,
 ) -> DataFrame:
     """Encode vectors to PQ codes: array<int>[m], code j = index of the
     nearest centroid of codebook j for the j-th subvector of the
-    L2-normalized vector. m x k_sub tiny argmins per row — the same dense
+    L2-normalized vector (``normalize=False`` encodes AS GIVEN — the
+    residual path). m x k_sub tiny argmins per row — the same dense
     Arrow-batched exception as ivf_assign; codebooks ride the closure. The
     full vector is DROPPED from the output: codes are m small ints per
     vector (the memory compression that lets 100 TB of embeddings fit an
@@ -656,9 +714,10 @@ def pq_encode(
             if pdf.empty:
                 continue
             X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
-            norms = np.linalg.norm(X, axis=1, keepdims=True)
-            norms[norms == 0] = 1.0
-            X = X / norms
+            if normalize:
+                norms = np.linalg.norm(X, axis=1, keepdims=True)
+                norms[norms == 0] = 1.0
+                X = X / norms
             codes = np.empty((len(X), m), dtype=np.int32)
             for j in range(m):
                 piece = X[:, j * sub : (j + 1) * sub]  # (b, sub)
@@ -729,6 +788,7 @@ def ivfpq_topk(
     sample_fraction: float | None = None,
     centers: list[list[float]] | None = None,
     books: list[list[list[float]]] | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """IVF-PQ approximate top-k — the design that actually serves
     billion-vector ANN (FAISS IVFPQ; Jégou et al. 2011): IVF coarse lists
@@ -746,12 +806,18 @@ def ivfpq_topk(
          standard two-stage serving layout; refine=None returns raw ADC
          ranks).
 
-    Simplification vs the paper, documented: codes quantize the RAW
-    normalized vector, not the IVF residual — at test scale (few coarse
-    lists) residual encoding buys little; the residual variant drops in by
-    re-centering in pq_encode/_pq_query_luts per bucket. Scale shape: one
-    corpus shuffle on bucket; LUTs broadcast with the (small) query side;
-    the exact-refine join touches refine*k rows per query, never a list.
+    ``residual=False`` (default) quantizes the RAW normalized vector —
+    the documented simplification. ``residual=True`` is the paper's (and
+    FAISS's default) RESIDUAL encoding: codes quantize x̂ - c_bucket
+    (pooled residual codebooks, trained with normalize=False), and the
+    ADC score decomposes exactly as <q̂,x̂> = <q̂,c_b> + <q̂,residual> —
+    the first term computed exactly per (query, probed bucket)
+    (ivf_assign with_score), the second from the same LUT sum. Residuals
+    are smaller than raw vectors, so the same code budget quantizes finer
+    (measured in BENCH_ivfpq_sweep.json: the ADC-only recall gap). Scale
+    shape: one corpus shuffle on bucket; LUTs broadcast with the (small)
+    query side; the exact-refine join touches refine*k rows per query,
+    never a list.
 
     ``sample_fraction`` bounds TRAINING cost (forwarded to both trainers —
     the coarse k-means and the m per-subspace k-means jobs, m+1 full-corpus
@@ -769,29 +835,50 @@ def ivfpq_topk(
             corpus, n_centroids=n_centroids, seed=seed, vec_col=vec_col,
             sample_fraction=sample_fraction,
         )
-    if books is None:
-        books = pq_train_codebooks(
-            corpus, m=m, k_sub=k_sub, seed=seed, vec_col=vec_col,
-            sample_fraction=sample_fraction,
+    if residual:
+        res = ivf_residuals(
+            corpus, centers, id_col=id_col, vec_col=vec_col,
+            id_alias="neighbor_id",
         )
-    m, k_sub = len(books), len(books[0])
+        if books is None:
+            books = pq_train_codebooks(
+                res, m=m, k_sub=k_sub, seed=seed, vec_col="rvec",
+                sample_fraction=sample_fraction, normalize=False,
+            )
+        m, k_sub = len(books), len(books[0])
+        codes = pq_encode(
+            res, books, id_col="neighbor_id", vec_col="rvec", normalize=False
+        )
+        inv = res.select("neighbor_id", "bucket").join(codes, "neighbor_id")
+        q_bucket = ivf_assign(
+            queries, centers, id_col, vec_col, n_probe=n_probe,
+            id_alias="query_id", vec_alias="qvec", with_score=True,
+        ).select("query_id", "bucket", "cscore")
+    else:
+        if books is None:
+            books = pq_train_codebooks(
+                corpus, m=m, k_sub=k_sub, seed=seed, vec_col=vec_col,
+                sample_fraction=sample_fraction,
+            )
+        m, k_sub = len(books), len(books[0])
+        c_bucket = ivf_assign(
+            corpus, centers, id_col, vec_col, n_probe=1,
+            id_alias="neighbor_id", vec_alias="cvec",
+        )
+        codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col,
+                          id_alias="neighbor_id")
+        inv = c_bucket.select("neighbor_id", "bucket").join(codes, "neighbor_id")
+        q_bucket = ivf_assign(
+            queries, centers, id_col, vec_col, n_probe=n_probe,
+            id_alias="query_id", vec_alias="qvec",
+        ).select("query_id", "bucket", F.lit(0.0).alias("cscore"))
 
-    c_bucket = ivf_assign(
-        corpus, centers, id_col, vec_col, n_probe=1, id_alias="neighbor_id",
-        vec_alias="cvec",
-    )
-    codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col,
-                      id_alias="neighbor_id")
-    inv = c_bucket.select("neighbor_id", "bucket").join(codes, "neighbor_id")
-
-    q_bucket = ivf_assign(
-        queries, centers, id_col, vec_col, n_probe=n_probe, id_alias="query_id",
-        vec_alias="qvec",
-    ).select("query_id", "bucket")
     luts = _pq_query_luts(queries, books, id_col, vec_col)
     q = q_bucket.join(luts, "query_id")
 
-    adc = F.aggregate(
+    # ADC score: LUT sum over code entries, plus the exact <q̂, c_bucket>
+    # first-order term on the residual path (0 on the raw path)
+    adc = F.col("cscore") + F.aggregate(
         F.sequence(F.lit(0), F.lit(m - 1)),
         F.lit(0.0),
         lambda acc, j: acc
