@@ -62,35 +62,45 @@ def main() -> None:
         spark.conf.set(k, v)
     spark.sparkContext.setLogLevel("ERROR")
 
-    indir = tempfile.mkdtemp(prefix="lshbench_in_")
-    docs = (
-        spark.read.parquet(f"{args.sf_dir}/documents.parquet")
-        .crossJoin(spark.range(REPLICAS).select(F.col("id").alias("rep")))
-        .select(
+    def build_corpus(unique: bool) -> tuple[str, int]:
+        indir = tempfile.mkdtemp(prefix="lshbench_in_")
+        base = spark.read.parquet(f"{args.sf_dir}/documents.parquet").crossJoin(
+            spark.range(REPLICAS).select(F.col("id").alias("rep"))
+        )
+        if unique:
+            # per-replica token prefix -> every doc's shingle set is
+            # distinct: the unique-heavy regime (real-traffic steady state,
+            # where almost nothing collides)
+            text = F.concat(
+                F.lit("u"), F.col("rep").cast("string"), F.lit("x "), F.col("text")
+            )
+        else:
+            # replicas of one doc are EXACT duplicates — the dup-heavy
+            # crawl regime the exact-sig prefilter is built for
+            text = F.col("text")
+        docs = base.select(
             (F.col("doc_id") * REPLICAS + F.col("rep")).alias("doc_id"),
-            # note: replicas of one doc are EXACT duplicates — the stream
-            # suppresses them, which is the realistic hot path (dup-heavy
-            # crawl); ts spreads 1s apart inside one watermark horizon
             F.to_timestamp(
                 F.lit("2024-01-01 00:00:00")
             ).cast("timestamp").alias("base"),
-            F.col("text"),
-        )
-        .select(
+            text.alias("text"),
+        ).select(
             "doc_id",
             (F.col("base") + F.make_interval(secs=F.col("doc_id") % 36000)).alias("ts"),
             "text",
         )
-    )
-    n_docs = docs.count()
-    docs.repartition(N_FILES).write.mode("overwrite").parquet(indir)
+        n = docs.count()
+        docs.repartition(N_FILES).write.mode("overwrite").parquet(indir)
+        return indir, n
 
-    def run(verify):
+    indir, n_docs = build_corpus(unique=False)
+
+    def run(verify, src=None):
         out = tempfile.mkdtemp(prefix="lshbench_out_")
         stream = (
             spark.readStream.schema("doc_id long, ts timestamp, text string")
             .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
-            .parquet(indir)
+            .parquet(src or indir)
         )
         verdicts = minhash_dedup_stream(stream, watermark="11 hours", verify=verify)
         t0 = time.monotonic()
@@ -121,6 +131,14 @@ def main() -> None:
         mode: min((r[mode] for r in rounds), key=lambda x: x["wall_sec"])
         for mode in ("default", "verify_0.8")
     }
+    # the OTHER traffic regime (r8): an all-unique corpus — nothing for the
+    # exact-sig prefilter to kill, every band key fresh — the steady-state
+    # cost ceiling of the precision layer on real traffic
+    uniq_dir, n_uniq = build_corpus(unique=True)
+    unique_results = {
+        "default": run(None, src=uniq_dir),
+        "verify_0.8": run(0.8, src=uniq_dir),
+    }
     out = {
         "metric": "streaming_lsh_throughput",
         "cpus": args.cpus,
@@ -132,6 +150,15 @@ def main() -> None:
         ),
         "results": results,
         "interleaved_rounds": rounds,
+        "unique_corpus": {
+            "n_docs": n_uniq,
+            "verify_cost_ratio": round(
+                unique_results["verify_0.8"]["wall_sec"]
+                / unique_results["default"]["wall_sec"],
+                2,
+            ),
+            "results": unique_results,
+        },
     }
     if args.json:
         Path(args.json).write_text(json.dumps(out, indent=1) + "\n")
