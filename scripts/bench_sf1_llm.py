@@ -56,6 +56,9 @@ OPS = (
     "q_paragraph_dedup",
     # r7: the six-stage composed cleanup recipe (3 exchanges end to end)
     "q_corpus_prep_v2",
+    # r8: the crawl flagship — WARC encode/parse + strip + mojibake +
+    # paragraph dedup + gates + exact dedup + mixture rates, end to end
+    "q_crawl_to_corpus",
 )
 
 # Training-style queries do their distributed work EAGERLY inside build()

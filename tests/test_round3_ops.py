@@ -373,6 +373,69 @@ def test_bpe_sampled_training_equivalence(spark):
     assert sorted(enc_full) == sorted(enc_samp)
 
 
+def test_bpe_artifact_roundtrip(spark, sf_smoke, tmp_path):
+    """r8: the merge table ships as ONE parquet artifact (the kn_save
+    pattern — Spark writers only). save -> load round-trips bit-exactly
+    and the loaded table encodes identically."""
+    from timing_explorer_spark.operators.bpe import (
+        bpe_encode,
+        bpe_load,
+        bpe_save,
+        bpe_train,
+    )
+
+    docs = load(spark, sf_smoke, "documents")
+    merges, _ = bpe_train(docs, 4)
+    path = str(tmp_path / "bpe_model")
+    bpe_save(spark, merges, path)
+    loaded = bpe_load(spark, path)
+    assert loaded == [(r, a, b, c) for r, a, b, c in merges]
+    a = sorted(tuple(r["toks"]) for r in bpe_encode(docs.limit(20), merges).collect())
+    b = sorted(tuple(r["toks"]) for r in bpe_encode(docs.limit(20), loaded).collect())
+    assert a == b
+
+
+def test_ann_artifact_roundtrip(spark, sf_smoke, tmp_path):
+    """r8: IVF centers + PQ codebooks ship as parquet artifacts; load
+    round-trips bit-exactly and the loaded artifacts serve identical
+    IVF-PQ results (train once, serve anywhere)."""
+    from timing_explorer_spark.operators.similarity import (
+        ann_load,
+        ann_save,
+        ivf_train_centroids,
+        ivfpq_topk,
+        pq_train_codebooks,
+    )
+    from timing_explorer_spark.sources.tables import load as tload
+
+    emb = tload(spark, sf_smoke, "embeddings")
+    centers = ivf_train_centroids(emb, n_centroids=8)
+    books = pq_train_codebooks(emb, m=8, k_sub=16)
+    path = str(tmp_path / "ann_model")
+    ann_save(spark, path, centers=centers, books=books)
+    c2, b2 = ann_load(spark, path)
+    assert c2 == [[float(x) for x in c] for c in centers]
+    assert b2 == [[[float(x) for x in v] for v in book] for book in books]
+    queries = emb.where(F.col("vec_id") < 3)
+    r1 = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["score"], 9))
+        for r in ivfpq_topk(
+            emb, queries, k=5, n_probe=4, refine=4, centers=centers, books=books
+        ).collect()
+    )
+    r2 = sorted(
+        (r["query_id"], r["neighbor_id"], round(r["score"], 9))
+        for r in ivfpq_topk(
+            emb, queries, k=5, n_probe=4, refine=4, centers=c2, books=b2
+        ).collect()
+    )
+    assert r1 == r2
+    # half-artifact load: centers only
+    ann_save(spark, str(tmp_path / "c_only"), centers=centers)
+    c3, b3 = ann_load(spark, str(tmp_path / "c_only"))
+    assert c3 == c2 and b3 is None
+
+
 def test_containment_dominates_jaccard(spark, sf_smoke):
     """Mathematical invariant: C(A,B) = |A∩B|/min(|A|,|B|) >= J(A,B) for
     every pair, so the containment threshold can never be LESS selective

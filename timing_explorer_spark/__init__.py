@@ -65,6 +65,10 @@ _EXPORTS = {
     # LM / tokenizer training + quality filtering
     "bpe_train": "timing_explorer_spark.operators.bpe:bpe_train",
     "bpe_encode": "timing_explorer_spark.operators.bpe:bpe_encode",
+    "bpe_save": "timing_explorer_spark.operators.bpe:bpe_save",
+    "bpe_load": "timing_explorer_spark.operators.bpe:bpe_load",
+    "ann_save": "timing_explorer_spark.operators.similarity:ann_save",
+    "ann_load": "timing_explorer_spark.operators.similarity:ann_load",
     "unigram_train": "timing_explorer_spark.operators.unigram:unigram_train",
     "doc_perplexity": "timing_explorer_spark.operators.unigram:doc_perplexity",
     "ccnet_buckets": "timing_explorer_spark.operators.unigram:ccnet_buckets",

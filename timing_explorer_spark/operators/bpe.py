@@ -127,6 +127,26 @@ def bpe_train(
     return merges, toks
 
 
+def bpe_save(spark, merges: list, path: str) -> None:
+    """Persist a trained merge table as ONE parquet table — the shippable
+    tokenizer artifact (the kn_save pattern: everything through Spark
+    writers so the artifact lands on one filesystem; no driver-local
+    sidecar). Columns: (rank, a, b, cnt) in merge order."""
+    spark.createDataFrame(
+        [(int(r), str(a), str(b), int(c)) for r, a, b, c in merges],
+        "rank int, a string, b string, cnt bigint",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def bpe_load(spark, path: str) -> list:
+    """Load a bpe_save artifact back into the merge-table form bpe_encode
+    takes; round-trips bit-exactly (pinned in tests)."""
+    return [
+        (int(r["rank"]), str(r["a"]), str(r["b"]), int(r["cnt"]))
+        for r in spark.read.parquet(path).orderBy("rank").collect()
+    ]
+
+
 def bpe_encode(docs: DataFrame, merges: list, text_col: str = "text") -> DataFrame:
     """Tokenization INFERENCE: apply a trained merge table (rank order) to
     new text — the other half of the tokenizer artifact. Each merge is one

@@ -499,6 +499,71 @@ def ivf_topk(
     return cands.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
 
 
+def ann_save(
+    spark,
+    path: str,
+    centers: list[list[float]] | None = None,
+    books: list[list[list[float]]] | None = None,
+) -> None:
+    """Persist IVF/PQ serving artifacts as parquet tables (the kn_save
+    pattern — all IO through Spark writers, the whole artifact on ONE
+    filesystem): <path>/centers.parquet (idx, vec) and/or
+    <path>/books.parquet (subspace, code, vec). Train once on the big
+    cluster, serve from any session via ann_load + ivfpq_topk(centers=,
+    books=) / ivf_topk(centers=)."""
+    if centers is None and books is None:
+        raise ValueError("ann_save: nothing to save (centers and books both None)")
+    if centers is not None:
+        spark.createDataFrame(
+            [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
+            "idx int, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centers.parquet")
+    if books is not None:
+        spark.createDataFrame(
+            [
+                (j, c, [float(x) for x in vec])
+                for j, book in enumerate(books)
+                for c, vec in enumerate(book)
+            ],
+            "subspace int, code int, vec array<double>",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{path}/books.parquet")
+
+
+def ann_load(
+    spark, path: str
+) -> tuple[list[list[float]] | None, list[list[list[float]]] | None]:
+    """Load an ann_save artifact: returns (centers, books), either None if
+    that half was not saved. Round-trips bit-exactly (pinned in tests).
+    Missing halves are detected by attempting the read (filesystem-agnostic
+    — works on HDFS/S3 paths the driver cannot stat locally)."""
+    from pyspark.errors import AnalysisException
+
+    centers = None
+    books = None
+    try:
+        centers = [
+            list(r["vec"])
+            for r in spark.read.parquet(f"{path}/centers.parquet")
+            .orderBy("idx")
+            .collect()
+        ]
+    except AnalysisException:
+        pass
+    try:
+        rows = (
+            spark.read.parquet(f"{path}/books.parquet")
+            .orderBy("subspace", "code")
+            .collect()
+        )
+        m = max(r["subspace"] for r in rows) + 1
+        books = [[] for _ in range(m)]
+        for r in rows:
+            books[r["subspace"]].append(list(r["vec"]))
+    except AnalysisException:
+        pass
+    return centers, books
+
+
 def random_projection(
     embs: DataFrame,
     out_dims: int = 8,
