@@ -139,9 +139,11 @@ def main() -> None:
         "q_corpus_prep_v2",
         "q_ann_ivfpq_topk",
         "q_blocklist_semijoin",
-        # Round-8: the crawl flagship + its KN quality leg.
+        # Round-8: the crawl flagship + its KN quality leg; link graph.
         "q_crawl_to_corpus",
         "q_crawl_to_corpus_ppl",
+        "q_link_graph",
+        "q_link_pagerank",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

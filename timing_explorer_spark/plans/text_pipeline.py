@@ -2300,3 +2300,193 @@ def q_blocklist_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_distinct_hits", F.lit(0)).alias("n_distinct_hits"),
         F.col("n_hits").isNull().alias("keep"),
     )
+
+
+from ..operators.graph import pagerank_oracle_sql  # noqa: E402
+
+# ------------------------------------------------------------------ r8: links
+# The synthesized link markup: two deterministic intra-corpus anchors (a
+# messy-cased tracking-parameter one and a single-quoted fragment one) plus
+# one external asset link — reproduced VERBATIM in the DuckDB oracles.
+_LINK_HTML_SQL = (
+    "'<html><body><p>see also</p>"
+    "<a class=\"nav\" href=\"HTTP://Example.COM:80/doc/' "
+    "|| CAST(doc_id // 2 AS VARCHAR) || "
+    "'?utm_source=crawl&x=' || CAST(doc_id AS VARCHAR) || '\">half</a> "
+    "<a href=''https://example.com/doc/' || CAST(doc_id // 3 AS VARCHAR) || "
+    "'#frag''>third</a> "
+    "<a href=\"https://CDN.other.net:443/asset?gclid=zz&v=1\">ext</a>"
+    "</body></html>'"
+)
+
+_DQ_HREF = r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"'
+_SQ_HREF = r"(?i)<a\s[^>]*href\s*=\s*'([^']*)'"
+
+
+def _link_pages(d: DataFrame) -> DataFrame:
+    half = F.floor(F.col("doc_id") / 2).cast("long").cast("string")
+    third = F.floor(F.col("doc_id") / 3).cast("long").cast("string")
+    return d.select(
+        "doc_id",
+        F.concat(
+            F.lit('<html><body><p>see also</p><a class="nav" href="HTTP://Example.COM:80/doc/'),
+            half,
+            F.lit('?utm_source=crawl&x='),
+            F.col("doc_id").cast("string"),
+            F.lit('">half</a> <a href=\'https://example.com/doc/'),
+            third,
+            F.lit("#frag'>third</a> "),
+            F.lit('<a href="https://CDN.other.net:443/asset?gclid=zz&v=1">ext</a>'),
+            F.lit("</body></html>"),
+        ).alias("html"),
+    )
+
+
+@register(
+    "q_link_graph",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_LINK_HTML_SQL} AS html FROM documents
+        ),
+        arrs AS (
+            SELECT doc_id,
+                   list_concat(
+                       regexp_extract_all(html, '{_DQ_HREF}', 1),
+                       regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)
+                   ) AS hrefs
+            FROM raw
+        ),
+        exploded AS (
+            SELECT doc_id, i AS link_idx, hrefs[i] AS url
+            FROM arrs, UNNEST(range(1, LEN(hrefs) + 1)) AS r(i)
+        ),
+        parts AS (
+            SELECT doc_id, link_idx, url,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1))  AS hostport,
+                   regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1)   AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1)                 AS query
+            FROM exploded
+        ),
+        canon AS (
+            SELECT doc_id, link_idx, scheme,
+                   CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END AS host,
+                   CASE WHEN LENGTH(path) = 0 THEN '/' ELSE path END AS path2,
+                   list_sort(list_filter(string_split(query, '&'),
+                       p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
+                            '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)=')))
+                       AS params
+            FROM parts
+        ),
+        edges AS (
+            SELECT doc_id, link_idx,
+                   scheme || '://' || host || path2
+                   || CASE WHEN len(params) > 0
+                           THEN '?' || array_to_string(params, '&')
+                           ELSE '' END AS dst_url
+            FROM canon
+        )
+        SELECT doc_id, link_idx, dst_url,
+               CAST(NULLIF(regexp_extract(dst_url, '/doc/(\\d+)$', 1), '') AS BIGINT)
+                   AS dst_doc,
+               regexp_matches(dst_url, '/doc/(\\d+)$') AS is_internal
+        FROM edges
+    """,
+    doc=(
+        "Crawl link-graph extraction, oracle-checked end to end: anchor "
+        "hrefs (double- AND single-quoted) pulled from the synthesized "
+        "page markup with the same positional explode both engines use, "
+        "every target URL CANONICALIZED (case, default ports, tracking "
+        "params, fragments — the canonicalize_url contract), internal "
+        "targets resolved back to doc ids. The edge list every link-based "
+        "quality signal starts from (in/out-degree, anchor spam, "
+        "PageRank). Map-only: regexp extraction + HOF canonicalization "
+        "fused into the scan; no shuffle at all."
+    ),
+    tags=("text", "html", "crawl", "links", "llm-pipeline"),
+)
+def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html_extract import canonicalize_url
+
+    pages = _link_pages(load(spark, sf_dir, "documents"))
+    hrefs = F.concat(
+        F.regexp_extract_all("html", F.lit(_DQ_HREF), F.lit(1)),
+        F.regexp_extract_all("html", F.lit(_SQ_HREF), F.lit(1)),
+    )
+    exploded = pages.select(
+        "doc_id", F.posexplode(hrefs).alias("idx0", "url")
+    ).select("doc_id", (F.col("idx0") + 1).alias("link_idx"), "url")
+    canon = exploded.select(
+        "doc_id", "link_idx", canonicalize_url(F.col("url")).alias("dst_url")
+    )
+    internal = F.nullif(
+        F.regexp_extract("dst_url", r"/doc/(\d+)$", 1), F.lit("")
+    )
+    return canon.select(
+        "doc_id",
+        "link_idx",
+        "dst_url",
+        internal.cast("long").alias("dst_doc"),
+        internal.isNotNull().alias("is_internal"),
+    )
+
+
+# the intra-corpus link edges as (doc_a, doc_b) pairs — DISTINCT, no self
+# loops — shared by the Spark plan and the PageRank recurrence oracle
+_LINK_PAIRS_SQL = f"""
+    SELECT DISTINCT doc_id AS doc_a,
+           CAST(u AS BIGINT) AS doc_b
+    FROM (
+        SELECT doc_id,
+               NULLIF(regexp_extract(x, '/doc/(\\d+)', 1), '') AS u
+        FROM (
+            SELECT doc_id,
+                   UNNEST(list_concat(
+                       regexp_extract_all({_LINK_HTML_SQL}, '{_DQ_HREF}', 1),
+                       regexp_extract_all({_LINK_HTML_SQL},
+                           '(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)
+                   )) AS x
+            FROM documents
+        )
+    )
+    WHERE u IS NOT NULL AND CAST(u AS BIGINT) <> doc_id
+"""
+
+
+@register(
+    "q_link_pagerank",
+    oracle=pagerank_oracle_sql(_LINK_PAIRS_SQL, iterations=5),
+    doc=(
+        "Link-graph centrality: damped PageRank (5 fixed rounds, the "
+        "fixed-point-integer recurrence of operators/graph.py — "
+        "bit-deterministic on any cluster) over the DISTINCT intra-corpus "
+        "link edges extracted from page markup — the Common Crawl-style "
+        "quality-weighting signal a mixture owner feeds into sampling "
+        "weights. Undirected-pair form (the pagerank_fixed contract — a "
+        "co-citation-style centrality; the directed variant is the same "
+        "recurrence without the edge symmetrization). Oracle = the "
+        "identical recurrence unrolled into chained CTEs over the same "
+        "edge extraction. One co-partitioned join + one agg per round; "
+        "the edge list persists across rounds."
+    ),
+    tags=("graph", "pagerank", "links", "crawl", "llm-pipeline"),
+)
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_fixed
+
+    pages = _link_pages(load(spark, sf_dir, "documents"))
+    hrefs = F.concat(
+        F.regexp_extract_all("html", F.lit(_DQ_HREF), F.lit(1)),
+        F.regexp_extract_all("html", F.lit(_SQ_HREF), F.lit(1)),
+    )
+    target = F.nullif(F.regexp_extract("url", r"/doc/(\d+)", 1), F.lit(""))
+    pairs = (
+        pages.select("doc_id", F.explode(hrefs).alias("url"))
+        .select("doc_id", target.cast("long").alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("doc_id")))
+        .select(F.col("doc_id").alias("doc_a"), F.col("dst").alias("doc_b"))
+        .distinct()
+    )
+    return pagerank_fixed(pairs, iterations=5)

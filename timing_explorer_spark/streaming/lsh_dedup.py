@@ -524,7 +524,11 @@ def minhash_dedup_stream(
         ).select(
             "doc",
             "ev_ts",
-            "sig",
+            # marker rows never read the signature — don't ship it through
+            # the band shuffle for them (1/(bands+1) of rows)
+            F.when(F.col("e.band_idx") == -2, F.lit(None)).otherwise(
+                F.col("sig")
+            ).alias("sig"),
             F.col("e.band_idx").alias("band_idx"),
             F.col("e.band_hash").alias("band_hash"),
             F.col("e.val").alias("val"),
