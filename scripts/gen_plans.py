@@ -144,6 +144,7 @@ def main() -> None:
         "q_crawl_to_corpus_ppl",
         "q_link_graph",
         "q_link_pagerank",
+        "q_link_pagerank_directed",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

@@ -406,6 +406,9 @@ _SANCTIONED_NESTED_LOOP = {
     "q_chi2_lang_source",
     # 1-row seasonal-centering-mean broadcast onto the 24-row hod grain
     "q_stl_decompose",
+    # directed PageRank: two deliberate 1-row broadcasts per round (the
+    # dangling-mass total and the node count) — never fact-sized
+    "q_link_pagerank_directed",
 }
 
 

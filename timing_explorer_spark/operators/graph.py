@@ -76,6 +76,115 @@ def pagerank_fixed(
     return ranks.select("doc", (F.col("units").cast("double") / F.lit(float(SCALE))).alias("rank"))
 
 
+def pagerank_directed(
+    edges_df: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(doc, rank) over a DIRECTED edge list — true link-graph PageRank
+    (r8): mass flows src -> dst only, out-degree divides the contribution,
+    and DANGLING nodes (linked-to pages with no outlinks — ubiquitous in a
+    crawl frontier) redistribute their damped mass uniformly. Same
+    fixed-point integer arithmetic as pagerank_fixed, so every engine and
+    partitioning produces identical bits; the dangling share is
+    (dangling_units * 85) DIV (100 * n_nodes) per node — the integer
+    division leaks < n_nodes units per round (sub-normalized,
+    deterministic, mirrored exactly by the oracle).
+
+    Scale shape per round: the edges-ranks co-partitioned join + one agg,
+    plus a 1-row dangling-mass aggregate broadcast back (never fact-sized).
+    """
+    from .dedup import track_cache
+
+    edges = track_cache(
+        edges_df.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = track_cache(
+        edges.select(F.col("src").alias("doc"))
+        .unionAll(edges.select(F.col("dst").alias("doc")))
+        .distinct()
+        .join(outdeg, F.col("doc") == F.col("src"), "left")
+        .select("doc", F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"))
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
+    ranks = nodes.select("doc", "deg", F.lit(SCALE).cast("bigint").alias("units"))
+    for _ in range(iterations):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.doc)
+            .where(F.col("deg") > 0)
+            .select(
+                F.col("dst"),
+                F.expr(f"(units * {DAMP_NUM}) DIV ({DAMP_DEN} * deg)").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("in_units"))
+        )
+        dang = ranks.where(F.col("deg") == 0).agg(
+            F.coalesce(F.sum("units"), F.lit(0)).alias("dang_units")
+        )
+        share = F.expr(f"(dang_units * {DAMP_NUM}) DIV ({DAMP_DEN} * n)")
+        ranks = (
+            nodes.join(contrib, nodes.doc == contrib.dst, "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "doc",
+                "deg",
+                (
+                    F.lit(BASE)
+                    + F.coalesce(F.col("in_units"), F.lit(0))
+                    + share
+                )
+                .cast("bigint")
+                .alias("units"),
+            )
+        )
+    return ranks.select(
+        "doc", (F.col("units").cast("double") / F.lit(float(SCALE))).alias("rank")
+    )
+
+
+def pagerank_directed_oracle_sql(edges_sql: str, iterations: int = 5) -> str:
+    """pagerank_directed's recurrence unrolled as chained DuckDB CTEs —
+    ``edges_sql`` must yield (src, dst) directed rows."""
+    ctes = [
+        f"edges AS ({edges_sql})",
+        "outdeg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src)",
+        "nodes AS (SELECT n.doc, CAST(COALESCE(o.deg, 0) AS BIGINT) AS deg"
+        " FROM (SELECT src AS doc FROM edges UNION SELECT dst FROM edges) n"
+        " LEFT JOIN outdeg o ON o.src = n.doc)",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        f"it0 AS (SELECT doc, deg, CAST({SCALE} AS BIGINT) AS units FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"""dang{i} AS (
+                SELECT COALESCE(SUM(units), 0) AS dang_units
+                FROM it{i - 1} WHERE deg = 0)"""
+        )
+        ctes.append(
+            f"""it{i} AS (
+                SELECT d.doc, d.deg,
+                       CAST({BASE}
+                            + COALESCE(SUM((p.units * {DAMP_NUM}) // ({DAMP_DEN} * p.deg)), 0)
+                            + (SELECT (dang_units * {DAMP_NUM}) // ({DAMP_DEN} * n)
+                               FROM dang{i}, nn) AS BIGINT) AS units
+                FROM nodes d
+                LEFT JOIN (SELECT e.dst, i.units, i.deg
+                           FROM edges e JOIN it{i - 1} i ON e.src = i.doc
+                           WHERE i.deg > 0) p
+                  ON p.dst = d.doc
+                GROUP BY d.doc, d.deg)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc, CAST(units AS DOUBLE) / {SCALE} AS rank FROM it{iterations}"
+    )
+
+
 def pagerank_oracle_sql(pairs_sql: str, iterations: int = 5) -> str:
     """The identical recurrence unrolled as chained DuckDB CTEs."""
     ctes = [

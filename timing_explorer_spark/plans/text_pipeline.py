@@ -2490,3 +2490,46 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return pagerank_fixed(pairs, iterations=5)
+
+
+from ..operators.graph import pagerank_directed_oracle_sql  # noqa: E402
+
+_LINK_EDGES_SQL = _LINK_PAIRS_SQL.replace("doc_id AS doc_a", "doc_id AS src").replace(
+    "CAST(u AS BIGINT) AS doc_b", "CAST(u AS BIGINT) AS dst"
+)
+
+
+@register(
+    "q_link_pagerank_directed",
+    oracle=pagerank_directed_oracle_sql(_LINK_EDGES_SQL, iterations=5),
+    doc=(
+        "TRUE directed link-graph PageRank (r8): mass flows along link "
+        "direction only, out-degree divides each contribution, and DANGLING "
+        "nodes — linked-to pages with no outlinks, ubiquitous in any crawl "
+        "frontier — redistribute their damped mass uniformly per round "
+        "(integer-division share: deterministic, sub-normalized by "
+        "< n_nodes units/round, mirrored exactly). Same fixed-point "
+        "arithmetic as the undirected q_link_pagerank — the two queries "
+        "differ ONLY in edge symmetrization, which is the documented "
+        "contrast. Per round: one co-partitioned edges-ranks join + agg, "
+        "plus a 1-row dangling-mass broadcast (never fact-sized)."
+    ),
+    tags=("graph", "pagerank", "links", "crawl", "directed", "llm-pipeline"),
+)
+def q_link_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_directed
+
+    pages = _link_pages(load(spark, sf_dir, "documents"))
+    hrefs = F.concat(
+        F.regexp_extract_all("html", F.lit(_DQ_HREF), F.lit(1)),
+        F.regexp_extract_all("html", F.lit(_SQ_HREF), F.lit(1)),
+    )
+    target = F.nullif(F.regexp_extract("url", r"/doc/(\d+)", 1), F.lit(""))
+    edges = (
+        pages.select("doc_id", F.explode(hrefs).alias("url"))
+        .select("doc_id", target.cast("long").alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("doc_id")))
+        .select(F.col("doc_id").alias("src"), "dst")
+        .distinct()
+    )
+    return pagerank_directed(edges, iterations=5)
