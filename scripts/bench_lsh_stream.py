@@ -8,11 +8,21 @@ Fixture: sf0.1 documents replicated REPLICAS x with fresh ids + 1-second
 ts spacing, landed as N_FILES parquet files, drained availableNow with
 FILES_PER_TRIGGER files per micro-batch. The number that matters at
 100 TB/day is docs/s per core and the default/verify ratio — the price
-of the precision layer. verdicts_emitted is 0 BY DESIGN: the watermark
-horizon exceeds the fixture's time span, so no verdict window seals
-during the drain — the measured work is the signature + banding + stateful
-dedup stages, which is the ingest hot path (emission itself is a tiny
-windowed count).
+of the precision layer. In the state-only regimes verdicts_emitted is 0
+BY DESIGN: the watermark horizon exceeds the fixture's time span, so no
+verdict window seals during the drain — the measured work is the
+signature + banding + stateful dedup stages, which is the ingest hot
+path.
+
+The ``emission`` block (r9 verdict task #2) closes the one unmeasured
+leg: the same corpus drained in ONE trigger with the watermark horizon
+INSIDE the fixture's 10-hour time span ("10 minutes"), so after the data
+batch the no-data micro-batch advances the watermark and windows
+actually SEAL — verdicts_emitted > 0 (every doc whose seal window the
+final watermark passed). Single-trigger geometry on both sides
+(emission-inclusive vs a state-only control at the same trigger count)
+so the delta isolates the window-seal/emit + timer-eviction path, not a
+different number of stateful passes.
 
 Prints ONE JSON line; write BENCH_lsh_stream.json via --json.
 """
@@ -33,7 +43,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 # higher-order functions run interpreted, no codegen): parallelism must
 # come from FILES, so the trigger geometry keeps every core busy per
 # micro-batch.
-REPLICAS = 40  # sf0.1's 5000 docs x 40 = 200k docs
+REPLICAS = int(os.environ.get("LSH_BENCH_REPLICAS", "40"))  # sf0.1's 5000 docs x 40 = 200k
 N_FILES = 64
 FILES_PER_TRIGGER = 32
 
@@ -95,14 +105,14 @@ def main() -> None:
 
     indir, n_docs = build_corpus(unique=False)
 
-    def run(verify, src=None):
+    def run(verify, src=None, watermark="11 hours", files_per_trigger=FILES_PER_TRIGGER):
         out = tempfile.mkdtemp(prefix="lshbench_out_")
         stream = (
             spark.readStream.schema("doc_id long, ts timestamp, text string")
-            .option("maxFilesPerTrigger", FILES_PER_TRIGGER)
+            .option("maxFilesPerTrigger", files_per_trigger)
             .parquet(src or indir)
         )
-        verdicts = minhash_dedup_stream(stream, watermark="11 hours", verify=verify)
+        verdicts = minhash_dedup_stream(stream, watermark=watermark, verify=verify)
         t0 = time.monotonic()
         q = (
             verdicts.writeStream.format("parquet")
@@ -139,6 +149,20 @@ def main() -> None:
         "default": run(None, src=uniq_dir),
         "verify_0.8": run(0.8, src=uniq_dir),
     }
+    # r9 task #2: the verdict-EMISSION leg. One data trigger both sides;
+    # control = state-only horizon (nothing seals), measured = 10-minute
+    # horizon inside the 10 h span (watermark 0 during the data batch, so
+    # no late drops and identical dedup work — then the no-data batch
+    # seals ~98% of windows and verdicts actually emit).
+    emission = {}
+    for mode, v in (("default", None), ("verify_0.8", 0.8)):
+        ctl = run(v, watermark="11 hours", files_per_trigger=N_FILES)
+        em = run(v, watermark="10 minutes", files_per_trigger=N_FILES)
+        emission[mode] = {
+            "state_only_1trigger": ctl,
+            "emission_inclusive": em,
+            "emission_overhead_ratio": round(em["wall_sec"] / ctl["wall_sec"], 2),
+        }
     out = {
         "metric": "streaming_lsh_throughput",
         "cpus": args.cpus,
@@ -159,6 +183,7 @@ def main() -> None:
             ),
             "results": unique_results,
         },
+        "emission": emission,
     }
     if args.json:
         Path(args.json).write_text(json.dumps(out, indent=1) + "\n")

@@ -95,6 +95,23 @@ def row_local_signature(text: Column, num_perm: int = 64, n: int = 3) -> Column:
     return let(word_shingles(text, n), build)
 
 
+def pack_signature(sig: Column) -> Column:
+    """array<bigint> MinHash signature -> ONE BinaryType column (8 bytes per
+    slot, big-endian), built entirely JVM-side: hex each slot to 16 chars,
+    join, one unhex. Null signature -> null binary.
+
+    Round-9 verdict task #1: in verify mode every (doc, band) row used to
+    ship the 64-slot long array through the Arrow boundary into the Python
+    TWS layer — Arrow list columns land in pandas as one numpy allocation
+    PER ROW, which dominated the all-unique regime (3.86x the default
+    mode's cost). A binary scalar crosses as a single bytes object; the
+    handlers unpack with ``np.frombuffer(b, dtype='>i8')`` only where slot
+    arithmetic is actually needed (the est-Jaccard comparison)."""
+    return F.unhex(
+        F.array_join(F.transform(sig, lambda x: F.lpad(F.hex(x), 16, "0")), "")
+    )
+
+
 def band_keys_from_sig(sig: Column, num_perm: int, bands: int) -> Column:
     """array<bigint>[bands] of LSH band hashes from an existing signature
     column — band j = xxhash64(slice of r = num_perm/bands slots, j)."""
@@ -213,7 +230,9 @@ class _ExactSigPrefilter(StatefulProcessor):
             if raw_sig is None or len(raw_sig) == 0:
                 keep_idx.append(i)  # shingle-less: can never be a duplicate
                 continue
-            b = np.asarray(raw_sig, dtype=np.int64).tobytes()
+            # sig arrives PRE-PACKED (pack_signature, r9): already the
+            # canonical 8-bytes-per-slot key — no numpy conversion needed
+            b = bytes(raw_sig)
             if b in sigs:
                 continue  # exact-signature duplicate: full suppression
             keep_idx.append(i)
@@ -307,7 +326,7 @@ class _BandVerifyProcessor(StatefulProcessor):
         evicted = len(live) != len(raw)
         occ: dict[tuple, list] = {}
         for bi, bh, _, b in live:
-            occ.setdefault((bi, bh), []).append(np.frombuffer(b, dtype=np.int64))
+            occ.setdefault((bi, bh), []).append(np.frombuffer(b, dtype=">i8"))
         docs = pdf["doc"].to_numpy()
         ts_ms = pdf["ev_ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
         bis = pdf["band_idx"].to_numpy()
@@ -320,7 +339,10 @@ class _BandVerifyProcessor(StatefulProcessor):
             raw_sig = sig_col[i]
             if raw_sig is None or len(raw_sig) == 0:
                 continue  # shingle-less: never occupies, never strips
-            sig = np.asarray(raw_sig, dtype=np.int64)
+            # pre-packed binary (pack_signature, r9): view as big-endian
+            # slots only here, where est-Jaccard needs slot arithmetic
+            b = bytes(raw_sig)
+            sig = np.frombuffer(b, dtype=">i8")
             k = (int(bis[i]), int(bhs[i]))
             lst = occ.get(k)
             if lst is not None and any(
@@ -329,7 +351,7 @@ class _BandVerifyProcessor(StatefulProcessor):
             ):
                 strip_idx.append(i)
             else:
-                new.append((k[0], k[1], int(ts_ms[i]), sig.tobytes()))
+                new.append((k[0], k[1], int(ts_ms[i]), b))
                 occ.setdefault(k, []).append(sig)
         # same minimal-RPC commit discipline as _ExactSigPrefilter._commit
         if evicted:
@@ -407,6 +429,12 @@ def minhash_dedup_stream(
     exact duplicate) loses every band-row to the dedup and emits NO verdict
     row at all — consumers keep docs with is_unique (absence = hard
     duplicate)."""
+    # band_keys_from_sig enforces this on the default path; verify mode
+    # derives r inline (binary slices), so fail fast here for BOTH paths —
+    # a non-divisible num_perm would silently drop trailing slots.
+    assert num_perm % bands == 0, (
+        f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+    )
     wm = docs.withWatermark(ts_col, watermark)
     sig = row_local_signature(F.col(text_col), num_perm, n)
     with_sig = wm.select(
@@ -468,21 +496,31 @@ def minhash_dedup_stream(
         # sigs land in the same bucket (membership is a full-signature
         # equality check inside the processor, so bucket sharing is safe),
         # and state RPCs amortize across the bucket. Shingle-less docs hash
-        # by doc id; the processor passes them through without storing.
+        # by doc id — xxhash64 NEVER returns null (a null input hashes to
+        # the seed), so the dispatch must be an explicit isNotNull branch,
+        # not coalesce; the processor passes them through without storing.
+        # r9 task #1: the signature crosses EVERY Arrow boundary from here
+        # on as ONE packed binary scalar (pack_signature), never as a
+        # 64-element list — the list->pandas conversion (one numpy
+        # allocation per row) was the measured all-unique-regime hotspot.
         keyed = with_sig.select(
+            "doc",
+            "ev_ts",
+            pack_signature(F.col("sig")).alias("sig"),
+        ).select(
             "doc",
             "ev_ts",
             "sig",
             F.pmod(
-                F.coalesce(
-                    F.xxhash64("sig"), F.xxhash64(F.col("doc"), F.lit(-7))
-                ),
+                F.when(
+                    F.col("sig").isNotNull(), F.xxhash64("sig")
+                ).otherwise(F.xxhash64(F.col("doc"), F.lit(-7))),
                 F.lit(state_buckets),
             ).alias("sig_key"),
         )
         survivors = keyed.groupBy("sig_key").transformWithStateInPandas(
             _ExactSigPrefilter(horizon_ms),
-            outputStructType="doc long, ev_ts timestamp, sig array<bigint>",
+            outputStructType="doc long, ev_ts timestamp, sig binary",
             outputMode="append",
             timeMode="eventTime",
             eventTimeColumnName="ev_ts",
@@ -493,16 +531,22 @@ def minhash_dedup_stream(
         # shingle-less docs, which produce no real bands). Keeping the
         # marker inside the same explode avoids branching the streaming
         # DAG (a branch would instantiate the prefilter operator twice).
+        # band j = xxhash64 of the packed signature's byte range for slots
+        # [j*r, (j+1)*r) — binary-slice equality <=> slot equality, so the
+        # collision relation is identical to the array-slice form (hash
+        # VALUES differ from the default path's band_keys_from_sig, but
+        # band keys are internal coordinates, never compared across modes)
         r = num_perm // bands
+        rb = 8 * r  # bytes per band slice
         real = F.when(
             F.col("sig").isNotNull(),
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
                 lambda j: F.struct(
                     j.cast("int").alias("band_idx"),
-                    F.xxhash64(F.slice(F.col("sig"), j * r + 1, r), j).alias(
-                        "band_hash"
-                    ),
+                    F.xxhash64(
+                        F.substring(F.col("sig"), j * rb + 1, rb), j
+                    ).alias("band_hash"),
                     F.lit(-1).cast("int").alias("val"),
                 ),
             ),
