@@ -1,0 +1,171 @@
+#!/usr/bin/env python
+"""Link-graph ops under POWER-LAW skew (r9 verdict task #4).
+
+The sf1 LLM probe bounds task skew on the tiled document corpus, but real
+link graphs are power-law: a handful of hub pages carry orders of magnitude
+more edges than the median page. This probe synthesizes a directed graph
+with that shape DETERMINISTICALLY — 500k nodes, ~3M uniform edges (median
+out-degree ~6) plus ONE mega-hub with 1.5M out-edges and 1.5M in-edges
+(~250,000x the median degree, far past the verdict's 1000x bar) — and runs
+the directed-PageRank loop and weakly-connected-components on it with the
+same REST task-skew bound as bench_sf1_llm (max task shuffle-read <= 4x
+median on every stage with meaningful shuffle).
+
+Why the bound holds by DESIGN, not luck:
+
+  - the per-round rank aggregate (groupBy(dst).sum) absorbs in-degree skew
+    in the map-side partial aggregation: the hub's 1.5M contribution rows
+    collapse to one partial row per map task before the shuffle;
+  - out-degree skew lands on the edges-side of the edges⋈ranks join. The
+    probe forces the 100 TB join shape (no auto-broadcast of the rank
+    table — at real scale it never fits) and relies on AQE's skew-join
+    split, with the split thresholds sized to this fixture
+    (skewedPartitionThresholdInBytes / advisoryPartitionSizeInBytes = 8 MB
+    — on a production cluster these stay at their 256 MB-class defaults;
+    what matters is that the PLAN SHAPE admits the split, i.e. a shuffled
+    join, not a single monster task);
+  - min-label components propagate through the same two shapes.
+
+Prints ONE JSON line; merged into BENCH_sf1.json as "link_graph_skew".
+Nonzero exit if any profiled stage violates the bound.
+
+Usage: python scripts/bench_linkgraph_skew.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bench_sf1_llm import (  # noqa: E402
+    MAX_OVER_MEDIAN,
+    UI_PORT,
+    _app_id,
+    _completed_stages,
+    _stage_task_skew,
+)
+
+N_NODES = 500_000
+N_UNIFORM = 3_000_000
+HUB_DEG = 1_500_000  # one mega-hub, both directions
+
+
+def main() -> int:
+    from pyspark.sql import functions as F
+
+    from timing_explorer_spark.operators.dedup import release_cached
+    from timing_explorer_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="timing-explorer-spark-linkgraph-skew",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.port": str(UI_PORT),
+            "spark.ui.retainedStages": "2000",
+            # the 100 TB join shape: the rank table never fits a broadcast
+            # at real scale, so the probe must exercise the shuffled join
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            # AQE skew-join split sized to this fixture (see module doc)
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8m",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        },
+    )
+    spark.conf.set("spark.sql.shuffle.partitions", "32")
+    spark.sparkContext.setLogLevel("WARN")
+    app = _app_id()
+
+    n = F.lit(N_NODES)
+    uniform = spark.range(N_UNIFORM).select(
+        F.pmod(F.xxhash64("id", F.lit(1)), n).alias("src"),
+        F.pmod(F.xxhash64("id", F.lit(2)), n).alias("dst"),
+    )
+    hub_out = spark.range(HUB_DEG).select(
+        F.lit(0).cast("long").alias("src"),
+        (F.pmod(F.xxhash64("id", F.lit(3)), n - 1) + 1).alias("dst"),
+    )
+    hub_in = spark.range(HUB_DEG).select(
+        (F.pmod(F.xxhash64("id", F.lit(4)), n - 1) + 1).alias("src"),
+        F.lit(0).cast("long").alias("dst"),
+    )
+    edges = (
+        uniform.unionAll(hub_out)
+        .unionAll(hub_in)
+        .where(F.col("src") != F.col("dst"))
+    )
+    # land the fixture as parquet so every op reads the same scan (and the
+    # synthesis cost stays out of the timed region)
+    fixture = "/tmp/linkgraph-skew-fixture"
+    if not os.path.exists(f"{fixture}/_SUCCESS"):
+        edges.write.mode("overwrite").parquet(fixture)
+    edges = spark.read.parquet(fixture)
+    n_edges = edges.count()
+
+    results: dict[str, dict] = {}
+    violations: list[dict] = []
+
+    def profiled(name: str, run) -> None:
+        release_cached()
+        seen = {(s["stageId"], s["attemptId"]) for s in _completed_stages(app)}
+        runs = []
+        for _ in range(2):
+            t0 = time.monotonic()
+            run()
+            runs.append(round(time.monotonic() - t0, 3))
+            release_cached()
+        stages = _completed_stages(app)
+        new = [s for s in stages if (s["stageId"], s["attemptId"]) not in seen]
+        skews = [k for s in new if (k := _stage_task_skew(app, s))]
+        worst = max(skews, key=lambda k: k["ratio"], default=None)
+        for k in skews:
+            if k["ratio"] > MAX_OVER_MEDIAN:
+                violations.append({"op": name, **k})
+        results[name] = {
+            "cold_sec": runs[0],
+            "warm_sec": min(runs[1:]),
+            "stages_profiled": len(skews),
+            "worst_task_skew": worst,
+        }
+
+    def run_pagerank() -> None:
+        from timing_explorer_spark.operators.graph import pagerank_directed
+
+        pagerank_directed(edges, iterations=5).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def run_components() -> None:
+        from timing_explorer_spark.operators.dedup import resolve_components
+
+        resolve_components(
+            edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")),
+            n_parts=32,
+        ).write.mode("overwrite").format("noop").save()
+
+    profiled("pagerank_directed_5it", run_pagerank)
+    profiled("link_components", run_components)
+
+    out = {
+        "metric": "link_graph_skew_probe",
+        "n_nodes": N_NODES,
+        "n_edges": int(n_edges),
+        "hub_degree": HUB_DEG,
+        "median_out_degree": 6,
+        "hub_over_median": HUB_DEG // 6,
+        "skew_bound": MAX_OVER_MEDIAN,
+        "results": results,
+        "violations": violations,
+    }
+    print(json.dumps(out))
+    return 1 if violations else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

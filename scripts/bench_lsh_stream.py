@@ -135,7 +135,7 @@ def main() -> None:
     # default/verify ratio is robust to host-load drift between runs;
     # headline = best round of each mode (same-warmth comparison)
     rounds = []
-    for _ in range(2):
+    for _ in range(3):
         rounds.append({"default": run(None), "verify_0.8": run(0.8)})
     results = {
         mode: min((r[mode] for r in rounds), key=lambda x: x["wall_sec"])
@@ -145,9 +145,16 @@ def main() -> None:
     # exact-sig prefilter to kill, every band key fresh — the steady-state
     # cost ceiling of the precision layer on real traffic
     uniq_dir, n_uniq = build_corpus(unique=True)
+    # r9: same interleaved best-of-rounds protocol as the dup-heavy block
+    # (single-shot runs let host drift masquerade as a ratio change)
+    uniq_rounds = []
+    for _ in range(3):
+        uniq_rounds.append(
+            {"default": run(None, src=uniq_dir), "verify_0.8": run(0.8, src=uniq_dir)}
+        )
     unique_results = {
-        "default": run(None, src=uniq_dir),
-        "verify_0.8": run(0.8, src=uniq_dir),
+        mode: min((r[mode] for r in uniq_rounds), key=lambda x: x["wall_sec"])
+        for mode in ("default", "verify_0.8")
     }
     # r9 task #2: the verdict-EMISSION leg. One data trigger both sides;
     # control = state-only horizon (nothing seals), measured = 10-minute
@@ -156,13 +163,35 @@ def main() -> None:
     # seals ~98% of windows and verdicts actually emit).
     emission = {}
     for mode, v in (("default", None), ("verify_0.8", 0.8)):
-        ctl = run(v, watermark="11 hours", files_per_trigger=N_FILES)
-        em = run(v, watermark="10 minutes", files_per_trigger=N_FILES)
+        # interleaved control/measured rounds, best of each (same protocol
+        # as the throughput blocks — single shots drift with host load)
+        em_rounds = [
+            {
+                "ctl": run(v, watermark="11 hours", files_per_trigger=N_FILES),
+                "em": run(v, watermark="10 minutes", files_per_trigger=N_FILES),
+            }
+            for _ in range(2)
+        ]
+        ctl = min((r["ctl"] for r in em_rounds), key=lambda x: x["wall_sec"])
+        em = min((r["em"] for r in em_rounds), key=lambda x: x["wall_sec"])
         emission[mode] = {
             "state_only_1trigger": ctl,
             "emission_inclusive": em,
             "emission_overhead_ratio": round(em["wall_sec"] / ctl["wall_sec"], 2),
+            "interleaved_rounds": em_rounds,
         }
+    def round_ratios(rds):
+        # per-round interleaved ratios + median: each round is a same-
+        # warmth D/V pair, so the ratio list is host-drift-robust even
+        # when absolute walls swing (the ~4x VM variance this box shows)
+        rr = sorted(
+            round(r["verify_0.8"]["wall_sec"] / r["default"]["wall_sec"], 2)
+            for r in rds
+        )
+        return rr, rr[len(rr) // 2]
+
+    dup_rr, dup_med = round_ratios(rounds)
+    uniq_rr, uniq_med = round_ratios(uniq_rounds)
     out = {
         "metric": "streaming_lsh_throughput",
         "cpus": args.cpus,
@@ -172,6 +201,8 @@ def main() -> None:
         "verify_cost_ratio": round(
             results["verify_0.8"]["wall_sec"] / results["default"]["wall_sec"], 2
         ),
+        "round_ratios": dup_rr,
+        "median_round_ratio": dup_med,
         "results": results,
         "interleaved_rounds": rounds,
         "unique_corpus": {
@@ -181,7 +212,10 @@ def main() -> None:
                 / unique_results["default"]["wall_sec"],
                 2,
             ),
+            "round_ratios": uniq_rr,
+            "median_round_ratio": uniq_med,
             "results": unique_results,
+            "interleaved_rounds": uniq_rounds,
         },
         "emission": emission,
     }

@@ -228,6 +228,15 @@ def test_strip_html_quote_aware_attr_gt(spark):
         ),
         # '<' NOT opening a tag stays legal inside a terminated quote
         ('<a onclick="if (a < 3) go()">click</a> on', "click on"),
+        # r9 DOCUMENTED LIMITATION (not a target behavior — a pin of the
+        # accepted trade, see the _DQ_RUN comment in html_extract.py): an
+        # UNSPACED '<'+letter inside a terminated attribute value is
+        # indistinguishable from a tag-opening '<' without lookahead, so
+        # the quoted run stops there and the post-'<' fragment leaks into
+        # visible text. Valid HTML entity-encodes '<' in attribute values;
+        # tolerating the raw form would re-open the r8 unterminated-quote
+        # swallow (unbounded loss vs this bounded leak).
+        ('<a title="use <b> tags">x</a> y', 'tags">x y'),
     ]
     df = spark.createDataFrame([(h,) for h, _ in rows], "html string")
     got = [r["c"] for r in df.select(strip_html(F.col("html")).alias("c")).collect()]

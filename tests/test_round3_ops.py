@@ -274,6 +274,68 @@ def test_pagerank_deterministic_under_partitioning(spark):
     assert a == b
 
 
+def test_pagerank_convergence_deltas_shrink(spark):
+    """r9: the convergence diagnostic must show the geometric-decay
+    signature of power iteration — each round's L1 delta strictly below the
+    previous one on a well-connected graph — with L-inf <= L1 by definition,
+    and exactly one row per iteration."""
+    from timing_explorer_spark.operators.graph import (
+        pagerank_directed_convergence,
+    )
+
+    # ring + all-spokes-to-hub: IRREGULAR degrees (a perfectly regular
+    # graph keeps PageRank uniform and every delta is exactly 0)
+    edges = spark.createDataFrame(
+        [(i, (i + 1) % 30) for i in range(30)]
+        + [(i, 0) for i in range(1, 30)],
+        ["src", "dst"],
+    )
+    rows = sorted(
+        pagerank_directed_convergence(edges, iterations=5).collect(),
+        key=lambda r: r["iteration"],
+    )
+    assert [r["iteration"] for r in rows] == [1, 2, 3, 4, 5]
+    l1 = [r["l1_delta_units"] for r in rows]
+    assert all(a > b for a, b in zip(l1, l1[1:])), l1
+    assert all(r["linf_delta_units"] <= r["l1_delta_units"] for r in rows)
+
+
+def test_pagerank_convergence_deterministic_under_partitioning(spark):
+    from timing_explorer_spark.operators.graph import (
+        pagerank_directed_convergence,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)] + [(15, 0), (3, 11)], ["src", "dst"]
+    )
+    a = sorted(map(tuple, pagerank_directed_convergence(edges, 4).collect()))
+    b = sorted(
+        map(
+            tuple,
+            pagerank_directed_convergence(edges.repartition(7), 4).collect(),
+        )
+    )
+    assert a == b
+
+
+def test_components_deep_chain_converges_and_bounded_plan(spark):
+    """r9 regression: a DEEP-diameter graph (path of 45 nodes — past the
+    default max_iters guard) must still resolve to one component when the
+    cap is raised, and the per-round localCheckpoint keeps the logical plan
+    from growing 2^rounds (the driver-heap blowup a default-memory session
+    hit on the link graph)."""
+    from timing_explorer_spark.operators.dedup import resolve_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(45)], ["doc_a", "doc_b"]
+    )
+    labels = resolve_components(pairs, max_iters=60)
+    reps = {r["rep"] for r in labels.collect()}
+    assert reps == {0}
+    # the plan string of the RESULT stays small — lineage was cut per round
+    assert len(labels._jdf.queryExecution().simpleString()) < 20_000
+
+
 # ------------------------------------------------------------------ HLL rollup
 def test_hll_rollup_identity_and_accuracy(spark, sf_smoke):
     """Union of hourly HLL partials must equal the direct daily sketch
@@ -434,6 +496,31 @@ def test_ann_artifact_roundtrip(spark, sf_smoke, tmp_path):
     ann_save(spark, str(tmp_path / "c_only"), centers=centers)
     c3, b3 = ann_load(spark, str(tmp_path / "c_only"))
     assert c3 == c2 and b3 is None
+
+
+def test_ann_artifact_error_paths(spark, tmp_path):
+    """r9 (ADVICE): absence maps to None, but a CORRUPT artifact must
+    re-raise — only the PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA classes
+    mean 'that half was not saved' — and empty centers/books are rejected
+    at save time instead of producing an artifact that loads as garbage."""
+    import pytest
+
+    from timing_explorer_spark.operators.similarity import ann_load, ann_save
+
+    # wholly absent path: both halves None, no error
+    assert ann_load(spark, str(tmp_path / "nowhere")) == (None, None)
+    # corrupt parquet: must NOT be swallowed as absence
+    bad = tmp_path / "bad" / "centers.parquet"
+    bad.mkdir(parents=True)
+    (bad / "part-00000.parquet").write_bytes(b"not a parquet file")
+    with pytest.raises(Exception) as ei:
+        ann_load(spark, str(tmp_path / "bad"))
+    assert "PATH_NOT_FOUND" not in str(ei.value)
+    # empty halves rejected at save
+    with pytest.raises(ValueError, match="books is empty"):
+        ann_save(spark, str(tmp_path / "e1"), books=[])
+    with pytest.raises(ValueError, match="centers is empty"):
+        ann_save(spark, str(tmp_path / "e2"), centers=[])
 
 
 def test_containment_dominates_jaccard(spark, sf_smoke):

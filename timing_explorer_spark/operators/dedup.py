@@ -474,6 +474,15 @@ def resolve_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
                 .groupBy(F.col("dst").alias("doc"))
                 .agg(F.min("rep").alias("nbr_rep"))
             )
+            # localCheckpoint, not persist: it materializes the round AND
+            # truncates the logical lineage. Without the cut, each round's
+            # plan embeds the previous round's tree TWICE (the label join +
+            # the neighbor_min join), so the tree grows 2^rounds — a
+            # deep-diameter graph (the r9 link graph needs ~10+ rounds)
+            # blows the DRIVER heap merely rendering the plan string in a
+            # default-memory session. Same blocks-on-executors lifecycle as
+            # persist; on a fault-tolerant cluster run use checkpoint() with
+            # a reliable dir instead (the GraphFrames convention).
             new_labels = (
                 labels.join(neighbor_min, "doc", "left")
                 .select(
@@ -483,10 +492,8 @@ def resolve_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
                     ).alias("rep"),
                     (F.col("nbr_rep") < F.col("rep")).alias("__changed"),
                 )
-            ).persist()
-            changed = new_labels.where(F.col("__changed")).count()  # materializes
-            # unpersist the PERSISTED handle — calling it on a derived frame
-            # (labels after .drop) would be a silent no-op.
+            ).localCheckpoint()
+            changed = new_labels.where(F.col("__changed")).count()
             persisted.unpersist()
             persisted = new_labels
             labels = new_labels.drop("__changed")

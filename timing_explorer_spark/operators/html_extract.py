@@ -57,6 +57,19 @@ from pyspark.sql import functions as F
 # closes to attribute-end-at-next-'>' (bounded, content never lost). Pure
 # alternation of character classes — no lookahead, linear in both Java
 # regex (Spark) and RE2 (the DuckDB oracle mirror, _strip_sql).
+#
+# KNOWN LIMITATION (r9, documented next to the spaced-comparison pin in
+# tests/test_html_extract.py): the '<'+letter exclusion also shears a
+# legitimately TERMINATED attribute value that contains such a sequence —
+# onclick="if(a<b)x()" (unspaced comparison) or title="use <b> tags" —
+# leaking the post-'<' fragment (e.g. 'tags">') into visible text. Valid
+# HTML must entity-encode '<' inside attribute values (the HTML5 spec's
+# unambiguous-ampersand rule is stricter still), so the affected inputs
+# are themselves malformed; the trade is deliberate: tolerating them
+# would re-open the unterminated-quote swallow, which loses unbounded
+# content instead of leaking a bounded fragment. A tighter exclusion
+# ('<' followed by tag-like context [a-zA-Z]+[\s/>]) would need
+# lookahead, which RE2 (the oracle engine) does not support.
 _DQ_RUN = "\"(?:[^\"<]|<[^a-zA-Z/\"])*\""
 _SQ_RUN = "'(?:[^'<]|<[^a-zA-Z/'])*'"
 _TAG_BODY = (

@@ -513,6 +513,10 @@ def ann_save(
     books=) / ivf_topk(centers=)."""
     if centers is None and books is None:
         raise ValueError("ann_save: nothing to save (centers and books both None)")
+    if centers is not None and not centers:
+        raise ValueError("ann_save: centers is empty (pass None to skip)")
+    if books is not None and not books:
+        raise ValueError("ann_save: books is empty (pass None to skip)")
     if centers is not None:
         spark.createDataFrame(
             [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
@@ -535,8 +539,17 @@ def ann_load(
     """Load an ann_save artifact: returns (centers, books), either None if
     that half was not saved. Round-trips bit-exactly (pinned in tests).
     Missing halves are detected by attempting the read (filesystem-agnostic
-    — works on HDFS/S3 paths the driver cannot stat locally)."""
+    — works on HDFS/S3 paths the driver cannot stat locally). Only the two
+    "nothing there" error classes (PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA,
+    the latter for an empty directory stub) map to None — a corrupt or
+    unreadable artifact re-raises instead of silently loading as absent."""
     from pyspark.errors import AnalysisException
+
+    def _absent(e: AnalysisException) -> bool:
+        cond = e.getCondition() or ""
+        return cond.startswith("PATH_NOT_FOUND") or cond.startswith(
+            "UNABLE_TO_INFER_SCHEMA"
+        )
 
     centers = None
     books = None
@@ -547,20 +560,27 @@ def ann_load(
             .orderBy("idx")
             .collect()
         ]
-    except AnalysisException:
-        pass
+    except AnalysisException as e:
+        if not _absent(e):
+            raise
     try:
         rows = (
             spark.read.parquet(f"{path}/books.parquet")
             .orderBy("subspace", "code")
             .collect()
         )
+        if not rows:
+            raise ValueError(
+                f"ann_load: {path}/books.parquet exists but is empty "
+                "(was ann_save called with books=[]?)"
+            )
         m = max(r["subspace"] for r in rows) + 1
         books = [[] for _ in range(m)]
         for r in rows:
             books[r["subspace"]].append(list(r["vec"]))
-    except AnalysisException:
-        pass
+    except AnalysisException as e:
+        if not _absent(e):
+            raise
     return centers, books
 
 
@@ -901,9 +921,18 @@ def ivfpq_topk(
             sample_fraction=sample_fraction,
         )
     if residual:
-        res = ivf_residuals(
-            corpus, centers, id_col=id_col, vec_col=vec_col,
-            id_alias="neighbor_id",
+        from .dedup import track_cache
+
+        # Persist the residuals: they feed codebook training (m k-means
+        # jobs), pq_encode, AND the inverted-list join — without a cache
+        # boundary the full corpus-vs-centroid assignment recomputes once
+        # per consumer (deterministic, so correct, but a multiple of the
+        # dominant dense pass). Released with release_cached().
+        res = track_cache(
+            ivf_residuals(
+                corpus, centers, id_col=id_col, vec_col=vec_col,
+                id_alias="neighbor_id",
+            )
         )
         if books is None:
             books = pq_train_codebooks(

@@ -2499,6 +2499,24 @@ _LINK_EDGES_SQL = _LINK_PAIRS_SQL.replace("doc_id AS doc_a", "doc_id AS src").re
 )
 
 
+def _link_edges(pages: DataFrame) -> DataFrame:
+    """DISTINCT intra-corpus (src, dst) link edges from the synthesized page
+    markup — the shared front end of the directed link-graph family
+    (PageRank, convergence, components, rank-weighted budget)."""
+    hrefs = F.concat(
+        F.regexp_extract_all("html", F.lit(_DQ_HREF), F.lit(1)),
+        F.regexp_extract_all("html", F.lit(_SQ_HREF), F.lit(1)),
+    )
+    target = F.nullif(F.regexp_extract("url", r"/doc/(\d+)", 1), F.lit(""))
+    return (
+        pages.select("doc_id", F.explode(hrefs).alias("url"))
+        .select("doc_id", target.cast("long").alias("dst"))
+        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("doc_id")))
+        .select(F.col("doc_id").alias("src"), "dst")
+        .distinct()
+    )
+
+
 @register(
     "q_link_pagerank_directed",
     oracle=pagerank_directed_oracle_sql(_LINK_EDGES_SQL, iterations=5),
@@ -2519,17 +2537,322 @@ _LINK_EDGES_SQL = _LINK_PAIRS_SQL.replace("doc_id AS doc_a", "doc_id AS src").re
 def q_link_pagerank_directed(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import pagerank_directed
 
+    return pagerank_directed(
+        _link_edges(_link_pages(load(spark, sf_dir, "documents"))), iterations=5
+    )
+
+
+from ..operators.graph import (  # noqa: E402
+    pagerank_directed_convergence_oracle_sql,
+)
+
+
+@register(
+    "q_link_pagerank_convergence",
+    oracle=pagerank_directed_convergence_oracle_sql(_LINK_EDGES_SQL, iterations=5),
+    doc=(
+        "Convergence diagnostic for the directed link PageRank (r9 verdict "
+        "task #6): per iteration, the L1 and L-infinity deltas of the "
+        "fixed-point integer rank vector against the previous round — the "
+        "number a user reads to judge whether 5 fixed rounds suffice on "
+        "THEIR graph (power iteration is geometric, so deltas shrinking by "
+        "~the damping factor per round is the healthy signature; a flat "
+        "tail says add rounds). Exact-integer deltas, so the oracle is the "
+        "same it0..it5 CTE chain plus one join+aggregate per consecutive "
+        "pair. Per round this adds one co-partitioned join and a 1-row "
+        "aggregate to the rank loop; rank tables persist across rounds."
+    ),
+    tags=("graph", "pagerank", "links", "convergence", "llm-pipeline"),
+)
+def q_link_pagerank_convergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_directed_convergence
+
+    return pagerank_directed_convergence(
+        _link_edges(_link_pages(load(spark, sf_dir, "documents"))), iterations=5
+    )
+
+
+@register(
+    "q_link_components",
+    oracle=f"""
+        WITH RECURSIVE pairs AS ({_LINK_EDGES_SQL}),
+        edges AS (
+            SELECT src, dst FROM pairs
+            UNION
+            SELECT dst, src FROM pairs
+        ),
+        reach(doc, rep) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.dst, r.rep FROM reach r JOIN edges e ON e.src = r.doc
+        )
+        SELECT doc, MIN(rep) AS rep FROM reach GROUP BY doc
+    """,
+    doc=(
+        "WEAKLY connected components over the directed link graph (r9 "
+        "verdict task #4): edge direction dropped, rep = min doc id per "
+        "component — the crawl-frontier signal that separates the connected "
+        "web core from isolated islands (and the precondition for "
+        "per-component stats like island size). Spark side reuses "
+        "resolve_components (operators/dedup.py): min-label propagation to "
+        "fixpoint, one co-partitioned join + agg per round, rounds bounded "
+        "by component diameter. Oracle = recursive-CTE reachability "
+        "closure, exactly the q_neardup_components pattern."
+    ),
+    tags=("graph", "components", "links", "crawl", "iterative", "llm-pipeline"),
+)
+def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import resolve_components
+
+    edges = _link_edges(_link_pages(load(spark, sf_dir, "documents")))
+    # max_iters: min-label propagation needs O(component diameter) rounds.
+    # Near-dup clusters are 2-3 deep (the default cap of 20 is a runaway
+    # guard there), but the link graph's halving-chain diameter grows like
+    # log2(n_docs) (~13 at sf0.1, ~20 at sf10) — raise the cap; the loop
+    # still exits at fixpoint, so converged runs pay nothing extra.
+    return resolve_components(
+        edges.select(F.col("src").alias("doc_a"), F.col("dst").alias("doc_b")),
+        max_iters=60,
+    )
+
+
+# anchor-capturing variants of the href patterns: group 1 = url, group 2 =
+# the anchor's inner text up to the close tag ([^<]* — the fixture anchors
+# hold no nested markup; a nested-tag grammar would need the html_extract
+# strip chain, overkill for the anchor-term signal)
+_DQ_A = r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>'
+_SQ_A = r"(?i)<a\s[^>]*href\s*=\s*'([^']*)'[^>]*>([^<]*)</a>"
+
+# DuckDB-side mirrors (single quotes doubled for the SQL literal)
+_DQ_A_SQL = '(?i)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>([^<]*)</a>'
+_SQ_A_SQL = "(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''[^>]*>([^<]*)</a>"
+
+
+@register(
+    "q_anchor_terms",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_LINK_HTML_SQL} AS html FROM documents
+        ),
+        arrs AS (
+            SELECT doc_id,
+                   list_concat(
+                       regexp_extract_all(html, '{_DQ_A_SQL}', 1),
+                       regexp_extract_all(html, '{_SQ_A_SQL}', 1)
+                   ) AS hrefs,
+                   list_concat(
+                       regexp_extract_all(html, '{_DQ_A_SQL}', 2),
+                       regexp_extract_all(html, '{_SQ_A_SQL}', 2)
+                   ) AS anchors
+            FROM raw
+        ),
+        exploded AS (
+            SELECT doc_id, hrefs[i] AS url, anchors[i] AS anchor
+            FROM arrs, UNNEST(range(1, LEN(hrefs) + 1)) AS r(i)
+        ),
+        parts AS (
+            SELECT doc_id, anchor, url,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1))  AS hostport,
+                   regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1)   AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1)                 AS query
+            FROM exploded
+        ),
+        canon AS (
+            SELECT doc_id, anchor, scheme,
+                   CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END AS host,
+                   CASE WHEN LENGTH(path) = 0 THEN '/' ELSE path END AS path2,
+                   list_sort(list_filter(string_split(query, '&'),
+                       p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
+                            '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)=')))
+                       AS params
+            FROM parts
+        ),
+        edges AS (
+            SELECT doc_id, anchor,
+                   scheme || '://' || host || path2
+                   || CASE WHEN len(params) > 0
+                           THEN '?' || array_to_string(params, '&')
+                           ELSE '' END AS dst_url
+            FROM canon
+        ),
+        terms AS (
+            SELECT doc_id, dst_url, t AS term
+            FROM (
+                SELECT doc_id, dst_url,
+                       UNNEST(string_split_regex(lower(trim(anchor)), '\\s+')) AS t
+                FROM edges
+            )
+            WHERE LENGTH(t) > 0
+        )
+        SELECT dst_url, term,
+               COUNT(*) AS n_mentions,
+               COUNT(DISTINCT doc_id) AS n_src_docs
+        FROM terms
+        GROUP BY dst_url, term
+    """,
+    doc=(
+        "Anchor-text term frequency per link TARGET (r9 verdict task #5) — "
+        "the classic link-spam / target-description signal: what the WEB "
+        "calls a page, aggregated over every page linking to it. The "
+        "anchor-capturing grammar extracts (href, inner text) pairs "
+        "positionally (same two-group regex, group 1 vs 2, zipped by "
+        "position in BOTH engines), target URLs go through the full "
+        "canonicalize_url chain so mentions of the same page under "
+        "tracking-param/case/port variants aggregate together, anchor text "
+        "is lowercased and whitespace-tokenized. Output per (dst_url, "
+        "term): n_mentions (total) and n_src_docs (distinct linking pages "
+        "— the spam discriminator: high mentions from FEW sources is the "
+        "spam shape). Map-only until one (dst_url, term) aggregate; "
+        "count_distinct is map-side partial. At 100 TB this is the "
+        "standard anchor-corpus build (a second, much smaller corpus keyed "
+        "by target page)."
+    ),
+    tags=("text", "html", "links", "crawl", "quality", "llm-pipeline"),
+)
+def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html_extract import canonicalize_url
+
     pages = _link_pages(load(spark, sf_dir, "documents"))
-    hrefs = F.concat(
-        F.regexp_extract_all("html", F.lit(_DQ_HREF), F.lit(1)),
-        F.regexp_extract_all("html", F.lit(_SQ_HREF), F.lit(1)),
+    pairs = pages.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.arrays_zip(
+                    F.regexp_extract_all("html", F.lit(_DQ_A), F.lit(1)).alias("url"),
+                    F.regexp_extract_all("html", F.lit(_DQ_A), F.lit(2)).alias(
+                        "anchor"
+                    ),
+                ),
+                F.arrays_zip(
+                    F.regexp_extract_all("html", F.lit(_SQ_A), F.lit(1)).alias("url"),
+                    F.regexp_extract_all("html", F.lit(_SQ_A), F.lit(2)).alias(
+                        "anchor"
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.url").alias("url"), F.col("e.anchor").alias("anchor"))
+    terms = (
+        pairs.select(
+            "doc_id",
+            canonicalize_url(F.col("url")).alias("dst_url"),
+            F.explode(
+                F.split(F.lower(F.trim(F.col("anchor"))), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.length("term") > 0)
     )
-    target = F.nullif(F.regexp_extract("url", r"/doc/(\d+)", 1), F.lit(""))
-    edges = (
-        pages.select("doc_id", F.explode(hrefs).alias("url"))
-        .select("doc_id", target.cast("long").alias("dst"))
-        .where(F.col("dst").isNotNull() & (F.col("dst") != F.col("doc_id")))
-        .select(F.col("doc_id").alias("src"), "dst")
-        .distinct()
+    return terms.groupBy("dst_url", "term").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.count_distinct("doc_id").alias("n_src_docs"),
     )
-    return pagerank_directed(edges, iterations=5)
+
+
+# the directed-PageRank CTE chain as a subquery (nested WITH — both engines
+# support WITH inside a FROM-subquery)
+_PR_SUBQUERY = pagerank_directed_oracle_sql(_LINK_EDGES_SQL, iterations=5)
+
+
+@register(
+    "q_pagerank_token_budget",
+    oracle=f"""
+        WITH scored AS (
+            SELECT pr.doc, pr.rank,
+                   LEN(string_split(d.text, ' ')) AS n_tokens,
+                   NTILE(3) OVER (ORDER BY pr.rank DESC, pr.doc) AS bucket
+            FROM ( {_PR_SUBQUERY} ) pr
+            JOIN documents d ON d.doc_id = pr.doc
+        ),
+        agg AS (
+            SELECT bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(CASE bucket WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
+                        AS BIGINT) AS weight
+            FROM scored GROUP BY bucket
+        ),
+        rates AS (
+            SELECT bucket, n_docs, n_tokens, weight,
+                   LEAST(1.0,
+                         100000.0 * weight
+                         / CAST(SUM(weight) OVER () AS BIGINT)
+                         / n_tokens) AS sample_rate
+            FROM agg
+        )
+        SELECT bucket, n_docs, n_tokens, weight, sample_rate,
+               sample_rate * n_tokens AS expected_tokens
+        FROM rates
+    """,
+    doc=(
+        "THE composed crawl-quality loop (r9 verdict task #3, the Common "
+        "Crawl pattern the q_link_pagerank docstring names): directed "
+        "link-graph PageRank feeds the mixture/sampling-weights plan as "
+        "ONE oracle-matched composition. Pages are NTILE(3)-bucketed by "
+        "rank (ties broken by doc id — total order, so the bucketing is "
+        "deterministic in both engines), each bucket gets a quality weight "
+        "(4/2/1 head/mid/tail), and a 100k-token global budget is split "
+        "across buckets proportional to weight — per-bucket sample_rate = "
+        "min(1, share/tokens), the table a mixture owner feeds into the "
+        "sampler (higher-centrality pages oversampled, exactly the "
+        "CCNet/CC-style quality tiering but with a LINK signal instead of "
+        "an LM). Scale shape: the PageRank loop is the Pregel-shaped "
+        "co-partitioned join+agg per round; the NTILE runs over the "
+        "doc-grain RANK table (orders smaller than the token corpus, and "
+        "at true 100 TB you would swap it for approx-percentile "
+        "thresholds — documented trade for exactness here); the budget "
+        "math is a 3-row aggregate. Oracle composes the identical "
+        "recurrence CTE chain with the identical bucket/budget arithmetic."
+    ),
+    tags=("graph", "pagerank", "links", "sampling", "mixture", "composed", "llm-pipeline"),
+)
+def q_pagerank_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.graph import pagerank_directed
+
+    docs = load(spark, sf_dir, "documents")
+    ranks = pagerank_directed(_link_edges(_link_pages(docs)), iterations=5)
+    scored = ranks.join(
+        docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        ),
+        ranks.doc == F.col("doc_id"),
+    ).select(
+        "doc",
+        "rank",
+        "n_tokens",
+        F.ntile(3)
+        .over(Window.orderBy(F.desc("rank"), F.asc("doc")))
+        .alias("bucket"),
+    )
+    agg = (
+        scored.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight",
+            F.when(F.col("bucket") == 1, 4)
+            .when(F.col("bucket") == 2, 2)
+            .otherwise(1)
+            .cast("bigint"),
+        )
+    )
+    total_w = F.sum("weight").over(Window.partitionBy())
+    rates = agg.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.least(
+            F.lit(1.0),
+            F.lit(100000.0) * F.col("weight") / total_w / F.col("n_tokens"),
+        ).alias("sample_rate"),
+    )
+    return rates.select(
+        "*", (F.col("sample_rate") * F.col("n_tokens")).alias("expected_tokens")
+    )
