@@ -92,30 +92,45 @@ def pagerank_directed(
     division leaks < n_nodes units per round (sub-normalized,
     deterministic, mirrored exactly by the oracle).
 
-    Scale shape per round: the edges-ranks co-partitioned join + one agg,
-    plus a 1-row dangling-mass aggregate broadcast back (never fact-sized).
+    Scale shape per round (r9, the power-law-skew-proof form): edges are
+    pre-grouped ONCE into per-src adjacency lists (loop-invariant), so the
+    per-round join is adjacency ⋈ ranks with EXACTLY ONE row per key on
+    each side — an out-degree hub cannot skew a join in which it is a
+    single row (GraphX's messaging layout without the library). In-degree
+    hubs are absorbed by the map-side partial sum of the dst aggregation
+    (a hub's million contributions collapse to one partial row per task
+    before the shuffle). Adjacency arrays are bounded by a page's OUT-link
+    count — naturally small in real link graphs (in-degree is where
+    power-law mass lives, and that never materializes as an array here).
+    Plus a 1-row dangling-mass aggregate broadcast back per round (never
+    fact-sized). Verified against a 250,000x-median-degree synthetic hub
+    in scripts/bench_linkgraph_skew.py (BENCH_sf1.json "link_graph_skew").
     """
     from .dedup import track_cache
 
-    edges = track_cache(
-        edges_df.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    edges = edges_df.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = track_cache(
+        edges.groupBy("src").agg(
+            F.collect_list("dst").alias("dsts"),
+            F.count(F.lit(1)).cast("bigint").alias("deg"),
+        )
+    )
     nodes = track_cache(
         edges.select(F.col("src").alias("doc"))
         .unionAll(edges.select(F.col("dst").alias("doc")))
         .distinct()
-        .join(outdeg, F.col("doc") == F.col("src"), "left")
+        .join(adj.select("src", "deg"), F.col("doc") == F.col("src"), "left")
         .select("doc", F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"))
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
     ranks = nodes.select("doc", "deg", F.lit(SCALE).cast("bigint").alias("units"))
     for _ in range(iterations):
         contrib = (
-            edges.join(ranks, edges.src == ranks.doc)
-            .where(F.col("deg") > 0)
+            adj.join(ranks.select("doc", "units"), adj.src == F.col("doc"))
             .select(
-                F.col("dst"),
+                F.explode("dsts").alias("dst"),
                 F.expr(f"(units * {DAMP_NUM}) DIV ({DAMP_DEN} * deg)").alias("c"),
             )
             .groupBy("dst")
@@ -177,15 +192,20 @@ def pagerank_directed_convergence(
     """
     from .dedup import track_cache
 
-    edges = track_cache(
-        edges_df.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    edges = edges_df.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    adj = track_cache(
+        edges.groupBy("src").agg(
+            F.collect_list("dst").alias("dsts"),
+            F.count(F.lit(1)).cast("bigint").alias("deg"),
+        )
+    )
     nodes = track_cache(
         edges.select(F.col("src").alias("doc"))
         .unionAll(edges.select(F.col("dst").alias("doc")))
         .distinct()
-        .join(outdeg, F.col("doc") == F.col("src"), "left")
+        .join(adj.select("src", "deg"), F.col("doc") == F.col("src"), "left")
         .select("doc", F.coalesce("deg", F.lit(0)).cast("bigint").alias("deg"))
     )
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("n"))
@@ -195,10 +215,9 @@ def pagerank_directed_convergence(
     deltas = []
     for i in range(1, iterations + 1):
         contrib = (
-            edges.join(ranks, edges.src == ranks.doc)
-            .where(F.col("deg") > 0)
+            adj.join(ranks.select("doc", "units"), adj.src == F.col("doc"))
             .select(
-                F.col("dst"),
+                F.explode("dsts").alias("dst"),
                 F.expr(f"(units * {DAMP_NUM}) DIV ({DAMP_DEN} * deg)").alias("c"),
             )
             .groupBy("dst")
