@@ -145,6 +145,14 @@ def main() -> None:
         "q_link_graph",
         "q_link_pagerank",
         "q_link_pagerank_directed",
+        # Round-9: crawl-quality loop closed (rank-weighted budget,
+        # components, anchor signal, convergence diagnostic).
+        "q_pagerank_token_budget",
+        "q_link_components",
+        "q_anchor_terms",
+        "q_link_pagerank_convergence",
+        "q_link_hits",
+        "q_link_degree_stats",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

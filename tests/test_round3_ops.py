@@ -318,6 +318,28 @@ def test_pagerank_convergence_deterministic_under_partitioning(spark):
     assert a == b
 
 
+def test_hits_hub_authority_separation(spark):
+    """r9: on a bipartite hub->authority fan (h0,h1 each link to a0..a3;
+    nothing links to hubs, authorities have no outlinks), HITS must give
+    the hubs hub-score 1.0 and authority 0, and the authorities
+    authority 1.0 (all equal, max-normalized) and hub 0 — the separation
+    PageRank cannot express. Deterministic under repartitioning."""
+    from timing_explorer_spark.operators.graph import hits_fixed
+
+    edges = spark.createDataFrame(
+        [(h, a) for h in (100, 101) for a in (0, 1, 2, 3)], ["src", "dst"]
+    )
+    rows = {r["doc"]: (r["authority"], r["hub"]) for r in hits_fixed(edges, 5).collect()}
+    assert rows[100] == (0.0, 1.0) and rows[101] == (0.0, 1.0)
+    for a in (0, 1, 2, 3):
+        assert rows[a] == (1.0, 0.0), rows[a]
+    again = {
+        r["doc"]: (r["authority"], r["hub"])
+        for r in hits_fixed(edges.repartition(5), 5).collect()
+    }
+    assert again == rows
+
+
 def test_components_deep_chain_converges_and_bounded_plan(spark):
     """r9 regression: a DEEP-diameter graph (path of 45 nodes — past the
     default max_iters guard) must still resolve to one component when the

@@ -376,3 +376,157 @@ def pagerank_oracle_sql(pairs_sql: str, iterations: int = 5) -> str:
         + ",\n".join(ctes)
         + f"\nSELECT doc, CAST(units AS DOUBLE) / {SCALE} AS rank FROM it{iterations}"
     )
+
+
+def hits_fixed(
+    edges_df: DataFrame,
+    iterations: int = 5,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """(doc, authority, hub) — Kleinberg's HITS over a directed edge list
+    (r9), in the same oracle-checkable fixed-point style as the PageRank
+    family: scores live in integer units, and the per-round normalization
+    is integer division by the round's MAXIMUM (a' = a * SCALE DIV max(a))
+    instead of the usual L2 norm — same fixpoint direction (the classic
+    power-iteration convergence to the principal eigenvectors of AᵀA / AAᵀ
+    up to scaling), but every engine and partitioning produces identical
+    bits, so the DuckDB oracle is the recurrence unrolled into CTEs.
+
+    Scale shape per round (skew-proof, the pagerank_directed layout): both
+    message passes run over loop-invariant per-node adjacency lists — one
+    grouped by src (hub -> authority messages) and one by dst (authority ->
+    hub) — so each join has EXACTLY ONE row per key per side; hub-side
+    power-law mass collapses in the map-side partial sums; the two
+    round-max scalars come back as 1-row broadcasts. Lineage is cut per
+    round (lazy localCheckpoint) so the plan stays linear in iterations.
+    """
+    from .dedup import track_cache
+
+    edges = edges_df.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    out_adj = track_cache(
+        edges.groupBy("src").agg(F.collect_list("dst").alias("dsts"))
+    )
+    in_adj = track_cache(
+        edges.groupBy("dst").agg(F.collect_list("src").alias("srcs"))
+    )
+    nodes = track_cache(
+        edges.select(F.col("src").alias("doc"))
+        .unionAll(edges.select(F.col("dst").alias("doc")))
+        .distinct()
+    )
+    scores = nodes.select(
+        "doc",
+        F.lit(SCALE).cast("bigint").alias("auth"),
+        F.lit(SCALE).cast("bigint").alias("hub"),
+    ).localCheckpoint(eager=False)
+    for _ in range(iterations):
+        # authority update: each SENDER's hub score flows to its dsts —
+        # join on the sender key (one row per side), explode its list
+        a_raw = (
+            out_adj.join(
+                scores.select(F.col("doc").alias("h_doc"), "hub"),
+                out_adj.src == F.col("h_doc"),
+            )
+            .select(F.explode("dsts").alias("dst"), F.col("hub"))
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("a_raw"))
+        )
+        a_max = a_raw.agg(F.max("a_raw").alias("a_max"))
+        # hub update: sum of the NEW authority scores of link targets
+        a_norm = (
+            nodes.join(a_raw, nodes.doc == a_raw.dst, "left")
+            .crossJoin(F.broadcast(a_max))
+            .select(
+                "doc",
+                F.expr("COALESCE(a_raw, 0) * {s} DIV a_max".format(s=SCALE))
+                .cast("bigint")
+                .alias("auth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        # hub update: each TARGET's new authority flows back to its srcs
+        h_raw = (
+            in_adj.join(
+                a_norm.select(F.col("doc").alias("a_doc"), "auth"),
+                in_adj.dst == F.col("a_doc"),
+            )
+            .select(F.explode("srcs").alias("src"), F.col("auth"))
+            .groupBy("src")
+            .agg(F.sum("auth").alias("h_raw"))
+        )
+        h_max = h_raw.agg(F.max("h_raw").alias("h_max"))
+        scores = (
+            nodes.join(a_norm, "doc", "left")
+            .join(h_raw, nodes.doc == h_raw.src, "left")
+            .crossJoin(F.broadcast(h_max))
+            .select(
+                "doc",
+                F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth"),
+                F.expr("COALESCE(h_raw, 0) * {s} DIV h_max".format(s=SCALE))
+                .cast("bigint")
+                .alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return scores.select(
+        "doc",
+        (F.col("auth").cast("double") / F.lit(float(SCALE))).alias("authority"),
+        (F.col("hub").cast("double") / F.lit(float(SCALE))).alias("hub"),
+    )
+
+
+def hits_oracle_sql(edges_sql: str, iterations: int = 5) -> str:
+    """hits_fixed unrolled as chained DuckDB CTEs — max-normalized integer
+    recurrence, bit-identical to the Spark loop."""
+    # MATERIALIZED: DuckDB inlines CTEs by default, and each HITS round
+    # references its CTEs twice (the value leg and the MAX-normalizer
+    # subquery) — inlined, the expansion is ~8^iterations leaf scans and
+    # the oracle dies on file-handle exhaustion before it is slow.
+    ctes = [
+        f"edges AS MATERIALIZED ({edges_sql})",
+        "nodes AS MATERIALIZED"
+        " (SELECT src AS doc FROM edges UNION SELECT dst FROM edges)",
+        f"it0 AS MATERIALIZED (SELECT doc, CAST({SCALE} AS BIGINT) AS auth,"
+        f" CAST({SCALE} AS BIGINT) AS hub FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes.append(
+            f"""araw{i} AS MATERIALIZED (
+                SELECT e.dst, SUM(s.hub) AS a_raw
+                FROM edges e JOIN it{p} s ON s.doc = e.src
+                GROUP BY e.dst)"""
+        )
+        ctes.append(
+            f"""anorm{i} AS MATERIALIZED (
+                SELECT n.doc,
+                       CAST(COALESCE(a.a_raw, 0) * {SCALE}
+                            // (SELECT MAX(a_raw) FROM araw{i}) AS BIGINT) AS auth
+                FROM nodes n LEFT JOIN araw{i} a ON a.dst = n.doc)"""
+        )
+        ctes.append(
+            f"""hraw{i} AS MATERIALIZED (
+                SELECT e.src, SUM(a.auth) AS h_raw
+                FROM edges e JOIN anorm{i} a ON a.doc = e.dst
+                GROUP BY e.src)"""
+        )
+        ctes.append(
+            f"""it{i} AS MATERIALIZED (
+                SELECT n.doc, COALESCE(a.auth, 0) AS auth,
+                       CAST(COALESCE(h.h_raw, 0) * {SCALE}
+                            // (SELECT MAX(h_raw) FROM hraw{i}) AS BIGINT) AS hub
+                FROM nodes n
+                LEFT JOIN anorm{i} a ON a.doc = n.doc
+                LEFT JOIN hraw{i} h ON h.src = n.doc)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT doc, CAST(auth AS DOUBLE) / {SCALE} AS authority,
+               CAST(hub AS DOUBLE) / {SCALE} AS hub
+        FROM it{iterations}"""
+    )

@@ -2856,3 +2856,88 @@ def q_pagerank_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rates.select(
         "*", (F.col("sample_rate") * F.col("n_tokens")).alias("expected_tokens")
     )
+
+
+from ..operators.graph import hits_oracle_sql  # noqa: E402
+
+
+@register(
+    "q_link_hits",
+    oracle=hits_oracle_sql(_LINK_EDGES_SQL, iterations=5),
+    doc=(
+        "Kleinberg HITS over the directed link graph (r9): per-page "
+        "authority (how much good hubs point AT you) and hub (how well you "
+        "point at good authorities) — the classic complement to PageRank "
+        "for crawl-quality weighting (a link farm scores high hub / low "
+        "authority, the spam shape PageRank alone can miss). Fixed-point "
+        "integer recurrence with per-round MAX-normalization (integer "
+        "division — same fixpoint direction as the usual L2 norm but "
+        "bit-deterministic on any engine/partitioning), 5 rounds, oracle = "
+        "the recurrence unrolled into CTEs. Scale shape: both message "
+        "passes ride loop-invariant per-node adjacency lists (one by src, "
+        "one by dst) so every join is one-row-per-key — skew-proof like "
+        "the r9 PageRank — with two 1-row max broadcasts per round."
+    ),
+    tags=("graph", "hits", "links", "crawl", "llm-pipeline"),
+)
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import hits_fixed
+
+    return hits_fixed(
+        _link_edges(_link_pages(load(spark, sf_dir, "documents"))), iterations=5
+    )
+
+
+@register(
+    "q_link_degree_stats",
+    oracle=f"""
+        WITH pairs AS ({_LINK_EDGES_SQL}),
+        degs AS (
+            SELECT 'out' AS direction, src AS doc, COUNT(*) AS deg
+            FROM pairs GROUP BY src
+            UNION ALL
+            SELECT 'in' AS direction, dst AS doc, COUNT(*) AS deg
+            FROM pairs GROUP BY dst
+        )
+        SELECT direction,
+               CAST(LENGTH(bin(deg)) - 1 AS BIGINT) AS degree_bucket,
+               COUNT(*) AS n_nodes,
+               CAST(MIN(deg) AS BIGINT) AS min_deg,
+               CAST(MAX(deg) AS BIGINT) AS max_deg
+        FROM degs
+        GROUP BY direction, degree_bucket
+    """,
+    doc=(
+        "Link-graph degree distribution (r9): per direction, node counts "
+        "in power-of-two degree buckets plus each bucket's min/max — the "
+        "first thing a graph-pipeline owner reads to size partitioning and "
+        "spot power-law hubs (a populated high bucket = hub mass; the "
+        "bench_linkgraph_skew probe is the operational response). Bucket = "
+        "LENGTH(bin(deg))-1, i.e. floor(log2) computed in INTEGER space — "
+        "a float log2 floors differently across engines at power-of-two "
+        "boundaries (Spark computes log2 as ln(x)/ln(2)). Two degree "
+        "aggregates + one |buckets|-row aggregate; map-side partials "
+        "absorb hub in-degree."
+    ),
+    tags=("graph", "links", "stats", "crawl", "llm-pipeline"),
+)
+def q_link_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _link_edges(_link_pages(load(spark, sf_dir, "documents")))
+    degs = (
+        edges.groupBy(F.col("src").alias("doc"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.lit("out").alias("direction"), "doc", "deg")
+        .unionAll(
+            edges.groupBy(F.col("dst").alias("doc"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .select(F.lit("in").alias("direction"), "doc", "deg")
+        )
+    )
+    return degs.groupBy(
+        "direction",
+        (F.length(F.bin(F.col("deg"))) - 1).cast("bigint").alias("degree_bucket"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("deg").cast("bigint").alias("min_deg"),
+        F.max("deg").cast("bigint").alias("max_deg"),
+    )
