@@ -176,8 +176,16 @@ def main() -> int:
             n_parts=32,
         ).write.mode("overwrite").format("noop").save()
 
+    def run_hits() -> None:
+        from timing_explorer_spark.operators.graph import hits_fixed
+
+        hits_fixed(edges, iterations=5).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     profiled("pagerank_directed_5it", run_pagerank)
     profiled("link_components", run_components)
+    profiled("hits_5it", run_hits)
 
     out = {
         "metric": "link_graph_skew_probe",
