@@ -85,6 +85,37 @@ def test_row_local_signature_matches_batch(spark):
     assert local[4] is None and 4 not in batch  # shingle-less conventions
 
 
+def test_pack_and_digest_bitwise(spark):
+    """r9: the JVM-side binary pack and the 16-bit slot digest must be
+    byte-exact functions of the signature — pack = 8 B/slot big-endian,
+    digest = the low 2 bytes of each slot — so the Python handlers can
+    frombuffer them without any per-engine convention drift."""
+    import numpy as np
+
+    from timing_explorer_spark.streaming.lsh_dedup import (
+        pack_signature,
+        slot_digests,
+    )
+
+    df = spark.createDataFrame(
+        [("a doc with enough words to shingle",), ("tiny",)], "text string"
+    )
+    sig = row_local_signature(F.col("text"), NUM_PERM, N)
+    rows = df.select(
+        sig.alias("sig"),
+        pack_signature(sig).alias("packed"),
+        slot_digests(pack_signature(sig), NUM_PERM).alias("dig"),
+    ).collect()
+    r = rows[0]
+    arr = np.array(r["sig"], dtype=np.int64)
+    assert bytes(r["packed"]) == arr.astype(">i8").tobytes()
+    assert bytes(r["dig"]) == (arr & 0xFFFF).astype(">u2").tobytes()
+    # est-J on digests == est-J on slots for identical inputs by
+    # construction; shingle-less rows stay null through both
+    assert rows[1]["sig"] is None and rows[1]["packed"] is None
+    assert rows[1]["dig"] is None
+
+
 def _greedy_expected(spark, rows):
     """First-arrival-wins over batch-computed band keys, in ts order."""
     df = spark.createDataFrame(rows, "doc_id long, ts string, text string")
