@@ -452,6 +452,11 @@ _SANCTIONED_GLOBAL_WINDOW = {
     # the flagship's mixture stage: the same |sources|-row aggregate window
     # as q_mixture_token_budget (class (b); never fact rows)
     "q_crawl_to_corpus",
+    # r9: NTILE over the DOC-GRAIN rank table (orders smaller than the
+    # token corpus; swap for approx-percentile thresholds at true 100 TB —
+    # documented in the query doc + PLANS.md WANT), plus the 3-row budget
+    # window (class (b))
+    "q_pagerank_token_budget",
     "q_pareto_revenue",
     "q_key_skew_report",
     "q_event_transitions",
