@@ -153,6 +153,7 @@ def main() -> None:
         "q_link_pagerank_convergence",
         "q_link_hits",
         "q_link_degree_stats",
+        "q_link_crawl_depth",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

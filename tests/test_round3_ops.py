@@ -340,6 +340,27 @@ def test_hits_hub_authority_separation(spark):
     assert again == rows
 
 
+def test_bfs_depth_exact_and_directed(spark):
+    """r9: crawl depth = MIN hop distance from the seed set along edge
+    DIRECTION; unreachable docs absent; a shortcut edge must win over the
+    long path; deterministic under repartitioning."""
+    from timing_explorer_spark.operators.graph import bfs_depth
+
+    # chain 0->1->2->3->4 plus shortcut 0->3; 9->0 points AT the seed but
+    # is not reachable FROM it (directionality pin)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (3, 4), (0, 3), (9, 0)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(0,)], ["doc"])
+    got = {r["doc"]: r["depth"] for r in bfs_depth(edges, seeds).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 1, 4: 2}  # 9 unreachable, absent
+    again = {
+        r["doc"]: r["depth"]
+        for r in bfs_depth(edges.repartition(5), seeds, max_hops=30).collect()
+    }
+    assert again == got
+
+
 def test_components_deep_chain_converges_and_bounded_plan(spark):
     """r9 regression: a DEEP-diameter graph (path of 45 nodes — past the
     default max_iters guard) must still resolve to one component when the

@@ -530,3 +530,90 @@ def hits_oracle_sql(edges_sql: str, iterations: int = 5) -> str:
                CAST(hub AS DOUBLE) / {SCALE} AS hub
         FROM it{iterations}"""
     )
+
+
+def bfs_depth(
+    edges_df: DataFrame,
+    seeds_df: DataFrame,
+    max_hops: int = 30,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    seed_col: str = "doc",
+) -> DataFrame:
+    """(doc, depth) — minimum hop distance from any seed along DIRECTED
+    edges (r9): the crawl-depth signal (distance from the seed/homepage
+    set), the third member of the link-quality family after PageRank
+    (popularity) and HITS (hub/authority role). Pages deep in the graph
+    are the classic low-quality tail a mixture owner down-weights.
+
+    Min-plus label propagation to fixpoint, the resolve_components shape:
+    depth table seeded at 0, each round candidates = depth ⋈ adjacency
+    (one row per key per side — the r9 skew-proof layout) exploded to
+    (dst, d+1), new depth = min(old, candidates). EAGER loop with early
+    exit when no depth changed, ``max_hops`` as the runaway cap (also the
+    oracle's recursion bound — mirror both or neither); per round one
+    co-partitioned join + a min-aggregation, lineage localCheckpoint-cut
+    so the plan stays O(1) in rounds. Unreached docs are absent (the
+    crawl-frontier convention: you cannot reach them, they have no depth).
+    """
+    from .dedup import track_cache
+
+    edges = edges_df.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    )
+    adj = track_cache(
+        edges.groupBy("src").agg(F.collect_list("dst").alias("dsts"))
+    )
+    dist = (
+        seeds_df.select(F.col(seed_col).alias("doc"))
+        .distinct()
+        .select("doc", F.lit(0).cast("bigint").alias("depth"))
+        .localCheckpoint()
+    )
+    for _ in range(max_hops):
+        cand = (
+            adj.join(dist, adj.src == dist.doc)
+            .select(F.explode("dsts").alias("doc"), (F.col("depth") + 1).alias("d"))
+            .groupBy("doc")
+            .agg(F.min("d").alias("d"))
+        )
+        new_dist = (
+            dist.join(cand, "doc", "full")
+            .select(
+                "doc",
+                F.least(
+                    F.coalesce("depth", F.lit(max_hops + 1)),
+                    F.coalesce("d", F.lit(max_hops + 1)),
+                ).alias("depth"),
+                (
+                    F.col("depth").isNull()
+                    | (F.coalesce("d", F.lit(max_hops + 1)) < F.col("depth"))
+                ).alias("__changed"),
+            )
+            .localCheckpoint()
+        )
+        changed = new_dist.where(F.col("__changed")).count()
+        dist = new_dist.drop("__changed")
+        if changed == 0:
+            break
+    return dist
+
+
+def bfs_depth_oracle_sql(
+    edges_sql: str, seeds_sql: str, max_hops: int = 30
+) -> str:
+    """bfs_depth as a DuckDB recursive CTE — (doc, d) reachability pairs
+    bounded by the same ``max_hops`` the Spark loop uses (the bound is what
+    makes the recursion terminate on cyclic graphs), then MIN per doc."""
+    return f"""
+        WITH RECURSIVE edges AS MATERIALIZED ({edges_sql}),
+        seeds AS MATERIALIZED ({seeds_sql}),
+        reach(doc, d) AS (
+            SELECT doc, CAST(0 AS BIGINT) FROM seeds
+            UNION
+            SELECT e.dst, r.d + 1
+            FROM reach r JOIN edges e ON e.src = r.doc
+            WHERE r.d < {max_hops}
+        )
+        SELECT doc, MIN(d) AS depth FROM reach GROUP BY doc
+    """

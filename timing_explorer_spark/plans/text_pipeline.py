@@ -2941,3 +2941,36 @@ def q_link_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("deg").cast("bigint").alias("min_deg"),
         F.max("deg").cast("bigint").alias("max_deg"),
     )
+
+
+from ..operators.graph import bfs_depth_oracle_sql  # noqa: E402
+
+_SEEDS_SQL = "SELECT doc_id AS doc FROM documents WHERE doc_id < 10"
+
+
+@register(
+    "q_link_crawl_depth",
+    oracle=bfs_depth_oracle_sql(_LINK_EDGES_SQL, _SEEDS_SQL, max_hops=30),
+    doc=(
+        "Crawl depth (r9): minimum hop distance from the seed set (docs "
+        "0-9, the 'homepage' analog) along DIRECTED link edges — the third "
+        "link-quality signal after PageRank (popularity) and HITS "
+        "(hub/authority role); pages deep in the graph are the classic "
+        "low-quality tail a mixture owner down-weights, and depth is also "
+        "the crawl scheduler's frontier priority. Min-plus propagation to "
+        "fixpoint over the skew-proof adjacency layout (one co-partitioned "
+        "join + min-aggregation per round, early exit, max_hops=30 runaway "
+        "cap), lineage cut per round. Oracle = recursive-CTE reachability "
+        "with the SAME hop bound (the bound is what terminates the "
+        "recursion on cyclic graphs), MIN(d) per doc. Unreached docs are "
+        "absent in both engines."
+    ),
+    tags=("graph", "links", "crawl", "bfs", "iterative", "llm-pipeline"),
+)
+def q_link_crawl_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import bfs_depth
+
+    docs = load(spark, sf_dir, "documents")
+    edges = _link_edges(_link_pages(docs))
+    seeds = docs.where(F.col("doc_id") < 10).select(F.col("doc_id").alias("doc"))
+    return bfs_depth(edges, seeds, max_hops=30)
