@@ -66,7 +66,10 @@ HUB_DEG = 1_500_000  # one mega-hub, both directions
 # never materializes as an array in this dataflow). Every RECURRING
 # (per-round) stage must stay under the relative bound outright, which the
 # 1 MB profiling floor below makes visible instead of filtering away.
-MAX_TASK_READ_FLOOR = 32 * 1024 * 1024
+# Floor sized to the documented ~12 MB expected concentrated task plus
+# ~33% headroom for shuffle framing/compression variance (ADVICE r10 —
+# the earlier 32 MB masked up to 2.7x the expected size).
+MAX_TASK_READ_FLOOR = 16 * 1024 * 1024
 
 
 def main() -> int:
@@ -147,9 +150,12 @@ def main() -> int:
         skews = [k for s in new if (k := _stage_task_skew(app, s))]
         worst = max(skews, key=lambda k: k["ratio"], default=None)
         over_relative = [k for k in skews if k["ratio"] > MAX_OVER_MEDIAN]
-        for k in over_relative:
-            if k["max_task_shuffle_read"] > MAX_TASK_READ_FLOOR:
-                violations.append({"op": name, **k})
+        material = [
+            k
+            for k in over_relative
+            if k["max_task_shuffle_read"] > MAX_TASK_READ_FLOOR
+        ]
+        violations.extend({"op": name, **k} for k in material)
         results[name] = {
             "cold_sec": runs[0],
             "warm_sec": min(runs[1:]),
@@ -157,8 +163,13 @@ def main() -> int:
             "worst_task_skew": worst,
             # full transparency: relative-bound exceedances that fall under
             # the materiality floor (the one-time adjacency build lands
-            # here by design — see module constants)
-            "immaterial_relative_exceedances": over_relative,
+            # here by design — see module constants). ONLY the sub-floor
+            # subset (ADVICE r10): material ones are in `violations`.
+            "immaterial_relative_exceedances": [
+                k
+                for k in over_relative
+                if k["max_task_shuffle_read"] <= MAX_TASK_READ_FLOOR
+            ],
         }
 
     def run_pagerank() -> None:
@@ -183,9 +194,58 @@ def main() -> int:
             "noop"
         ).save()
 
+    def run_bfs() -> None:
+        # r10 verdict task #3: the BFS loop under the same hub. Seeding AT
+        # the hub forces the worst case — round 1 joins the hub's 1.5M-dst
+        # adjacency row (one task by construction, ~12 MB — the same
+        # bounded concentration as the adjacency build) and the min-agg
+        # absorbs the 1.5M candidate rows map-side.
+        from timing_explorer_spark.operators.graph import bfs_depth
+
+        seeds = spark.range(8).select(F.col("id").alias("doc"))
+        bfs_depth(edges, seeds, max_hops=30).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
+    def run_anchor_terms() -> None:
+        # r10 verdict task #3: the anchor-corpus build's (dst_url, term)
+        # aggregate, in-degree-skewed by construction (the hub's dst_url
+        # receives 1.5M mentions). Same dataflow tail as q_anchor_terms:
+        # explode terms, groupBy(dst_url, term) with count +
+        # count_distinct(src) — the distinct goes through Spark's two-phase
+        # (key+src) expand, so the hub key spreads over src before the
+        # final aggregate; plain counts collapse in map-side partials.
+        vocab = F.array(*[F.lit(w) for w in
+                          ("click", "here", "best", "cheap", "official",
+                           "home", "page", "link")])
+        pairs = edges.select(
+            F.col("src").alias("doc_id"),
+            F.concat(
+                F.lit("https://example.com/doc/"), F.col("dst").cast("string")
+            ).alias("dst_url"),
+            F.concat_ws(
+                " ",
+                F.element_at(vocab, (F.pmod(F.xxhash64("src", "dst"), F.lit(8)) + 1).cast("int")),
+                F.element_at(vocab, (F.pmod(F.xxhash64("dst", "src"), F.lit(8)) + 1).cast("int")),
+            ).alias("anchor"),
+        )
+        terms = pairs.select(
+            "doc_id",
+            "dst_url",
+            F.explode(F.split(F.lower(F.trim(F.col("anchor"))), r"\s+")).alias(
+                "term"
+            ),
+        ).where(F.length("term") > 0)
+        terms.groupBy("dst_url", "term").agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.count_distinct("doc_id").alias("n_src_docs"),
+        ).write.mode("overwrite").format("noop").save()
+
     profiled("pagerank_directed_5it", run_pagerank)
     profiled("link_components", run_components)
     profiled("hits_5it", run_hits)
+    profiled("bfs_depth_from_hub", run_bfs)
+    profiled("anchor_terms_build", run_anchor_terms)
 
     out = {
         "metric": "link_graph_skew_probe",

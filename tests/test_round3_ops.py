@@ -635,3 +635,39 @@ def test_exact_substr_trim_consistent_with_coverage(spark, sf_smoke):
         assert r["kept_tokens"] == n - covered, r["doc_id"]
         removed_any |= covered > 0
     assert removed_any
+
+
+def test_pagerank_token_budget_approx_matches_exact_shares(spark, sf_oracle):
+    """r10 verdict task #2: the approx-percentile variant of the PageRank
+    token budget must reproduce the exact NTILE variant's bucket structure
+    within quantile tolerance — per-bucket doc SHARE within (largest rank
+    tie-group share + the sketch's 1e-4 rank error), and identical
+    weight/budget arithmetic given the bucket (sample_rate recomputable
+    from the row's own columns)."""
+    from timing_explorer_spark.plans import all_queries
+
+    qs = all_queries()
+    exact = {r["bucket"]: r for r in qs["q_pagerank_token_budget"].build(spark, sf_oracle).collect()}
+    approx = {
+        r["bucket"]: r
+        for r in qs["q_pagerank_token_budget_approx"].build(spark, sf_oracle).collect()
+    }
+    assert set(exact) == {1, 2, 3} and set(approx) == {1, 2, 3}
+    total = sum(r["n_docs"] for r in exact.values())
+    assert total == sum(r["n_docs"] for r in approx.values())
+    # the boundary-tie refinement makes bucket sizes match NTILE's to within
+    # the sketch's rank error (accuracy 10000) plus a couple of boundary
+    # docs from the sketch's pick-an-element semantics
+    tol_docs = max(3, int(total * 3e-4))
+    for b in (1, 2, 3):
+        assert abs(exact[b]["n_docs"] - approx[b]["n_docs"]) <= tol_docs, (
+            b,
+            exact[b]["n_docs"],
+            approx[b]["n_docs"],
+        )
+        assert approx[b]["weight"] == exact[b]["weight"]
+        # budget arithmetic identical given the bucket's own token mass
+        r = approx[b]
+        want_rate = min(1.0, 100000.0 * r["weight"] / 7.0 / r["n_tokens"])
+        assert abs(r["sample_rate"] - want_rate) < 1e-12
+        assert abs(r["expected_tokens"] - r["sample_rate"] * r["n_tokens"]) < 1e-9

@@ -560,6 +560,13 @@ def ann_load(
             .orderBy("idx")
             .collect()
         ]
+        if not centers:
+            # mirror the books guard (ADVICE r10): an empty-but-present
+            # artifact is corruption, and [] is falsy-ambiguous with absence
+            raise ValueError(
+                f"ann_load: {path}/centers.parquet exists but is empty "
+                "(was ann_save called with centers=[]?)"
+            )
     except AnalysisException as e:
         if not _absent(e):
             raise
@@ -756,7 +763,8 @@ def pq_train_codebooks(
             "(after sample_fraction, if set) — nothing to train on"
         )
     dim = len(row["v"])
-    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
     sub = dim // m
     books: list[list[list[float]]] = []
     for j in range(m):

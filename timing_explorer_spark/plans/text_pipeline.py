@@ -2800,11 +2800,15 @@ _PR_SUBQUERY = pagerank_directed_oracle_sql(_LINK_EDGES_SQL, iterations=5)
         "CCNet/CC-style quality tiering but with a LINK signal instead of "
         "an LM). Scale shape: the PageRank loop is the Pregel-shaped "
         "co-partitioned join+agg per round; the NTILE runs over the "
-        "doc-grain RANK table (orders smaller than the token corpus, and "
-        "at true 100 TB you would swap it for approx-percentile "
-        "thresholds — documented trade for exactness here); the budget "
-        "math is a 3-row aggregate. Oracle composes the identical "
-        "recurrence CTE chain with the identical bucket/budget arithmetic."
+        "doc-grain RANK table (orders smaller than the token corpus) but "
+        "is a SINGLE-PARTITION global sort — the exactness trade that "
+        "makes this variant oracle-hashable. At true 100 TB run "
+        "q_pagerank_token_budget_approx instead: the same composition "
+        "with approx-percentile rank thresholds (fully parallel, no "
+        "global sort), property-pinned against this variant in "
+        "tests/test_round3_ops.py. The budget math is a 3-row "
+        "aggregate. Oracle composes the identical recurrence CTE chain "
+        "with the identical bucket/budget arithmetic."
     ),
     tags=("graph", "pagerank", "links", "sampling", "mixture", "composed", "llm-pipeline"),
 )
@@ -2851,6 +2855,151 @@ def q_pagerank_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(
             F.lit(1.0),
             F.lit(100000.0) * F.col("weight") / total_w / F.col("n_tokens"),
+        ).alias("sample_rate"),
+    )
+    return rates.select(
+        "*", (F.col("sample_rate") * F.col("n_tokens")).alias("expected_tokens")
+    )
+
+
+@register(
+    "q_pagerank_token_budget_approx",
+    oracle=None,  # approx-percentile thresholds are implementation-specific;
+    # property-pinned against the exact NTILE variant (bucket shares within
+    # quantile tolerance) in tests/test_round3_ops.py
+    doc=(
+        "The 100 TB form of q_pagerank_token_budget (r10 verdict task #2): "
+        "the SAME PageRank -> quality-bucket -> token-budget composition, "
+        "but buckets come from APPROX-PERCENTILE rank thresholds "
+        "(percentile_approx at accuracy 10000, i.e. rank-error <= 1e-4 of "
+        "the doc count) instead of a global NTILE — the exact variant's "
+        "Window.orderBy is a single-partition sort, the one scale-killer "
+        "in the r9 plan audit. Here the thresholds are a 1-row aggregate "
+        "(two-phase, map-side partial sketches) broadcast back onto the "
+        "doc-grain rank table, so every stage is fully parallel. Rank TIE "
+        "groups straddling a boundary (large on this fixture's regular "
+        "graph — a bare threshold would empty a bucket) are split the way "
+        "NTILE's (rank DESC, doc ASC) order does: a doc-id quantile WITHIN "
+        "the boundary tie group, again a parallel sketch aggregate. Three "
+        "passes over the doc-grain rank table, two 1-row collects to "
+        "parametrize the next pass's literals — never a global sort. "
+        "Bucket sizes match the exact variant to within the sketch's rank "
+        "error (property-pinned at tight tolerance). Total weight is a "
+        "1-row aggregate crossJoin-broadcast (no unpartitioned Window "
+        "anywhere in this plan — verified in the PLANS.md WANT review)."
+    ),
+    tags=(
+        "graph",
+        "pagerank",
+        "links",
+        "sampling",
+        "mixture",
+        "composed",
+        "approx",
+        "llm-pipeline",
+    ),
+)
+def q_pagerank_token_budget_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.graph import pagerank_directed
+
+    docs = load(spark, sf_dir, "documents")
+    ranks = pagerank_directed(
+        _link_edges(_link_pages(docs)), iterations=5
+    ).localCheckpoint(eager=False)  # 3 aggregate passes read it below
+    # pass 1: rank thresholds at the 1/3 and 2/3 quantiles + total count —
+    # one 1-row aggregate (sketches merge map-side), never a global sort
+    acc = 10000
+    r0 = ranks.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx("rank", [2.0 / 3.0, 1.0 / 3.0], acc).alias("t"),
+    ).collect()[0]
+    n = int(r0["n"])
+    t1, t2 = float(r0["t"][0]), float(r0["t"][1])
+    # NTILE(3) bucket sizes over n rows: the first (n mod 3) buckets get the
+    # extra row — reproduce them so boundary splits land where NTILE's do
+    size1 = n // 3 + (1 if n % 3 >= 1 else 0)
+    size12 = size1 + n // 3 + (1 if n % 3 >= 2 else 0)
+    # pass 2: how much of each boundary TIE group (rank == threshold) must
+    # go to the upper bucket to hit the NTILE sizes (NTILE order is rank
+    # DESC, doc ASC — so within a tie group, SMALLEST doc ids go up)
+    r1 = ranks.agg(
+        F.sum((F.col("rank") > t1).cast("long")).alias("above1"),
+        F.sum((F.col("rank") == t1).cast("long")).alias("tie1"),
+        F.sum((F.col("rank") > t2).cast("long")).alias("above2"),
+        F.sum((F.col("rank") == t2).cast("long")).alias("tie2"),
+    ).collect()[0]
+    need1 = min(max(size1 - int(r1["above1"]), 0), int(r1["tie1"]))
+    need2 = min(max(size12 - int(r1["above2"]), 0), int(r1["tie2"]))
+    # pass 3: doc-id quantile WITHIN each boundary tie group at the needed
+    # fraction — conditional sketch aggregates (nulls ignored), still one
+    # 1-row parallel pass. need == 0 -> no doc from that tie goes up.
+    d_aggs = []
+    if need1 > 0:
+        d_aggs.append(
+            F.percentile_approx(
+                F.when(F.col("rank") == t1, F.col("doc")),
+                need1 / int(r1["tie1"]),
+                acc,
+            ).alias("d1")
+        )
+    if need2 > 0:
+        d_aggs.append(
+            F.percentile_approx(
+                F.when(F.col("rank") == t2, F.col("doc")),
+                need2 / int(r1["tie2"]),
+                acc,
+            ).alias("d2")
+        )
+    drow = ranks.agg(*d_aggs).collect()[0] if d_aggs else {}
+    up1 = (F.col("rank") > t1) | (
+        (F.col("rank") == t1) & (F.col("doc") <= int(drow["d1"]))
+        if need1 > 0
+        else F.lit(False)
+    )
+    up2 = (F.col("rank") > t2) | (
+        (F.col("rank") == t2) & (F.col("doc") <= int(drow["d2"]))
+        if need2 > 0
+        else F.lit(False)
+    )
+    scored = ranks.join(
+        docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        ),
+        ranks.doc == F.col("doc_id"),
+    ).select(
+        "doc",
+        "rank",
+        "n_tokens",
+        # bucket 1 = head, 2 = mid, 3 = tail — the NTILE(3) ORDER BY rank
+        # DESC, doc ASC orientation of the exact variant
+        F.when(up1, 1).when(up2, 2).otherwise(3).alias("bucket"),
+    )
+    agg = (
+        scored.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight",
+            F.when(F.col("bucket") == 1, 4)
+            .when(F.col("bucket") == 2, 2)
+            .otherwise(1)
+            .cast("bigint"),
+        )
+    )
+    # total weight via a 1-row aggregate broadcast, NOT an unpartitioned
+    # Window (the exact variant's total_w window is harmless on 3 rows but
+    # this plan's contract is zero single-partition operators)
+    tot = agg.agg(F.sum("weight").alias("total_w"))
+    rates = agg.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.least(
+            F.lit(1.0),
+            F.lit(100000.0) * F.col("weight") / F.col("total_w") / F.col("n_tokens"),
         ).alias("sample_rate"),
     )
     return rates.select(

@@ -156,7 +156,10 @@ def slot_digests(packed: Column, num_perm: int) -> Column:
 def band_keys_from_sig(sig: Column, num_perm: int, bands: int) -> Column:
     """array<bigint>[bands] of LSH band hashes from an existing signature
     column — band j = xxhash64(slice of r = num_perm/bands slots, j)."""
-    assert num_perm % bands == 0
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
     r = num_perm // bands
     return F.transform(
         F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -269,7 +272,10 @@ class _ExactSigPrefilter(StatefulProcessor):
         # in the batch; survivors of a fresh sig become state entries.
         order = np.lexsort((docs, ts_ms)) if n_rows > 1 else np.arange(n_rows)
         sig_s = pdf["sig"].iloc[order].reset_index(drop=True)
-        valid = sig_s.notna().to_numpy()
+        # length > 0 keeps the pre-vectorization defensive passthrough
+        # (ADVICE r10): a zero-length packed binary — should an empty-array
+        # signature ever arise — is shingle-less, never a duplicate
+        valid = (sig_s.notna() & (sig_s.str.len() > 0)).to_numpy()
         dup_later = sig_s.duplicated(keep="first").to_numpy()
         in_state = (
             sig_s.isin(sigs).to_numpy() if sigs else np.zeros(n_rows, dtype=bool)
@@ -504,10 +510,12 @@ def minhash_dedup_stream(
     duplicate)."""
     # band_keys_from_sig enforces this on the default path; verify mode
     # derives r inline (binary slices), so fail fast here for BOTH paths —
-    # a non-divisible num_perm would silently drop trailing slots.
-    assert num_perm % bands == 0, (
-        f"num_perm ({num_perm}) must be divisible by bands ({bands})"
-    )
+    # a non-divisible num_perm would silently drop trailing slots. ValueError
+    # (not assert): user-input validation must survive python -O (ADVICE r10).
+    if num_perm % bands != 0:
+        raise ValueError(
+            f"num_perm ({num_perm}) must be divisible by bands ({bands})"
+        )
     wm = docs.withWatermark(ts_col, watermark)
     sig = row_local_signature(F.col(text_col), num_perm, n)
     with_sig = wm.select(
