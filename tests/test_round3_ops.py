@@ -671,3 +671,40 @@ def test_pagerank_token_budget_approx_matches_exact_shares(spark, sf_oracle):
         want_rate = min(1.0, 100000.0 * r["weight"] / 7.0 / r["n_tokens"])
         assert abs(r["sample_rate"] - want_rate) < 1e-12
         assert abs(r["expected_tokens"] - r["sample_rate"] * r["n_tokens"]) < 1e-9
+
+
+def test_anchor_terms_nested_markup_kept(spark):
+    """r10 verdict task #5: anchors whose inner text carries nested markup
+    (<a href=u>use <b>bold</b></a>) — silently dropped by the r9 [^<]*
+    grammar — must tokenize via the strip chain; entity decode and
+    whitespace collapse ride the same chain; plain anchors unchanged."""
+    from timing_explorer_spark.plans.text_pipeline import anchor_term_counts
+
+    pages = spark.createDataFrame(
+        [
+            (
+                1,
+                '<a href="https://x.example/p">use <b>bold</b>  tags</a> '
+                "<a href='https://x.example/q'>plain &amp; simple</a>",
+            ),
+            (2, '<a href="https://x.example/p">use <i>italic</i> tags</a>'),
+        ],
+        ["doc_id", "html"],
+    )
+    rows = {
+        (r["dst_url"], r["term"]): (r["n_mentions"], r["n_src_docs"])
+        for r in anchor_term_counts(pages).collect()
+    }
+    # nested-markup anchor kept: strip chain removes <b>/<i>, collapses the
+    # double space, both docs mention (p, use/tags)
+    assert rows[("https://x.example/p", "use")] == (2, 2)
+    assert rows[("https://x.example/p", "bold")] == (1, 1)
+    assert rows[("https://x.example/p", "italic")] == (1, 1)
+    assert rows[("https://x.example/p", "tags")] == (2, 2)
+    # single-quoted plain anchor: entity decode via the chain ('&' survives
+    # as its own whitespace-delimited token)
+    assert rows[("https://x.example/q", "plain")] == (1, 1)
+    assert rows[("https://x.example/q", "&")] == (1, 1)
+    assert rows[("https://x.example/q", "simple")] == (1, 1)
+    # no token leaked from the markup itself
+    assert not any(t.startswith("<") for (_, t) in rows)

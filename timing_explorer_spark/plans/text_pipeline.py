@@ -2306,8 +2306,12 @@ from ..operators.graph import pagerank_oracle_sql  # noqa: E402
 
 # ------------------------------------------------------------------ r8: links
 # The synthesized link markup: two deterministic intra-corpus anchors (a
-# messy-cased tracking-parameter one and a single-quoted fragment one) plus
-# one external asset link — reproduced VERBATIM in the DuckDB oracles.
+# messy-cased tracking-parameter one and a single-quoted fragment one), one
+# external asset link, and (r10 verdict task #5) one anchor whose inner text
+# carries NESTED MARKUP (<b>) — the case the r9 [^<]* grammar silently
+# dropped — all reproduced VERBATIM in the DuckDB oracles. The nested anchor
+# targets a non-/doc/ URL so the intra-corpus EDGE set (and with it the
+# whole PageRank/HITS/BFS family) is unchanged.
 _LINK_HTML_SQL = (
     "'<html><body><p>see also</p>"
     "<a class=\"nav\" href=\"HTTP://Example.COM:80/doc/' "
@@ -2315,7 +2319,8 @@ _LINK_HTML_SQL = (
     "'?utm_source=crawl&x=' || CAST(doc_id AS VARCHAR) || '\">half</a> "
     "<a href=''https://example.com/doc/' || CAST(doc_id // 3 AS VARCHAR) || "
     "'#frag''>third</a> "
-    "<a href=\"https://CDN.other.net:443/asset?gclid=zz&v=1\">ext</a>"
+    "<a href=\"https://CDN.other.net:443/asset?gclid=zz&v=1\">ext</a> "
+    "<a href=\"https://docs.other.net/guide?v=2\">read the <b>full guide</b> now</a>"
     "</body></html>'"
 )
 
@@ -2336,7 +2341,11 @@ def _link_pages(d: DataFrame) -> DataFrame:
             F.lit('">half</a> <a href=\'https://example.com/doc/'),
             third,
             F.lit("#frag'>third</a> "),
-            F.lit('<a href="https://CDN.other.net:443/asset?gclid=zz&v=1">ext</a>'),
+            F.lit('<a href="https://CDN.other.net:443/asset?gclid=zz&v=1">ext</a> '),
+            F.lit(
+                '<a href="https://docs.other.net/guide?v=2">read the '
+                "<b>full guide</b> now</a>"
+            ),
             F.lit("</body></html>"),
         ).alias("html"),
     )
@@ -2617,15 +2626,63 @@ def q_link_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # anchor-capturing variants of the href patterns: group 1 = url, group 2 =
-# the anchor's inner text up to the close tag ([^<]* — the fixture anchors
-# hold no nested markup; a nested-tag grammar would need the html_extract
-# strip chain, overkill for the anchor-term signal)
-_DQ_A = r'(?i)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>([^<]*)</a>'
-_SQ_A = r"(?i)<a\s[^>]*href\s*=\s*'([^']*)'[^>]*>([^<]*)</a>"
+# the anchor's inner HTML up to the nearest close tag. r10 verdict task #5:
+# the r9 grammar ([^<]*) silently DROPPED anchors whose inner text carries
+# nested markup (<a href=u>use <b>bold</b></a>); group 2 is now a lazy
+# (?s:.)*? run — HTML forbids nested <a>, so the nearest </a> is the right
+# boundary — and the captured fragment is routed through the html_extract
+# strip chain (tags -> space, entity decode, whitespace collapse) before
+# tokenization, in BOTH engines.
+_DQ_A = r'(?is)<a\s[^>]*href\s*=\s*"([^"]*)"[^>]*>(.*?)</a>'
+_SQ_A = r"(?is)<a\s[^>]*href\s*=\s*'([^']*)'[^>]*>(.*?)</a>"
 
 # DuckDB-side mirrors (single quotes doubled for the SQL literal)
-_DQ_A_SQL = '(?i)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>([^<]*)</a>'
-_SQ_A_SQL = "(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''[^>]*>([^<]*)</a>"
+_DQ_A_SQL = '(?is)<a\\s[^>]*href\\s*=\\s*"([^"]*)"[^>]*>(.*?)</a>'
+_SQ_A_SQL = "(?is)<a\\s[^>]*href\\s*=\\s*''([^'']*)''[^>]*>(.*?)</a>"
+
+
+def anchor_term_counts(pages: DataFrame) -> DataFrame:
+    """The q_anchor_terms dataflow over any (doc_id, html) frame — factored
+    out so the nested-markup grammar is unit-pinnable on crafted inputs
+    (tests/test_round3_ops.py) as well as oracle-checked on the fixture."""
+    from ..operators.html_extract import canonicalize_url, strip_html
+
+    pairs = pages.select(
+        "doc_id",
+        F.explode(
+            F.concat(
+                F.arrays_zip(
+                    F.regexp_extract_all("html", F.lit(_DQ_A), F.lit(1)).alias("url"),
+                    F.regexp_extract_all("html", F.lit(_DQ_A), F.lit(2)).alias(
+                        "anchor"
+                    ),
+                ),
+                F.arrays_zip(
+                    F.regexp_extract_all("html", F.lit(_SQ_A), F.lit(1)).alias("url"),
+                    F.regexp_extract_all("html", F.lit(_SQ_A), F.lit(2)).alias(
+                        "anchor"
+                    ),
+                ),
+            )
+        ).alias("e"),
+    ).select("doc_id", F.col("e.url").alias("url"), F.col("e.anchor").alias("anchor"))
+    terms = (
+        pairs.select(
+            "doc_id",
+            canonicalize_url(F.col("url")).alias("dst_url"),
+            # r10: the captured inner HTML goes through the strip chain
+            # (nested tags -> space, entities, whitespace collapse) so
+            # nested-markup anchors tokenize instead of being dropped
+            F.explode(
+                F.split(F.lower(strip_html(F.col("anchor"))), r"\s+")
+            ).alias("term"),
+        )
+        .where(F.length("term") > 0)
+    )
+    return terms.groupBy("dst_url", "term").agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.count_distinct("doc_id").alias("n_src_docs"),
+    )
 
 
 @register(
@@ -2682,7 +2739,8 @@ _SQ_A_SQL = "(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''[^>]*>([^<]*)</a>"
             SELECT doc_id, dst_url, t AS term
             FROM (
                 SELECT doc_id, dst_url,
-                       UNNEST(string_split_regex(lower(trim(anchor)), '\\s+')) AS t
+                       UNNEST(string_split_regex(
+                           lower({_strip_sql("anchor")}), '\\s+')) AS t
                 FROM edges
             )
             WHERE LENGTH(t) > 0
@@ -2697,12 +2755,14 @@ _SQ_A_SQL = "(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''[^>]*>([^<]*)</a>"
         "Anchor-text term frequency per link TARGET (r9 verdict task #5) — "
         "the classic link-spam / target-description signal: what the WEB "
         "calls a page, aggregated over every page linking to it. The "
-        "anchor-capturing grammar extracts (href, inner text) pairs "
+        "anchor-capturing grammar extracts (href, inner HTML) pairs "
         "positionally (same two-group regex, group 1 vs 2, zipped by "
-        "position in BOTH engines), target URLs go through the full "
-        "canonicalize_url chain so mentions of the same page under "
-        "tracking-param/case/port variants aggregate together, anchor text "
-        "is lowercased and whitespace-tokenized. Output per (dst_url, "
+        "position in BOTH engines; r10 — the inner capture is a lazy "
+        "(?s:.)*? so anchors with NESTED markup are kept, then routed "
+        "through the html_extract strip chain), target URLs go through "
+        "the full canonicalize_url chain so mentions of the same page "
+        "under tracking-param/case/port variants aggregate together, "
+        "anchor text is lowercased and whitespace-tokenized. Output per (dst_url, "
         "term): n_mentions (total) and n_src_docs (distinct linking pages "
         "— the spam discriminator: high mentions from FEW sources is the "
         "spam shape). Map-only until one (dst_url, term) aggregate; "
@@ -2713,42 +2773,7 @@ _SQ_A_SQL = "(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''[^>]*>([^<]*)</a>"
     tags=("text", "html", "links", "crawl", "quality", "llm-pipeline"),
 )
 def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.html_extract import canonicalize_url
-
-    pages = _link_pages(load(spark, sf_dir, "documents"))
-    pairs = pages.select(
-        "doc_id",
-        F.explode(
-            F.concat(
-                F.arrays_zip(
-                    F.regexp_extract_all("html", F.lit(_DQ_A), F.lit(1)).alias("url"),
-                    F.regexp_extract_all("html", F.lit(_DQ_A), F.lit(2)).alias(
-                        "anchor"
-                    ),
-                ),
-                F.arrays_zip(
-                    F.regexp_extract_all("html", F.lit(_SQ_A), F.lit(1)).alias("url"),
-                    F.regexp_extract_all("html", F.lit(_SQ_A), F.lit(2)).alias(
-                        "anchor"
-                    ),
-                ),
-            )
-        ).alias("e"),
-    ).select("doc_id", F.col("e.url").alias("url"), F.col("e.anchor").alias("anchor"))
-    terms = (
-        pairs.select(
-            "doc_id",
-            canonicalize_url(F.col("url")).alias("dst_url"),
-            F.explode(
-                F.split(F.lower(F.trim(F.col("anchor"))), r"\s+")
-            ).alias("term"),
-        )
-        .where(F.length("term") > 0)
-    )
-    return terms.groupBy("dst_url", "term").agg(
-        F.count(F.lit(1)).alias("n_mentions"),
-        F.count_distinct("doc_id").alias("n_src_docs"),
-    )
+    return anchor_term_counts(_link_pages(load(spark, sf_dir, "documents")))
 
 
 # the directed-PageRank CTE chain as a subquery (nested WITH — both engines
