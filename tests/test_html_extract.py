@@ -228,14 +228,21 @@ def test_strip_html_quote_aware_attr_gt(spark):
         ),
         # '<' NOT opening a tag stays legal inside a terminated quote
         ('<a onclick="if (a < 3) go()">click</a> on', "click on"),
-        # r9 DOCUMENTED LIMITATION (not a target behavior — a pin of the
-        # accepted trade, see the _DQ_RUN comment in html_extract.py): an
-        # UNSPACED '<'+letter inside a terminated attribute value is
-        # indistinguishable from a tag-opening '<' without lookahead, so
-        # the quoted run stops there and the post-'<' fragment leaks into
-        # visible text. Valid HTML entity-encodes '<' in attribute values;
-        # tolerating the raw form would re-open the r8 unterminated-quote
-        # swallow (unbounded loss vs this bounded leak).
+        # r10 FIX (verdict task #6, was the r9 documented shear): an
+        # UNSPACED comparison inside a terminated attribute value — '<' +
+        # letters + a non-tag-delimiter — now stays inside the quoted run
+        # (the tag-like context is CONSUMED, not looked ahead at, so the
+        # grammar still runs on RE2)
+        ('<a onclick="if(a<b)x()">click</a> on', "click on"),
+        ("<a onclick='if(a<b)x()'>tap</a> go", "tap go"),        # SQ flavor
+        # ... while a real tag start inside an UNTERMINATED quote still
+        # breaks the run (the r8 fix is untouched): tag names are always
+        # followed by whitespace / '/' / '>'
+        # r10 REMAINING LIMITATION (pin of the accepted trade, see the
+        # _DQ_RUN comment): '<'+letters+tag-delimiter inside a terminated
+        # value is byte-indistinguishable from a tag start without
+        # unbounded lookahead — still shears, leaking a bounded fragment.
+        # Valid HTML entity-encodes '<' inside attribute values.
         ('<a title="use <b> tags">x</a> y', 'tags">x y'),
     ]
     df = spark.createDataFrame([(h,) for h, _ in rows], "html string")

@@ -58,20 +58,25 @@ from pyspark.sql import functions as F
 # alternation of character classes — no lookahead, linear in both Java
 # regex (Spark) and RE2 (the DuckDB oracle mirror, _strip_sql).
 #
-# KNOWN LIMITATION (r9, documented next to the spaced-comparison pin in
-# tests/test_html_extract.py): the '<'+letter exclusion also shears a
-# legitimately TERMINATED attribute value that contains such a sequence —
-# onclick="if(a<b)x()" (unspaced comparison) or title="use <b> tags" —
-# leaking the post-'<' fragment (e.g. 'tags">') into visible text. Valid
-# HTML must entity-encode '<' inside attribute values (the HTML5 spec's
-# unambiguous-ampersand rule is stricter still), so the affected inputs
-# are themselves malformed; the trade is deliberate: tolerating them
-# would re-open the unterminated-quote swallow, which loses unbounded
-# content instead of leaking a bounded fragment. A tighter exclusion
-# ('<' followed by tag-like context [a-zA-Z]+[\s/>]) would need
-# lookahead, which RE2 (the oracle engine) does not support.
-_DQ_RUN = "\"(?:[^\"<]|<[^a-zA-Z/\"])*\""
-_SQ_RUN = "'(?:[^'<]|<[^a-zA-Z/'])*'"
+# r10 (verdict task #6): the exclusion is now TAG-LIKE CONTEXT, not bare
+# '<'+letter — a quoted run additionally admits '<' + letters + a
+# non-tag-delimiter ('<' then [a-zA-Z]+ then a char that is none of
+# whitespace / '/' / '>' / '<' / the closing quote), expressed by CONSUMING
+# the context instead of looking ahead, so it stays linear in both Java
+# regex (Spark) and RE2 (the DuckDB oracle mirror, which has no lookahead).
+# This keeps UNSPACED comparisons inside terminated attribute values intact
+# (onclick="if(a<b)x()" — the r9 shear, now pinned green) while a real tag
+# start inside an unterminated quote still breaks the run: in any tag, the
+# name is followed by whitespace, '/', or '>', exactly the excluded set,
+# so the r8 unterminated-quote fix is untouched (all r8 pins still green).
+#
+# REMAINING LIMITATION (pinned): a '<'+letters sequence followed by a tag
+# delimiter inside a TERMINATED value — title="use <b> tags" — is
+# byte-indistinguishable from a tag start without unbounded lookahead, so
+# it still shears (bounded fragment leak). Valid HTML entity-encodes '<'
+# inside attribute values, so affected inputs are themselves malformed.
+_DQ_RUN = "\"(?:[^\"<]|<[a-zA-Z]+[^a-zA-Z\\s/><\"]|<[^a-zA-Z/\"])*\""
+_SQ_RUN = "'(?:[^'<]|<[a-zA-Z]+[^a-zA-Z\\s/><']|<[^a-zA-Z/'])*'"
 _TAG_BODY = (
     "(?:[^>\"']|" + _DQ_RUN + "|" + _SQ_RUN + ")*(?:\"[^\">]*|'[^'>]*)?"
 )

@@ -1097,11 +1097,12 @@ _HTML_SYNTH_SQL = (
 # the quote-aware tag body (html_extract._TAG_BODY, incl. the r8
 # unterminated-quote tolerance: quoted runs may not span a tag-opening '<')
 # with single quotes doubled for SQL string literals — RE2 runs the
-# identical alternation
+# identical alternation (r10: incl. the consumed tag-like-context units that
+# keep unspaced comparisons inside terminated quotes — see _DQ_RUN)
 _TAG_BODY_SQL = (
     "(?:[^>\"'']"
-    "|\"(?:[^\"<]|<[^a-zA-Z/\"])*\""
-    "|''(?:[^''<]|<[^a-zA-Z/''])*''"
+    "|\"(?:[^\"<]|<[a-zA-Z]+[^a-zA-Z\\s/><\"]|<[^a-zA-Z/\"])*\""
+    "|''(?:[^''<]|<[a-zA-Z]+[^a-zA-Z\\s/><'']|<[^a-zA-Z/''])*''"
     ")*(?:\"[^\">]*|''[^''>]*)?"
 )
 
