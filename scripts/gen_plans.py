@@ -154,6 +154,8 @@ def main() -> None:
         "q_link_hits",
         "q_link_degree_stats",
         "q_link_crawl_depth",
+        # Round-10: the 100 TB form of the token budget (no global sort).
+        "q_pagerank_token_budget_approx",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

@@ -398,8 +398,21 @@ def hits_fixed(
     grouped by src (hub -> authority messages) and one by dst (authority ->
     hub) — so each join has EXACTLY ONE row per key per side; hub-side
     power-law mass collapses in the map-side partial sums; the two
-    round-max scalars come back as 1-row broadcasts. Lineage is cut per
-    round (lazy localCheckpoint) so the plan stays linear in iterations.
+    round-max scalars come back as 1-row broadcasts.
+
+    Cost shape (r10 verdict task #4 — was 2.2x the PageRank loop at sf1):
+    the loop carries RAW-AGGREGATE state only (h_raw keyed by src, plus the
+    two 1-row maxima); BOTH normalizations are FOLDED into their consumers
+    (score = raw * SCALE DIV max computed where the next pass sums it —
+    absent keys score 0 and contribute nothing, so inner joins are exact),
+    so no node-grain score table is materialized or joined inside the loop
+    at all; the final left joins against ``nodes`` happen once, after it.
+    Both edge-grain aggregates are lazily localCheckpoint-ed: previously
+    each was referenced twice (value leg + max normalizer) with no cut, so
+    every round paid FOUR edge-grain passes plus a node-grain a_norm join;
+    now it pays exactly the two message passes HITS inherently has.
+    Integer results are bit-identical to the r9 form (same recurrence,
+    same division points), so the oracle CTE chain is unchanged.
     """
     from .dedup import track_cache
 
@@ -417,64 +430,78 @@ def hits_fixed(
         .unionAll(edges.select(F.col("dst").alias("doc")))
         .distinct()
     )
-    scores = nodes.select(
-        "doc",
-        F.lit(SCALE).cast("bigint").alias("auth"),
-        F.lit(SCALE).cast("bigint").alias("hub"),
-    ).localCheckpoint(eager=False)
+    a_raw = h_raw = None
+    a_max = h_max = 1
     for _ in range(iterations):
-        # authority update: each SENDER's hub score flows to its dsts —
-        # join on the sender key (one row per side), explode its list
-        a_raw = (
-            out_adj.join(
-                scores.select(F.col("doc").alias("h_doc"), "hub"),
-                out_adj.src == F.col("h_doc"),
+        # authority pass: each SENDER's hub score flows to its dsts — join
+        # on the sender key (one row per side), explode its list. Round 1:
+        # every hub is the initial SCALE, so no join at all; later rounds
+        # fold the hub normalization into the join (hub = h_raw * SCALE DIV
+        # h_max; srcs absent from h_raw have hub 0 and contribute nothing).
+        if h_raw is None:
+            src_hub = out_adj.select(
+                "dsts", F.lit(SCALE).cast("bigint").alias("hub")
             )
-            .select(F.explode("dsts").alias("dst"), F.col("hub"))
+        else:
+            src_hub = (
+                out_adj.join(h_raw, out_adj.src == h_raw.src_key)
+                .select(
+                    "dsts",
+                    F.expr(f"h_raw * {SCALE} DIV {h_max}")
+                    .cast("bigint")
+                    .alias("hub"),
+                )
+            )
+        # Lazy localCheckpoint: multiple consumers (the max fetch, the hub
+        # pass, and on the last round the output join) — uncut, the
+        # edge-grain pass would run once per consumer.
+        a_raw = (
+            src_hub.select(F.explode("dsts").alias("dst"), "hub")
             .groupBy("dst")
             .agg(F.sum("hub").alias("a_raw"))
-        )
-        a_max = a_raw.agg(F.max("a_raw").alias("a_max"))
-        # hub update: sum of the NEW authority scores of link targets
-        a_norm = (
-            nodes.join(a_raw, nodes.doc == a_raw.dst, "left")
-            .crossJoin(F.broadcast(a_max))
-            .select(
-                "doc",
-                F.expr("COALESCE(a_raw, 0) * {s} DIV a_max".format(s=SCALE))
-                .cast("bigint")
-                .alias("auth"),
-            )
             .localCheckpoint(eager=False)
         )
-        # hub update: each TARGET's new authority flows back to its srcs
+        # round maxima come back as DRIVER literals (one 1-row collect per
+        # pass — the same job a broadcast would run, minus the
+        # BroadcastExchange barrier each downstream consumer then waits on;
+        # the per-round sync is inherent: the recurrence divides by the
+        # round's own max before the next sum)
+        a_max = a_raw.agg(F.max("a_raw")).collect()[0][0] or 1
+        # hub pass: each TARGET's NEW authority flows back to its srcs,
+        # with the authority normalization folded in the same way
         h_raw = (
-            in_adj.join(
-                a_norm.select(F.col("doc").alias("a_doc"), "auth"),
-                in_adj.dst == F.col("a_doc"),
-            )
-            .select(F.explode("srcs").alias("src"), F.col("auth"))
-            .groupBy("src")
-            .agg(F.sum("auth").alias("h_raw"))
-        )
-        h_max = h_raw.agg(F.max("h_raw").alias("h_max"))
-        scores = (
-            nodes.join(a_norm, "doc", "left")
-            .join(h_raw, nodes.doc == h_raw.src, "left")
-            .crossJoin(F.broadcast(h_max))
+            in_adj.join(a_raw, in_adj.dst == a_raw.dst)
             .select(
-                "doc",
-                F.coalesce("auth", F.lit(0)).cast("bigint").alias("auth"),
-                F.expr("COALESCE(h_raw, 0) * {s} DIV h_max".format(s=SCALE))
+                F.explode("srcs").alias("src_key"),
+                F.expr(f"a_raw * {SCALE} DIV {a_max}")
                 .cast("bigint")
-                .alias("hub"),
+                .alias("na"),
             )
-            .localCheckpoint(eager=False)
+            .groupBy("src_key")
+            .agg(F.sum("na").alias("h_raw"))
+            .localCheckpoint(eager=False)  # consumers: max fetch, next round, output
         )
-    return scores.select(
-        "doc",
-        (F.col("auth").cast("double") / F.lit(float(SCALE))).alias("authority"),
-        (F.col("hub").cast("double") / F.lit(float(SCALE))).alias("hub"),
+        h_max = h_raw.agg(F.max("h_raw")).collect()[0][0] or 1
+    if a_raw is None:  # iterations == 0: all scores at the initial SCALE
+        return nodes.select(
+            "doc", F.lit(1.0).alias("authority"), F.lit(1.0).alias("hub")
+        )
+    return (
+        nodes.join(a_raw, nodes.doc == a_raw.dst, "left")
+        .join(h_raw, nodes.doc == h_raw.src_key, "left")
+        .select(
+            "doc",
+            (
+                F.expr(f"COALESCE(a_raw, 0) * {SCALE} DIV {a_max}")
+                .cast("double")
+                / F.lit(float(SCALE))
+            ).alias("authority"),
+            (
+                F.expr(f"COALESCE(h_raw, 0) * {SCALE} DIV {h_max}")
+                .cast("double")
+                / F.lit(float(SCALE))
+            ).alias("hub"),
+        )
     )
 
 

@@ -75,13 +75,29 @@ BENCH_lsh_stream.json, interleaved-round protocol):
   - state_buckets default re-measured at 2048 (see the parameter doc —
     vectorization moved the sweet spot to fatter buckets).
 
+Round-10 cost work (verdict task #1 — close the last measured verify-mode
+cost, the per-batch full-bucket state re-read): both stateful layers store
+CHUNK-BLOB rows — a bucket's occupants packed as fixed-size records into a
+few binary rows — so a batch decodes its whole bucket with ONE b"".join +
+ONE np.frombuffer into a structured array (the r9 layout paid one Python
+tuple conversion + one np.frombuffer PER OCCUPANT per batch: ~1.6M
+per-entry decodes on the 200k-doc drain's second trigger). Eviction
+filtering, membership/contested classification (int64/uint64 isin), and
+new-occupant packing are whole-array operations; commits stay append-only
+(one blob row per batch) with eviction- or _MAX_CHUNKS-triggered
+compaction to a single row. The prefilter's membership test became
+two-stage: a vectorized isin on the stored full-signature hash column
+(shipped as ``h`` from the JVM), then byte-exact verification against only
+the records whose hash the batch actually mentions — so exactness is
+unchanged while all-unique traffic does zero per-entry Python.
+
 At 100 TB/day: everything before the stateful step is map-only; the
 stateful operators hold (rate x horizon) band keys — plus, in verify
 mode, one num_perm x 2-byte digest per surviving occupant per band
 (bands x num_perm x 2 ≈ 2 KB/doc at the defaults) plus one full
-num_perm x 8-byte signature per distinct doc in the prefilter — and doc
-counters; state stays rate x horizon bounded in both modes (asserted in
-tests).
+num_perm x 8-byte signature (+ hash) per distinct doc in the prefilter —
+and doc counters; state stays rate x horizon bounded in both modes
+(asserted in tests).
 """
 
 from __future__ import annotations
@@ -185,6 +201,13 @@ def _duration_ms(s: str) -> int:
     return int(float(n) * factor)
 
 
+# A bucket's occupants re-packed as ONE blob row after this many appended
+# chunks, even without an eviction — bounds chunk-row count (and with it
+# the per-batch b"".join fan-in) on long-running streams whose horizon has
+# not yet produced an eviction-triggered compaction.
+_MAX_CHUNKS = 64
+
+
 class _ExactSigPrefilter(StatefulProcessor):
     """Round-8 verdict task #1: the verify-mode prefilter. Keyed by ONE long
     per document — pmod(xxhash64(full MinHash signature), state_buckets)
@@ -206,45 +229,61 @@ class _ExactSigPrefilter(StatefulProcessor):
     state is also unchanged. Rows are processed in (ts, doc) order per key
     ⇒ the same-batch determinism guarantee is preserved.
 
-    State per key: list of (ts_ms, sig) for DISTINCT signatures under the
-    hash key (xxhash64 collisions — distinct sigs, same key — fall through
-    to the full-sig equality check and pass to the verify layer, so a
-    collision can never wrongly suppress). Eviction mirrors
-    _BandVerifyProcessor: one event-time timer at the earliest entry's
-    expiry; state is rate x horizon bounded."""
+    State layout (r10 verdict task #1 — CHUNKED BLOBS): the bucket's
+    occupants live in a FEW binary blob rows, each packing many fixed-size
+    records (ts_ms >i8, sig_hash >i8, sig V{8*num_perm}); a batch decodes
+    the whole bucket with ONE b"".join + ONE np.frombuffer instead of one
+    Python tuple + bytes() per occupant (r9's top remaining verify-mode
+    cost: per-batch full-bucket state re-read at per-entry granularity).
+    Membership is two-stage and exact: a vectorized int64 isin on the
+    stored xxhash64(sig) column picks candidate records (zero per-entry
+    work on all-unique traffic), and only records whose hash actually
+    appears in the batch are materialized into a bytes-set for the
+    full-signature equality check (so a hash collision can never wrongly
+    suppress). Append-only commits add one blob row per batch; evictions
+    (and a _MAX_CHUNKS cap) compact to a single row. One event-time timer
+    at the earliest entry's expiry; state is rate x horizon bounded."""
 
-    def __init__(self, horizon_ms: int) -> None:
+    def __init__(self, horizon_ms: int, num_perm: int = 64) -> None:
         self.horizon_ms = horizon_ms
+        self.num_perm = num_perm
+        self._dt = None
+
+    def _dtype(self):
+        if self._dt is None:
+            import numpy as np
+
+            self._dt = np.dtype(
+                [("ts", ">i8"), ("h", ">i8"), ("sig", f"V{8 * self.num_perm}")]
+            )
+        return self._dt
 
     def init(self, handle) -> None:
         self.handle = handle
-        # signatures packed as 8-byte-per-slot binary: one Arrow scalar per
-        # entry instead of a 64-element list (cheaper state RPC payloads)
-        self.entries = handle.getListState("sigs", "ts_ms long, sig binary")
+        # same state name as the pre-r10 row-per-occupant layout, so a
+        # checkpoint written by the old schema fails state-schema validation
+        # LOUDLY on resume instead of silently missing duplicates (see the
+        # STATE FORMAT note in minhash_dedup_stream)
+        self.entries = handle.getListState("sigs", "blob binary")
 
-    def _raw(self) -> list[tuple]:
-        return [(int(e[0]), bytes(e[1])) for e in self.entries.get()]
+    def _decode(self, np):
+        parts = [bytes(e[0]) for e in self.entries.get()]
+        buf = b"".join(parts)
+        arr = (
+            np.frombuffer(buf, dtype=self._dtype())
+            if buf
+            else np.empty(0, dtype=self._dtype())
+        )
+        return arr, len(parts)
 
-    def _commit(self, live, new, evicted) -> None:
-        """Minimal-RPC state write: append-only when nothing evicted (the
-        common case), full rewrite otherwise; the eviction timer is
-        (re)registered only when the earliest-expiry entry changed —
-        semantic eviction is ALWAYS the watermark filter on read, timers
-        are physical cleanup only."""
-        if evicted:
-            self.entries.clear()
-            keep = live + new
-            if keep:
-                self.entries.put(keep)
-                self.handle.registerTimer(
-                    min(t for t, _ in keep) + self.horizon_ms
-                )
-        elif new:
-            self.entries.appendList(new)
-            if not live:
-                self.handle.registerTimer(
-                    min(t for t, _ in new) + self.horizon_ms
-                )
+    def _pack(self, np, ts_arr, h_arr, sig_bytes_list):
+        a = np.empty(len(ts_arr), dtype=self._dtype())
+        a["ts"] = ts_arr
+        a["h"] = h_arr
+        a["sig"] = np.frombuffer(
+            b"".join(sig_bytes_list), dtype=f"V{8 * self.num_perm}"
+        )
+        return a.tobytes()
 
     def handleInputRows(self, key, rows, timerValues):
         import numpy as np
@@ -258,11 +297,11 @@ class _ExactSigPrefilter(StatefulProcessor):
         n_rows = len(pdf)
         if n_rows == 0:
             return
-        raw = self._raw()
+        arr, n_chunks = self._decode(np)
         wm = timerValues.getCurrentWatermarkInMs()
-        live = [e for e in raw if e[0] + self.horizon_ms >= wm]
-        evicted = len(live) != len(raw)
-        sigs = {s for _, s in live}
+        live_mask = arr["ts"] + self.horizon_ms >= wm
+        evicted = not bool(live_mask.all())
+        live = arr[live_mask] if evicted else arr
         docs = pdf["doc"].to_numpy()
         ts_ms = pdf["ev_ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
         # r9: whole-batch vectorized membership (sig arrives PRE-PACKED via
@@ -277,29 +316,60 @@ class _ExactSigPrefilter(StatefulProcessor):
         # signature ever arise — is shingle-less, never a duplicate
         valid = (sig_s.notna() & (sig_s.str.len() > 0)).to_numpy()
         dup_later = sig_s.duplicated(keep="first").to_numpy()
-        in_state = (
-            sig_s.isin(sigs).to_numpy() if sigs else np.zeros(n_rows, dtype=bool)
-        )
+        in_state = np.zeros(n_rows, dtype=bool)
+        if live.size:
+            # stage 1 (vectorized): candidate rows by stored full-sig hash
+            bh = pdf["h"].to_numpy()[order]
+            hits = np.isin(bh, live["h"])
+            if hits.any():
+                # stage 2 (exact, tiny): byte-equality against only the
+                # state records whose hash the batch actually mentions
+                cand_recs = live[np.isin(live["h"], bh[hits])]
+                cand = {r.tobytes() for r in cand_recs["sig"]}
+                in_state = sig_s.isin(cand).to_numpy()
         keep = ~valid | (~in_state & ~dup_later)
         fresh = valid & keep
-        new = list(
-            zip(
-                ts_ms[order][fresh].tolist(),
+        n_new = int(fresh.sum())
+        if n_new:
+            blob = self._pack(
+                np,
+                ts_ms[order][fresh],
+                pdf["h"].to_numpy()[order][fresh],
                 sig_s.to_numpy()[fresh].tolist(),
             )
-        )
-        self._commit(live, new, evicted)
+        if evicted:
+            self.entries.clear()
+            if live.size or n_new:
+                merged = live.tobytes() + (blob if n_new else b"")
+                self.entries.put([(merged,)])
+                lo = int(live["ts"].min()) if live.size else None
+                if n_new:
+                    nn = int(ts_ms[order][fresh].min())
+                    lo = nn if lo is None else min(lo, nn)
+                self.handle.registerTimer(lo + self.horizon_ms)
+        elif n_new:
+            if n_chunks >= _MAX_CHUNKS:
+                self.entries.clear()
+                self.entries.put([(live.tobytes() + blob,)])
+            else:
+                self.entries.appendList([(blob,)])
+            if not live.size:
+                self.handle.registerTimer(
+                    int(ts_ms[order][fresh].min()) + self.horizon_ms
+                )
         if keep.any():
             yield pdf.iloc[order[keep]][["doc", "ev_ts", "sig"]]
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import numpy as np
+
         wm = expiredTimerInfo.getExpiryTimeInMs()
-        raw = self._raw()
-        live = [e for e in raw if e[0] + self.horizon_ms >= wm]
+        arr, _ = self._decode(np)
+        live = arr[arr["ts"] + self.horizon_ms >= wm]
         self.entries.clear()
-        if live:
-            self.entries.put(live)
-            self.handle.registerTimer(min(t for t, _ in live) + self.horizon_ms)
+        if live.size:
+            self.entries.put([(live.tobytes(),)])
+            self.handle.registerTimer(int(live["ts"].min()) + self.horizon_ms)
         return iter(())
 
     def close(self) -> None:
@@ -337,23 +407,81 @@ class _BandVerifyProcessor(StatefulProcessor):
     Eviction: semantic eviction is the watermark filter applied on every
     read; one event-time timer per occupied key (registered at first
     occupancy or after a compaction) physically drops expired occupants, so
-    idle keys shrink to nothing — rate x horizon bounded state."""
+    idle keys shrink to nothing — rate x horizon bounded state.
 
-    def __init__(self, threshold: float, horizon_ms: int) -> None:
+    State layout (r10 verdict task #1 — CHUNKED BLOBS): a bucket's
+    occupants live in a FEW binary blob rows, each packing many fixed-size
+    records (band_idx >i4, band_hash >i8, ts_ms >i8, digest >i2 x
+    num_perm); a batch decodes the whole bucket with ONE b"".join + ONE
+    np.frombuffer into a structured array instead of one Python tuple +
+    np.frombuffer PER OCCUPANT (the r9 layout's dominant all-unique-regime
+    cost: at 2048 buckets and a 200k-doc drain, batch 2 re-decoded ~1.6M
+    occupant rows entry by entry). Eviction filtering, the
+    contested-or-bulk classification (uint64 combined-key isin — a
+    combined-key collision can only mark a row contested, never change an
+    outcome: the est-J loop re-checks exact (band_idx, band_hash)), and
+    new-occupant packing are all whole-array operations; only contested
+    rows and the state records under their keys are touched row-wise.
+    Append-only commits add one blob row per batch; evictions (and a
+    _MAX_CHUNKS cap) compact to a single row."""
+
+    def __init__(
+        self, threshold: float, horizon_ms: int, num_perm: int = 64
+    ) -> None:
         self.threshold = threshold
         self.horizon_ms = horizon_ms
+        self.num_perm = num_perm
+        self._dt = None
+
+    def _dtype(self):
+        if self._dt is None:
+            import numpy as np
+
+            self._dt = np.dtype(
+                [
+                    ("bi", ">i4"),
+                    ("bh", ">i8"),
+                    ("ts", ">i8"),
+                    ("dig", ">i2", (self.num_perm,)),
+                ]
+            )
+        return self._dt
 
     def init(self, handle) -> None:
         self.handle = handle
-        self.entries = handle.getListState(
-            "entries", "band_idx int, band_hash long, ts_ms long, sig binary"
-        )
+        # same state name as the pre-r10 row-per-occupant layout — a
+        # checkpoint written by the old schema fails state-schema validation
+        # loudly on resume (see the STATE FORMAT note in minhash_dedup_stream)
+        self.entries = handle.getListState("entries", "blob binary")
 
-    def _raw(self) -> list[tuple]:
-        return [
-            (int(e[0]), int(e[1]), int(e[2]), bytes(e[3]))
-            for e in self.entries.get()
-        ]
+    def _decode(self, np):
+        parts = [bytes(e[0]) for e in self.entries.get()]
+        buf = b"".join(parts)
+        arr = (
+            np.frombuffer(buf, dtype=self._dtype())
+            if buf
+            else np.empty(0, dtype=self._dtype())
+        )
+        return arr, len(parts)
+
+    def _pack(self, np, bi_arr, bh_arr, ts_arr, dig_bytes_list):
+        a = np.empty(len(bi_arr), dtype=self._dtype())
+        a["bi"] = bi_arr
+        a["bh"] = bh_arr
+        a["ts"] = ts_arr
+        a["dig"] = np.frombuffer(
+            b"".join(dig_bytes_list), dtype=">i2"
+        ).reshape(len(bi_arr), self.num_perm)
+        return a.tobytes()
+
+    @staticmethod
+    def _ckey(np, bh_arr, bi_arr):
+        # combined (band_hash, band_idx) match key in wrap-around uint64 —
+        # identical arithmetic on both sides, collisions only over-mark rows
+        # as contested (exactness is re-established inside the est-J loop)
+        return bh_arr.astype(np.uint64) * np.uint64(131) + bi_arr.astype(
+            np.uint64
+        )
 
     def handleInputRows(self, key, rows, timerValues):
         import numpy as np
@@ -371,13 +499,11 @@ class _BandVerifyProcessor(StatefulProcessor):
             # marker fast path: stateless passthrough (batched per bucket)
             yield pdf[["doc", "ev_ts", "val"]]
             return
-        raw = self._raw()
+        arr, n_chunks = self._decode(np)
         wm = timerValues.getCurrentWatermarkInMs()
-        live = [e for e in raw if e[2] + self.horizon_ms >= wm]
-        evicted = len(live) != len(raw)
-        occ: dict[tuple, list] = {}
-        for bi, bh, _, b in live:
-            occ.setdefault((bi, bh), []).append(np.frombuffer(b, dtype=">i2"))
+        live_mask = arr["ts"] + self.horizon_ms >= wm
+        evicted = not bool(live_mask.all())
+        live = arr[live_mask] if evicted else arr
         docs = pdf["doc"].to_numpy()
         ts_ms = pdf["ev_ts"].to_numpy().astype("datetime64[ms]").astype(np.int64)
         bis = pdf["band_idx"].to_numpy()
@@ -385,7 +511,7 @@ class _BandVerifyProcessor(StatefulProcessor):
         sig_col = pdf["sig"].to_numpy()
         order = np.lexsort((docs, ts_ms)) if n_rows > 1 else np.arange(n_rows)
         strip_idx: list[int] = []
-        new: list[tuple] = []
+        new: list[tuple] = []  # contested additions only (few)
         # r9 fast path: a row whose (band_idx, band_hash) appears exactly
         # once in this batch AND has no stored occupant can neither strip
         # nor be stripped — it just becomes an occupant. On steady-state
@@ -397,19 +523,21 @@ class _BandVerifyProcessor(StatefulProcessor):
         valid = pd.notna(sig_col)
         kdf = pd.DataFrame({"bi": bis[order], "bh": bhs[order]})
         contested_o = kdf.duplicated(keep=False).to_numpy()
-        if occ:
-            contested_o |= pd.MultiIndex.from_frame(kdf).isin(list(occ.keys()))
+        bkey = self._ckey(np, bhs[order], bis[order])
+        if live.size:
+            skey = self._ckey(np, live["bh"], live["bi"])
+            contested_o |= np.isin(bkey, skey)
         bulk_o = valid[order] & ~contested_o
-        if bulk_o.any():
-            sel = order[bulk_o]
-            new.extend(
-                zip(
-                    bis[sel].tolist(),
-                    bhs[sel].tolist(),
-                    ts_ms[sel].tolist(),
-                    sig_col[sel].tolist(),
+        sel = order[bulk_o]
+        # occupant digests under CONTESTED keys only — the handful of state
+        # records the per-row loop can actually touch
+        occ: dict[tuple, list] = {}
+        if live.size and bool(contested_o.any()):
+            cand = live[np.isin(skey, bkey[contested_o])]
+            for rec in cand:
+                occ.setdefault((int(rec["bi"]), int(rec["bh"])), []).append(
+                    rec["dig"]
                 )
-            )
         for i in order[contested_o]:
             raw_sig = sig_col[i]
             if raw_sig is None or len(raw_sig) == 0:
@@ -430,34 +558,60 @@ class _BandVerifyProcessor(StatefulProcessor):
             else:
                 new.append((k[0], k[1], int(ts_ms[i]), b))
                 occ.setdefault(k, []).append(sig)
-        # same minimal-RPC commit discipline as _ExactSigPrefilter._commit
+        # pack this batch's occupants (bulk arrays + contested few) as ONE
+        # blob; same minimal-RPC commit discipline as _ExactSigPrefilter
+        n_new = len(sel) + len(new)
+        if n_new:
+            blob = self._pack(
+                np,
+                np.concatenate(
+                    [bis[sel], np.array([e[0] for e in new], dtype=np.int64)]
+                ),
+                np.concatenate(
+                    [bhs[sel], np.array([e[1] for e in new], dtype=np.int64)]
+                ),
+                np.concatenate(
+                    [ts_ms[sel], np.array([e[2] for e in new], dtype=np.int64)]
+                ),
+                sig_col[sel].tolist() + [e[3] for e in new],
+            )
+            new_min_ts = int(
+                min(
+                    int(ts_ms[sel].min()) if len(sel) else 2**62,
+                    min((e[2] for e in new), default=2**62),
+                )
+            )
         if evicted:
             self.entries.clear()
-            keep = live + new
-            if keep:
-                self.entries.put(keep)
-                self.handle.registerTimer(
-                    min(t for _, _, t, _ in keep) + self.horizon_ms
+            if live.size or n_new:
+                self.entries.put(
+                    [(live.tobytes() + (blob if n_new else b""),)]
                 )
-        elif new:
-            self.entries.appendList(new)
-            if not live:
-                self.handle.registerTimer(
-                    min(t for _, _, t, _ in new) + self.horizon_ms
-                )
+                lo = int(live["ts"].min()) if live.size else None
+                if n_new:
+                    lo = new_min_ts if lo is None else min(lo, new_min_ts)
+                self.handle.registerTimer(lo + self.horizon_ms)
+        elif n_new:
+            if n_chunks >= _MAX_CHUNKS:
+                self.entries.clear()
+                self.entries.put([(live.tobytes() + blob,)])
+            else:
+                self.entries.appendList([(blob,)])
+            if not live.size:
+                self.handle.registerTimer(new_min_ts + self.horizon_ms)
         if strip_idx:
             yield pdf.iloc[strip_idx][["doc", "ev_ts", "val"]]
 
     def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        import numpy as np
+
         wm = expiredTimerInfo.getExpiryTimeInMs()
-        raw = self._raw()
-        live = [e for e in raw if e[2] + self.horizon_ms >= wm]
+        arr, _ = self._decode(np)
+        live = arr[arr["ts"] + self.horizon_ms >= wm]
         self.entries.clear()
-        if live:
-            self.entries.put(live)
-            self.handle.registerTimer(
-                min(t for _, _, t, _ in live) + self.horizon_ms
-            )
+        if live.size:
+            self.entries.put([(live.tobytes(),)])
+            self.handle.registerTimer(int(live["ts"].min()) + self.horizon_ms)
         return iter(())
 
     def close(self) -> None:
@@ -507,7 +661,17 @@ def minhash_dedup_stream(
     event-time aggregation). A document ALL of whose bands collide (e.g. an
     exact duplicate) loses every band-row to the dedup and emits NO verdict
     row at all — consumers keep docs with is_unique (absence = hard
-    duplicate)."""
+    duplicate).
+
+    STATE FORMAT (verify mode): v3 as of r10 — chunk-blob rows (see the
+    processor docstrings); v2 (r9) was one row per occupant with digest
+    binaries; v1 (r8) full-signature rows. Verify-mode streams MUST restart
+    from a fresh checkpoint when upgrading across these versions: the state
+    variable NAMES are kept stable precisely so that resuming an old
+    checkpoint trips Spark's state-schema validation and fails LOUDLY
+    (ADVICE r10 — a silent schema reroute would permanently miss
+    duplicates instead). The default mode's dropDuplicatesWithinWatermark
+    state is unaffected."""
     # band_keys_from_sig enforces this on the default path; verify mode
     # derives r inline (binary slices), so fail fast here for BOTH paths —
     # a non-divisible num_perm would silently drop trailing slots. ValueError
@@ -584,6 +748,10 @@ def minhash_dedup_stream(
         # on as ONE packed binary scalar (pack_signature), never as a
         # 64-element list — the list->pandas conversion (one numpy
         # allocation per row) was the measured all-unique-regime hotspot.
+        # r10 task #1: the FULL (un-bucketed) xxhash64 of the signature
+        # rides along as ``h`` — inside the chunk-blob prefilter it is the
+        # vectorized stage-1 membership test (int64 isin against the
+        # stored hash column), with byte-exact verification only on hits.
         keyed = with_sig.select(
             "doc",
             "ev_ts",
@@ -592,15 +760,18 @@ def minhash_dedup_stream(
             "doc",
             "ev_ts",
             "sig",
-            F.pmod(
-                F.when(
-                    F.col("sig").isNotNull(), F.xxhash64("sig")
-                ).otherwise(F.xxhash64(F.col("doc"), F.lit(-7))),
-                F.lit(state_buckets),
-            ).alias("sig_key"),
+            F.when(F.col("sig").isNotNull(), F.xxhash64("sig"))
+            .otherwise(F.xxhash64(F.col("doc"), F.lit(-7)))
+            .alias("h"),
+        ).select(
+            "doc",
+            "ev_ts",
+            "sig",
+            "h",
+            F.pmod(F.col("h"), F.lit(state_buckets)).alias("sig_key"),
         )
         survivors = keyed.groupBy("sig_key").transformWithStateInPandas(
-            _ExactSigPrefilter(horizon_ms),
+            _ExactSigPrefilter(horizon_ms, num_perm),
             outputStructType="doc long, ev_ts timestamp, sig binary",
             outputMode="append",
             timeMode="eventTime",
@@ -681,7 +852,7 @@ def minhash_dedup_stream(
             ).alias("bucket"),
         )
         scored = banded.groupBy("mk", "bucket").transformWithStateInPandas(
-            _BandVerifyProcessor(float(verify), horizon_ms),
+            _BandVerifyProcessor(float(verify), horizon_ms, num_perm),
             outputStructType="doc long, ev_ts timestamp, val int",
             outputMode="append",
             timeMode="eventTime",
