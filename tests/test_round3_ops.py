@@ -708,3 +708,37 @@ def test_anchor_terms_nested_markup_kept(spark):
     assert rows[("https://x.example/q", "simple")] == (1, 1)
     # no token leaked from the markup itself
     assert not any(t.startswith("<") for (_, t) in rows)
+
+
+def test_budget_sampler_deterministic_and_rate_bounded(spark, sf_oracle):
+    """r10: the budget-driven sampler must be (a) deterministic — identical
+    kept set on re-run (hash-threshold sampling, no RNG), (b) a subset of
+    the scored corpus with rates matching the budget table, (c) close to
+    the target rate per bucket (multiplicative-hash uniformity — loose
+    bound, it's a 32-bit Knuth hash on small ids)."""
+    from timing_explorer_spark.plans import all_queries
+
+    qs = all_queries()
+    kept1 = {r["doc"]: r for r in qs["q_budget_sampled_corpus"].build(spark, sf_oracle).collect()}
+    kept2 = {r["doc"]: r for r in qs["q_budget_sampled_corpus"].build(spark, sf_oracle).collect()}
+    assert kept1.keys() == kept2.keys() and kept1
+    budget = {
+        r["bucket"]: r
+        for r in qs["q_pagerank_token_budget"].build(spark, sf_oracle).collect()
+    }
+    # per-bucket kept counts within a loose binomial-ish band of the rate
+    from collections import Counter
+
+    kept_by_bucket = Counter(r["bucket"] for r in kept1.values())
+    for b, row in budget.items():
+        want = row["sample_rate"] * row["n_docs"]
+        got = kept_by_bucket.get(b, 0)
+        # 6-sigma binomial band + 2-doc slack (small-n buckets)
+        import math
+
+        sigma = math.sqrt(max(want * (1 - row["sample_rate"]), 1.0))
+        assert abs(got - want) <= 6 * sigma + 2, (b, got, want)
+        # the sampler echoes the budget's rate per bucket
+        any_doc = next((r for r in kept1.values() if r["bucket"] == b), None)
+        if any_doc is not None:
+            assert abs(any_doc["sample_rate"] - row["sample_rate"]) < 1e-12

@@ -2443,6 +2443,106 @@ def q_link_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_link_host_rollup",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_LINK_HTML_SQL} AS html FROM documents
+        ),
+        arrs AS (
+            SELECT doc_id,
+                   list_concat(
+                       regexp_extract_all(html, '{_DQ_HREF}', 1),
+                       regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)
+                   ) AS hrefs
+            FROM raw
+        ),
+        exploded AS (
+            SELECT doc_id, hrefs[i] AS url
+            FROM arrs, UNNEST(range(1, LEN(hrefs) + 1)) AS r(i)
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1))  AS hostport,
+                   regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1)   AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1)                 AS query
+            FROM exploded
+        ),
+        canon AS (
+            SELECT doc_id, scheme,
+                   CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END AS host,
+                   CASE WHEN LENGTH(path) = 0 THEN '/' ELSE path END AS path2,
+                   list_sort(list_filter(string_split(query, '&'),
+                       p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
+                            '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)=')))
+                       AS params
+            FROM parts
+        ),
+        edges AS (
+            SELECT doc_id, host,
+                   scheme || '://' || host || path2
+                   || CASE WHEN len(params) > 0
+                           THEN '?' || array_to_string(params, '&')
+                           ELSE '' END AS dst_url
+            FROM canon
+        )
+        SELECT host,
+               COUNT(*) AS n_links,
+               COUNT(DISTINCT doc_id) AS n_src_docs,
+               COUNT(DISTINCT dst_url) AS n_distinct_targets,
+               CAST(SUM(CASE WHEN regexp_matches(dst_url, '/doc/(\\d+)$')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_internal
+        FROM edges
+        GROUP BY host
+    """,
+    doc=(
+        "Per-HOST link rollup (r10, unsolicited): the domain-grain "
+        "aggregate every crawl pipeline maintains — total links into the "
+        "host, distinct linking pages (the spam discriminator: many links "
+        "from FEW sources is the farm shape), distinct canonical targets, "
+        "and how many resolve intra-corpus. Domain-level stats are what "
+        "feed blocklists and per-domain sampling caps in CC-style "
+        "pipelines (a registered-domain rollup at 100 TB is exactly this "
+        "aggregate keyed by eTLD+1 — the host key here, since the fixture "
+        "has no public-suffix list). Map-only extraction + canonicalize "
+        "fused into the scan, one (host)-keyed aggregate; both "
+        "count_distincts go through Spark's expand-based partial "
+        "aggregation, so a hub host spreads over the distinct keys before "
+        "the final merge."
+    ),
+    tags=("text", "html", "links", "crawl", "domains", "quality", "llm-pipeline"),
+)
+def q_link_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html_extract import canonicalize_url
+
+    pages = _link_pages(load(spark, sf_dir, "documents"))
+    hrefs = F.concat(
+        F.regexp_extract_all("html", F.lit(_DQ_HREF), F.lit(1)),
+        F.regexp_extract_all("html", F.lit(_SQ_HREF), F.lit(1)),
+    )
+    canon = pages.select(
+        "doc_id", F.explode(hrefs).alias("url")
+    ).select("doc_id", canonicalize_url(F.col("url")).alias("dst_url"))
+    edges = canon.select(
+        "doc_id",
+        "dst_url",
+        F.regexp_extract("dst_url", r"^[^:]+://([^/?#]*)", 1).alias("host"),
+    )
+    return edges.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct("doc_id").alias("n_src_docs"),
+        F.count_distinct("dst_url").alias("n_distinct_targets"),
+        F.sum(
+            F.when(F.col("dst_url").rlike(r"/doc/(\d+)$"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_internal"),
+    )
+
+
 # the intra-corpus link edges as (doc_a, doc_b) pairs — DISTINCT, no self
 # loops — shared by the Spark plan and the PageRank recurrence oracle
 _LINK_PAIRS_SQL = f"""
@@ -2782,6 +2882,63 @@ def q_anchor_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_SUBQUERY = pagerank_directed_oracle_sql(_LINK_EDGES_SQL, iterations=5)
 
 
+def _budget_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc, rank, n_tokens, bucket) — directed PageRank joined with token
+    counts and NTILE(3)-bucketed (rank DESC, doc ASC). Shared by the exact
+    budget query and the r10 budget-driven sampler."""
+    from pyspark.sql import Window
+
+    from ..operators.graph import pagerank_directed
+
+    docs = load(spark, sf_dir, "documents")
+    ranks = pagerank_directed(_link_edges(_link_pages(docs)), iterations=5)
+    return ranks.join(
+        docs.select(
+            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
+        ),
+        ranks.doc == F.col("doc_id"),
+    ).select(
+        "doc",
+        "rank",
+        "n_tokens",
+        F.ntile(3)
+        .over(Window.orderBy(F.desc("rank"), F.asc("doc")))
+        .alias("bucket"),
+    )
+
+
+def _budget_rates(scored: DataFrame) -> DataFrame:
+    """(bucket, n_docs, n_tokens, weight, sample_rate) from a bucketed
+    scored table — the 4/2/1-weighted 100k-token budget arithmetic."""
+    from pyspark.sql import Window
+
+    agg = (
+        scored.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .withColumn(
+            "weight",
+            F.when(F.col("bucket") == 1, 4)
+            .when(F.col("bucket") == 2, 2)
+            .otherwise(1)
+            .cast("bigint"),
+        )
+    )
+    total_w = F.sum("weight").over(Window.partitionBy())
+    return agg.select(
+        "bucket",
+        "n_docs",
+        "n_tokens",
+        "weight",
+        F.least(
+            F.lit(1.0),
+            F.lit(100000.0) * F.col("weight") / total_w / F.col("n_tokens"),
+        ).alias("sample_rate"),
+    )
+
+
 @register(
     "q_pagerank_token_budget",
     oracle=f"""
@@ -2839,50 +2996,7 @@ _PR_SUBQUERY = pagerank_directed_oracle_sql(_LINK_EDGES_SQL, iterations=5)
     tags=("graph", "pagerank", "links", "sampling", "mixture", "composed", "llm-pipeline"),
 )
 def q_pagerank_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    from ..operators.graph import pagerank_directed
-
-    docs = load(spark, sf_dir, "documents")
-    ranks = pagerank_directed(_link_edges(_link_pages(docs)), iterations=5)
-    scored = ranks.join(
-        docs.select(
-            "doc_id", F.size(F.split(F.col("text"), " ")).alias("n_tokens")
-        ),
-        ranks.doc == F.col("doc_id"),
-    ).select(
-        "doc",
-        "rank",
-        "n_tokens",
-        F.ntile(3)
-        .over(Window.orderBy(F.desc("rank"), F.asc("doc")))
-        .alias("bucket"),
-    )
-    agg = (
-        scored.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        )
-        .withColumn(
-            "weight",
-            F.when(F.col("bucket") == 1, 4)
-            .when(F.col("bucket") == 2, 2)
-            .otherwise(1)
-            .cast("bigint"),
-        )
-    )
-    total_w = F.sum("weight").over(Window.partitionBy())
-    rates = agg.select(
-        "bucket",
-        "n_docs",
-        "n_tokens",
-        "weight",
-        F.least(
-            F.lit(1.0),
-            F.lit(100000.0) * F.col("weight") / total_w / F.col("n_tokens"),
-        ).alias("sample_rate"),
-    )
+    rates = _budget_rates(_budget_scored(spark, sf_dir))
     return rates.select(
         "*", (F.col("sample_rate") * F.col("n_tokens")).alias("expected_tokens")
     )
@@ -3030,6 +3144,85 @@ def q_pagerank_token_budget_approx(spark: SparkSession, sf_dir: str) -> DataFram
     )
     return rates.select(
         "*", (F.col("sample_rate") * F.col("n_tokens")).alias("expected_tokens")
+    )
+
+
+@register(
+    "q_budget_sampled_corpus",
+    oracle=f"""
+        WITH scored AS (
+            SELECT pr.doc, pr.rank,
+                   LEN(string_split(d.text, ' ')) AS n_tokens,
+                   NTILE(3) OVER (ORDER BY pr.rank DESC, pr.doc) AS bucket
+            FROM ( {_PR_SUBQUERY} ) pr
+            JOIN documents d ON d.doc_id = pr.doc
+        ),
+        agg AS (
+            SELECT bucket,
+                   COUNT(*) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+                   CAST(CASE bucket WHEN 1 THEN 4 WHEN 2 THEN 2 ELSE 1 END
+                        AS BIGINT) AS weight
+            FROM scored GROUP BY bucket
+        ),
+        rates AS (
+            SELECT bucket,
+                   LEAST(1.0,
+                         100000.0 * weight
+                         / CAST(SUM(weight) OVER () AS BIGINT)
+                         / n_tokens) AS sample_rate
+            FROM agg
+        )
+        SELECT s.doc, s.bucket, CAST(s.n_tokens AS BIGINT) AS n_tokens,
+               r.sample_rate
+        FROM scored s JOIN rates r ON r.bucket = s.bucket
+        WHERE CAST((s.doc * 2654435761) % 4294967296 AS DOUBLE)
+              < r.sample_rate * 4294967296.0
+    """,
+    doc=(
+        "The budget loop CLOSED to actual rows (r10, unsolicited): given "
+        "the per-bucket sample rates of q_pagerank_token_budget, emit the "
+        "SAMPLED corpus — keep a doc iff its deterministic 32-bit "
+        "multiplicative hash (Knuth: (doc * 2654435761) mod 2^32, integer "
+        "arithmetic both engines share bit-for-bit, which is what makes "
+        "the SAMPLER itself oracle-hashable — production would use "
+        "xxhash64 on content) falls under rate * 2^32. Deterministic "
+        "hash-threshold sampling is the standard reproducible sampler: "
+        "the same doc set is kept on every run, any partitioning, any "
+        "engine, and the kept fraction per bucket concentrates at "
+        "sample_rate. Scale shape: the rates table is 3 rows "
+        "(broadcast-joined), the keep predicate is map-only; the NTILE "
+        "upstream is the exact variant's documented single-partition "
+        "trade — swap in q_pagerank_token_budget_approx's thresholds at "
+        "true 100 TB."
+    ),
+    tags=(
+        "graph",
+        "pagerank",
+        "sampling",
+        "mixture",
+        "composed",
+        "llm-pipeline",
+    ),
+)
+def q_budget_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lazy localCheckpoint: scored is consumed twice (rates aggregate +
+    # the keep-side join) — uncut, the PageRank-join-NTILE subtree would
+    # run once per consumer
+    scored = _budget_scored(spark, sf_dir).localCheckpoint(eager=False)
+    rates = _budget_rates(scored).select("bucket", "sample_rate")
+    keep = F.pmod(
+        F.col("doc") * F.lit(2654435761), F.lit(4294967296)
+    ).cast("double") < F.col("sample_rate") * F.lit(4294967296.0)
+    return (
+        scored.join(F.broadcast(rates), "bucket")
+        .where(keep)
+        .select(
+            "doc",
+            "bucket",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "sample_rate",
+        )
     )
 
 

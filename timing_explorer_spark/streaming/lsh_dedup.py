@@ -108,6 +108,13 @@ from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 _SEED = 42  # matches operators/dedup.py::minhash_signatures
 
+# cost-attribution probe knob (scripts/bench only — NOT a user surface):
+# when set, band rows ship a 2-byte constant instead of the slot digest,
+# isolating the digest payload's Arrow/shuffle/state cost from the TWS
+# scaffolding. est-J comparisons then never match (length guard), so this
+# is only meaningful on corpora with no true collisions.
+_PROBE_TINY_DIGEST = False
+
 
 def row_local_signature(text: Column, num_perm: int = 64, n: int = 3) -> Column:
     """array<bigint>[num_perm] MinHash signature as ONE row-local expression
@@ -629,7 +636,7 @@ def minhash_dedup_stream(
     ts_col: str = "ts",
     seal_window: str = "1 second",
     verify: float | None = None,
-    state_buckets: int = 2048,
+    state_buckets: int | None = None,
 ) -> DataFrame:
     """Near-dup verdict stream: one row per document (id, window, n_bands,
     is_unique) where ``is_unique`` means NO LSH band collided with any
@@ -649,12 +656,17 @@ def minhash_dedup_stream(
     signature hash and the verify layer's band keys) are grouped into
     pmod(hash, state_buckets) buckets so per-key state-server RPCs amortize
     across co-bucketed keys. Purely physical — exact matching happens
-    inside the processors. r9 guidance (the vectorized handlers moved the
-    sweet spot toward FATTER buckets — per-GROUP fixed cost now dominates
-    per-row cost): size it so in-horizon band keys per bucket land around
-    ~500-2000 (measured on a 200k-doc/3.2M-band-key fixture: 2048 buckets
-    beat 8192 by ~20% at identical semantics), subject to a parallelism
-    floor of ~10x the executor core count so the stateful stage can spread.
+    inside the processors. Default (None) = max(64, 2 x
+    spark.sql.shuffle.partitions): r10 re-measured the sweet spot with the
+    chunk-blob state layout, whose one-frombuffer-per-bucket decode makes
+    per-bucket size nearly free — the dominant per-key cost is now the
+    state-server ROUND TRIPS, so the optimum is as FEW buckets as still
+    spread over the stateful stage's tasks (~2 per task; 64 buckets beat
+    the r9 default of 2048 by ~20% wall on the 200k-doc all-unique drain,
+    measured in FRESH processes — see the bench-protocol note in
+    scripts/bench_lsh_stream.py). The r9 guidance of ~10x cores per bucket
+    predates the chunk layout; fixture-pinning tests that force
+    state_buckets=1 still pass, since bucketing is purely physical.
 
     Emission: verdicts seal when the watermark passes the doc's
     ``seal_window`` bucket (the count of surviving band-rows is an
@@ -733,6 +745,16 @@ def minhash_dedup_stream(
         from ..compat import ensure_protobuf
 
         ensure_protobuf()
+        if state_buckets is None:
+            state_buckets = max(
+                64,
+                2
+                * int(
+                    docs.sparkSession.conf.get(
+                        "spark.sql.shuffle.partitions", "200"
+                    )
+                ),
+            )
         horizon_ms = _duration_ms(watermark)
         # Prefilter (r8 task #1): exact-signature duplicates — the bulk of a
         # dup-heavy ingest — are suppressed at DOC grain before banding, so
@@ -795,7 +817,11 @@ def minhash_dedup_stream(
             "doc",
             "ev_ts",
             "sig",
-            slot_digests(F.col("sig"), num_perm).alias("dig"),
+            (
+                F.lit(b"\x00\x00")
+                if _PROBE_TINY_DIGEST
+                else slot_digests(F.col("sig"), num_perm)
+            ).alias("dig"),
         )
         r = num_perm // bands
         rb = 8 * r  # bytes per band slice
@@ -852,7 +878,9 @@ def minhash_dedup_stream(
             ).alias("bucket"),
         )
         scored = banded.groupBy("mk", "bucket").transformWithStateInPandas(
-            _BandVerifyProcessor(float(verify), horizon_ms, num_perm),
+            _BandVerifyProcessor(
+                float(verify), horizon_ms, 1 if _PROBE_TINY_DIGEST else num_perm
+            ),
             outputStructType="doc long, ev_ts timestamp, val int",
             outputMode="append",
             timeMode="eventTime",
