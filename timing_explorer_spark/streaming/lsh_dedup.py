@@ -108,12 +108,15 @@ from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
 _SEED = 42  # matches operators/dedup.py::minhash_signatures
 
-# cost-attribution probe knob (scripts/bench only — NOT a user surface):
-# when set, band rows ship a 2-byte constant instead of the slot digest,
-# isolating the digest payload's Arrow/shuffle/state cost from the TWS
-# scaffolding. est-J comparisons then never match (length guard), so this
-# is only meaningful on corpora with no true collisions.
+# cost-attribution probe knobs (scripts/bench only — NOT a user surface):
+# _PROBE_TINY_DIGEST ships a 2-byte constant instead of the slot digest
+# (isolates payload BYTES); _PROBE_NO_DIGEST ships NULL (isolates the
+# per-row PyBytes object allocation + all digest state work — occupants
+# are never stored, so this is an upper bound on any payload/state fix).
+# est-J never matches under either, so only meaningful on no-collision
+# corpora.
 _PROBE_TINY_DIGEST = False
+_PROBE_NO_DIGEST = False
 
 
 def row_local_signature(text: Column, num_perm: int = 64, n: int = 3) -> Column:
@@ -818,7 +821,9 @@ def minhash_dedup_stream(
             "ev_ts",
             "sig",
             (
-                F.lit(b"\x00\x00")
+                F.lit(None).cast("binary")
+                if _PROBE_NO_DIGEST
+                else F.lit(b"\x00\x00")
                 if _PROBE_TINY_DIGEST
                 else slot_digests(F.col("sig"), num_perm)
             ).alias("dig"),
