@@ -2543,6 +2543,101 @@ def q_link_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_host_capped_sample",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_LINK_HTML_SQL} AS html FROM documents
+        ),
+        arrs AS (
+            SELECT doc_id,
+                   list_concat(
+                       regexp_extract_all(html, '{_DQ_HREF}', 1),
+                       regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)
+                   ) AS hrefs
+            FROM raw
+        ),
+        exploded AS (
+            SELECT doc_id, hrefs[i] AS url
+            FROM arrs, UNNEST(range(1, LEN(hrefs) + 1)) AS r(i)
+        ),
+        hosts AS (
+            SELECT DISTINCT doc_id,
+                   lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport
+            FROM exploded
+        ),
+        keyed AS (
+            SELECT doc_id, hostport,
+                   (doc_id * 2654435761) % 4294967296 AS hkey
+            FROM hosts
+        ),
+        ranked AS (
+            SELECT doc_id, hostport,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY hostport ORDER BY hkey, doc_id
+                   ) AS rn
+            FROM keyed
+        )
+        SELECT hostport AS host, doc_id, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 40
+    """,
+    doc=(
+        "Per-domain sampling CAP (r10, unsolicited — the standard "
+        "anti-domination rule in crawl corpus assembly: no single host "
+        "may contribute more than K documents, CC/C4-style): for each "
+        "(doc, linked-host) membership, keep at most K=40 docs per host, "
+        "chosen by the SAME deterministic 32-bit multiplicative hash as "
+        "q_budget_sampled_corpus (reproducible on any engine/partitioning "
+        "— and oracle-hashable, which a random sample is not), ties by "
+        "doc id. Scale shape: the window is PARTITIONED BY host — "
+        "hash-partitioned, fully parallel, the anti-pattern is only the "
+        "UNpartitioned NTILE this family already documents; per-host "
+        "state is a single counter scan, and a power-law host (the hub "
+        "probe's regime) concentrates one partition but the sort is "
+        "bounded by that host's doc count, the same bounded-concentration "
+        "argument as the adjacency build. At true 100 TB you'd pre-"
+        "aggregate (host, doc) pairs — which this plan's DISTINCT does — "
+        "then cap."
+    ),
+    tags=("text", "links", "crawl", "domains", "sampling", "llm-pipeline"),
+)
+def q_host_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pages = _link_pages(load(spark, sf_dir, "documents"))
+    hrefs = F.concat(
+        F.regexp_extract_all("html", F.lit(_DQ_HREF), F.lit(1)),
+        F.regexp_extract_all("html", F.lit(_SQ_HREF), F.lit(1)),
+    )
+    hosts = (
+        pages.select("doc_id", F.explode(hrefs).alias("url"))
+        .select(
+            "doc_id",
+            F.lower(
+                F.regexp_extract("url", r"^[^:]+://([^/?#]*)", 1)
+            ).alias("hostport"),
+        )
+        .distinct()
+    )
+    keyed = hosts.select(
+        "doc_id",
+        "hostport",
+        F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)).alias(
+            "hkey"
+        ),
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("hostport").orderBy("hkey", "doc_id")
+    )
+    return (
+        keyed.select(
+            F.col("hostport").alias("host"), "doc_id", rn.alias("rn")
+        )
+        .where(F.col("rn") <= 40)
+        .select("host", "doc_id", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
 # the intra-corpus link edges as (doc_a, doc_b) pairs — DISTINCT, no self
 # loops — shared by the Spark plan and the PageRank recurrence oracle
 _LINK_PAIRS_SQL = f"""
