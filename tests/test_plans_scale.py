@@ -378,6 +378,10 @@ _SANCTIONED_NESTED_LOOP = {
     # 1-row max-abs scale broadcast + bounded query-set broadcast
     "q_int8_embedding_topk",
     "q_mixture_token_budget",
+    # r10: the 3-row bucket aggregate crossJoins its own 1-row total-weight
+    # aggregate (class (b) scalar attachment — replaces the exact variant's
+    # unpartitioned scalar window; never fact rows)
+    "q_pagerank_token_budget_approx",
     "q_quality_expectations",
     "q_sequence_packing",
     "q_concurrent_events",
@@ -457,6 +461,11 @@ _SANCTIONED_GLOBAL_WINDOW = {
     # documented in the query doc + PLANS.md WANT), plus the 3-row budget
     # window (class (b))
     "q_pagerank_token_budget",
+    # r10: the budget SAMPLER composes the exact variant's rates, so it
+    # inherits the same documented NTILE trade (the scalable path swaps in
+    # q_pagerank_token_budget_approx's thresholds — that query plans NO
+    # window at all, verified in its PLANS.md WANT)
+    "q_budget_sampled_corpus",
     "q_pareto_revenue",
     "q_key_skew_report",
     "q_event_transitions",
