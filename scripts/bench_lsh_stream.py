@@ -197,6 +197,12 @@ def main() -> None:
             str(files_per_trigger),
         ]
         r = subprocess.run(cmd, capture_output=True, text=True, timeout=900)
+        if r.returncode != 0:
+            # ADVICE r10: a crashed drain must surface its real stderr, not
+            # an opaque IndexError on empty stdout
+            raise RuntimeError(
+                f"worker exited {r.returncode}: {r.stderr[-2000:]}"
+            )
         line = r.stdout.strip().splitlines()[-1]
         return json.loads(line)
 

@@ -156,6 +156,12 @@ def main() -> None:
         "q_link_crawl_depth",
         # Round-10: the 100 TB form of the token budget (no global sort).
         "q_pagerank_token_budget_approx",
+        # Round-11: the scale-safe row-emitting sampler + the end-to-end
+        # corpus-assembly flagship.
+        "q_budget_sampled_corpus",
+        "q_budget_sampled_corpus_approx",
+        "q_host_capped_sample",
+        "q_corpus_assembly_e2e",
     )
     qs = all_queries()
     specs = {n: s for n, s in qs.items() if s.headline or n in extra}

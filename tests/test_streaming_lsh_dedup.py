@@ -362,3 +362,40 @@ def test_state_evicts_after_watermark_horizon(spark, tmp_path):
     assert got[1]["is_unique"] is True
     assert 2 not in got  # exact dup inside horizon: every band collided
     assert got[3]["is_unique"] is True  # re-admitted after eviction
+
+
+def test_blob_rows_size_bounded_and_lossless():
+    """ADVICE r10: compaction must never produce ONE state element scaling
+    with rate x horizon / buckets — _blob_rows splits any packed buffer
+    into rows of at most _MAX_BLOB_BYTES, cut on record boundaries, and
+    b"".join of the rows reconstructs the buffer exactly (the _decode
+    contract: any row subset must frombuffer cleanly)."""
+    from timing_explorer_spark.streaming.lsh_dedup import (
+        _MAX_BLOB_BYTES,
+        _blob_rows,
+        _compaction_due,
+    )
+
+    itemsize = 148  # the verify processor's record size at num_perm=64
+    # small payload: one row, unchanged
+    small = b"x" * (itemsize * 3)
+    assert _blob_rows(small, itemsize) == [(small,)]
+    # large payload: every row <= bound, aligned, and lossless
+    n_rec = (3 * _MAX_BLOB_BYTES) // itemsize + 5
+    big = bytes(n_rec * itemsize)
+    rows = _blob_rows(big, itemsize)
+    assert len(rows) >= 3
+    assert all(len(r[0]) <= _MAX_BLOB_BYTES for r in rows)
+    assert all(len(r[0]) % itemsize == 0 for r in rows)
+    assert b"".join(r[0] for r in rows) == big
+    # itemsize larger than the bound: one record per row (no zero-split)
+    huge_item = _MAX_BLOB_BYTES + 4
+    rows2 = _blob_rows(bytes(2 * huge_item), huge_item)
+    assert len(rows2) == 2 and all(len(r[0]) == huge_item for r in rows2)
+    # compaction trigger is RELATIVE to the post-compaction row floor: a
+    # bucket needing 10 rows compacted must not recompact at 64 chunks
+    from timing_explorer_spark.streaming.lsh_dedup import _MAX_CHUNKS
+
+    assert _compaction_due(_MAX_CHUNKS, 0)
+    assert not _compaction_due(_MAX_CHUNKS, 10 * _MAX_BLOB_BYTES)
+    assert _compaction_due(_MAX_CHUNKS + 10, 10 * _MAX_BLOB_BYTES)

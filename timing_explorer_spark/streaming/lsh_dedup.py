@@ -85,7 +85,9 @@ per-entry decodes on the 200k-doc drain's second trigger). Eviction
 filtering, membership/contested classification (int64/uint64 isin), and
 new-occupant packing are whole-array operations; commits stay append-only
 (one blob row per batch) with eviction- or _MAX_CHUNKS-triggered
-compaction to a single row. The prefilter's membership test became
+compaction to SIZE-BOUNDED rows (_blob_rows, ADVICE r10: a compacted
+bucket is never one element scaling with rate x horizon / buckets —
+at most _MAX_BLOB_BYTES per row, cut on record boundaries). The prefilter's membership test became
 two-stage: a vectorized isin on the stored full-signature hash column
 (shipped as ``h`` from the JVM), then byte-exact verification against only
 the records whose hash the batch actually mentions — so exactness is
@@ -211,11 +213,38 @@ def _duration_ms(s: str) -> int:
     return int(float(n) * factor)
 
 
-# A bucket's occupants re-packed as ONE blob row after this many appended
-# chunks, even without an eviction — bounds chunk-row count (and with it
-# the per-batch b"".join fan-in) on long-running streams whose horizon has
-# not yet produced an eviction-triggered compaction.
+# A bucket's occupants re-packed into size-bounded blob rows after this
+# many appended chunks, even without an eviction — bounds chunk-row count
+# (and with it the per-batch b"".join fan-in) on long-running streams whose
+# horizon has not yet produced an eviction-triggered compaction.
 _MAX_CHUNKS = 64
+
+# Hard per-row byte bound on any state blob (ADVICE r10): compaction used
+# to pack an entire bucket's live occupants into ONE list-state element,
+# which scales with rate x horizon / buckets — at the 100 TB/day regime a
+# single element could reach hundreds of MB and trip state-transport /
+# Arrow row-size limits. Every write now goes through _blob_rows, which
+# splits a packed record buffer into rows of at most this many bytes
+# (aligned to whole records); _MAX_CHUNKS stays the COUNT bound, applied
+# relative to the floor a compacted bucket necessarily needs.
+_MAX_BLOB_BYTES = 4 * 1024 * 1024
+
+
+def _blob_rows(payload: bytes, itemsize: int) -> list[tuple]:
+    """Split a packed fixed-size-record buffer into size-bounded list-state
+    rows: each row holds at most _MAX_BLOB_BYTES, cut on record boundaries
+    so any subset of rows still np.frombuffer-decodes cleanly."""
+    if len(payload) <= _MAX_BLOB_BYTES:
+        return [(payload,)]
+    per = max(1, _MAX_BLOB_BYTES // itemsize) * itemsize
+    return [(payload[i : i + per],) for i in range(0, len(payload), per)]
+
+
+def _compaction_due(n_chunks: int, live_bytes: int) -> bool:
+    """Chunk-count compaction trigger, relative to the row-count FLOOR a
+    compacted bucket needs under _MAX_BLOB_BYTES — a bucket too big to fit
+    _MAX_CHUNKS rows after compaction must not recompact on every batch."""
+    return n_chunks >= _MAX_CHUNKS + live_bytes // _MAX_BLOB_BYTES
 
 
 class _ExactSigPrefilter(StatefulProcessor):
@@ -251,7 +280,8 @@ class _ExactSigPrefilter(StatefulProcessor):
     appears in the batch are materialized into a bytes-set for the
     full-signature equality check (so a hash collision can never wrongly
     suppress). Append-only commits add one blob row per batch; evictions
-    (and a _MAX_CHUNKS cap) compact to a single row. One event-time timer
+    (and a _MAX_CHUNKS cap) compact to size-bounded rows of at most
+    _MAX_BLOB_BYTES each (ADVICE r10). One event-time timer
     at the earliest entry's expiry; state is rate x horizon bounded."""
 
     def __init__(self, horizon_ms: int, num_perm: int = 64) -> None:
@@ -351,18 +381,22 @@ class _ExactSigPrefilter(StatefulProcessor):
             self.entries.clear()
             if live.size or n_new:
                 merged = live.tobytes() + (blob if n_new else b"")
-                self.entries.put([(merged,)])
+                self.entries.put(_blob_rows(merged, self._dtype().itemsize))
                 lo = int(live["ts"].min()) if live.size else None
                 if n_new:
                     nn = int(ts_ms[order][fresh].min())
                     lo = nn if lo is None else min(lo, nn)
                 self.handle.registerTimer(lo + self.horizon_ms)
         elif n_new:
-            if n_chunks >= _MAX_CHUNKS:
+            if _compaction_due(n_chunks, live.size * self._dtype().itemsize):
                 self.entries.clear()
-                self.entries.put([(live.tobytes() + blob,)])
+                self.entries.put(
+                    _blob_rows(live.tobytes() + blob, self._dtype().itemsize)
+                )
             else:
-                self.entries.appendList([(blob,)])
+                self.entries.appendList(
+                    _blob_rows(blob, self._dtype().itemsize)
+                )
             if not live.size:
                 self.handle.registerTimer(
                     int(ts_ms[order][fresh].min()) + self.horizon_ms
@@ -378,7 +412,9 @@ class _ExactSigPrefilter(StatefulProcessor):
         live = arr[arr["ts"] + self.horizon_ms >= wm]
         self.entries.clear()
         if live.size:
-            self.entries.put([(live.tobytes(),)])
+            self.entries.put(
+                _blob_rows(live.tobytes(), self._dtype().itemsize)
+            )
             self.handle.registerTimer(int(live["ts"].min()) + self.horizon_ms)
         return iter(())
 
@@ -433,7 +469,8 @@ class _BandVerifyProcessor(StatefulProcessor):
     new-occupant packing are all whole-array operations; only contested
     rows and the state records under their keys are touched row-wise.
     Append-only commits add one blob row per batch; evictions (and a
-    _MAX_CHUNKS cap) compact to a single row."""
+    _MAX_CHUNKS cap) compact to size-bounded rows of at most
+    _MAX_BLOB_BYTES each (ADVICE r10)."""
 
     def __init__(
         self, threshold: float, horizon_ms: int, num_perm: int = 64
@@ -595,18 +632,25 @@ class _BandVerifyProcessor(StatefulProcessor):
             self.entries.clear()
             if live.size or n_new:
                 self.entries.put(
-                    [(live.tobytes() + (blob if n_new else b""),)]
+                    _blob_rows(
+                        live.tobytes() + (blob if n_new else b""),
+                        self._dtype().itemsize,
+                    )
                 )
                 lo = int(live["ts"].min()) if live.size else None
                 if n_new:
                     lo = new_min_ts if lo is None else min(lo, new_min_ts)
                 self.handle.registerTimer(lo + self.horizon_ms)
         elif n_new:
-            if n_chunks >= _MAX_CHUNKS:
+            if _compaction_due(n_chunks, live.size * self._dtype().itemsize):
                 self.entries.clear()
-                self.entries.put([(live.tobytes() + blob,)])
+                self.entries.put(
+                    _blob_rows(live.tobytes() + blob, self._dtype().itemsize)
+                )
             else:
-                self.entries.appendList([(blob,)])
+                self.entries.appendList(
+                    _blob_rows(blob, self._dtype().itemsize)
+                )
             if not live.size:
                 self.handle.registerTimer(new_min_ts + self.horizon_ms)
         if strip_idx:
@@ -620,7 +664,9 @@ class _BandVerifyProcessor(StatefulProcessor):
         live = arr[arr["ts"] + self.horizon_ms >= wm]
         self.entries.clear()
         if live.size:
-            self.entries.put([(live.tobytes(),)])
+            self.entries.put(
+                _blob_rows(live.tobytes(), self._dtype().itemsize)
+            )
             self.handle.registerTimer(int(live["ts"].min()) + self.horizon_ms)
         return iter(())
 
@@ -749,15 +795,18 @@ def minhash_dedup_stream(
 
         ensure_protobuf()
         if state_buckets is None:
-            state_buckets = max(
-                64,
-                2
-                * int(
+            # ADVICE r10: the conf can be non-numeric on AQE-managed
+            # platforms ('auto') — fall back to defaultParallelism rather
+            # than raising out of a default-argument path
+            try:
+                parts = int(
                     docs.sparkSession.conf.get(
                         "spark.sql.shuffle.partitions", "200"
                     )
-                ),
-            )
+                )
+            except ValueError:
+                parts = docs.sparkSession.sparkContext.defaultParallelism
+            state_buckets = max(64, 2 * parts)
         horizon_ms = _duration_ms(watermark)
         # Prefilter (r8 task #1): exact-signature duplicates — the bulk of a
         # dup-heavy ingest — are suppressed at DOC grain before banding, so
