@@ -241,11 +241,72 @@ def main() -> int:
             F.count_distinct("doc_id").alias("n_src_docs"),
         ).write.mode("overwrite").format("noop").save()
 
+    def run_host_capped_sample() -> None:
+        # r11 verdict task #2: the per-host anti-domination cap under the
+        # hub. (doc, host) membership from the edge fixture (host = dst —
+        # the hub host has 1.5M distinct member docs, the claimed "bounded
+        # by host doc count" concentration this probe now MEASURES). The
+        # q_host_capped_sample shape verbatim: distinct membership, Knuth
+        # hash order, host-PARTITIONED ROW_NUMBER <= 40. Spark's
+        # WindowGroupLimit pushes the rank filter into a PARTIAL pre-shuffle
+        # pass, so the hub partition's shuffle read is ~cap x map-tasks
+        # rows, not 1.5M — the probe verifies that, not just asserts it.
+        from pyspark.sql import Window
+
+        members = (
+            edges.select(
+                F.col("src").alias("doc_id"), F.col("dst").alias("host")
+            )
+            .distinct()
+        )
+        keyed = members.select(
+            "doc_id",
+            "host",
+            F.pmod(
+                F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)
+            ).alias("hkey"),
+        )
+        rn = F.row_number().over(
+            Window.partitionBy("host").orderBy("hkey", "doc_id")
+        )
+        keyed.withColumn("rn", rn).where(F.col("rn") <= 40).write.mode(
+            "overwrite"
+        ).format("noop").save()
+
+    def run_budget_sampled_approx() -> None:
+        # r11 verdict task #2: the scale-safe row-emitting budget sampler
+        # (q_budget_sampled_corpus_approx's dataflow) over hub-skewed
+        # PageRank ranks — approx-percentile bucket thresholds (three 1-row
+        # sketch aggregates), 3-row rate broadcast, map-only keep filter.
+        # The hub's extreme rank lands in bucket 1 like any other row; the
+        # probe confirms no stage concentrates.
+        from timing_explorer_spark.operators.graph import pagerank_directed
+        from timing_explorer_spark.plans.text_pipeline import (
+            _budget_rates_parallel,
+            _hash_threshold_sample,
+            approx_ntile3_buckets,
+        )
+
+        ranks = pagerank_directed(edges, iterations=2).localCheckpoint()
+        tokens = ranks.select(
+            F.col("doc").alias("doc_id"),
+            (200 + F.pmod(F.xxhash64("doc", F.lit(9)), F.lit(800))).alias(
+                "n_tokens"
+            ),
+        )
+        scored = approx_ntile3_buckets(ranks, tokens).localCheckpoint()
+        rates = _budget_rates_parallel(scored).select("bucket", "sample_rate")
+        _hash_threshold_sample(scored, rates).write.mode("overwrite").format(
+            "noop"
+        ).save()
+
     profiled("pagerank_directed_5it", run_pagerank)
     profiled("link_components", run_components)
     profiled("hits_5it", run_hits)
     profiled("bfs_depth_from_hub", run_bfs)
     profiled("anchor_terms_build", run_anchor_terms)
+    profiled("host_capped_sample", run_host_capped_sample)
+    profiled("budget_sampled_approx", run_budget_sampled_approx)
 
     out = {
         "metric": "link_graph_skew_probe",

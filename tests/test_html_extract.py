@@ -238,12 +238,26 @@ def test_strip_html_quote_aware_attr_gt(spark):
         # ... while a real tag start inside an UNTERMINATED quote still
         # breaks the run (the r8 fix is untouched): tag names are always
         # followed by whitespace / '/' / '>'
-        # r10 REMAINING LIMITATION (pin of the accepted trade, see the
-        # _DQ_RUN comment): '<'+letters+tag-delimiter inside a terminated
-        # value is byte-indistinguishable from a tag start without
-        # unbounded lookahead — still shears, leaking a bounded fragment.
-        # Valid HTML entity-encodes '<' inside attribute values.
-        ('<a title="use <b> tags">x</a> y', 'tags">x y'),
+        # r11 FIX (verdict task #5, was the r10 pinned leak): a bare simple
+        # OPEN tag inside a terminated value is admitted into the quoted
+        # run (decided by the char after the letters — a delimiter), so the
+        # attribute no longer shears
+        ('<a title="use <b> tags">x</a> y', "x y"),
+        ("<a title='use <b> tags'>x</a> y", "x y"),              # SQ flavor
+        ('<a title="br here <br/> ok">z</a> w', "z w"),          # self-close
+        # ... while later tags WITH attributes inside an unterminated quote
+        # still break the run (the r8 protection the new unit must not
+        # weaken — '<div class=' is letters followed by whitespace+name)
+        (
+            '<a title="broken>Hello <b>bold</b> text<div class="x">hi</div>',
+            "Hello bold text hi",
+        ),
+        # r11 REMAINING LIMITATION (pin of the accepted trade, see the
+        # _DQ_RUN comment): a simple CLOSE tag inside a terminated value
+        # still shears — admitting '</'-runs would let an unterminated
+        # quote swallow across simple-formatted text (the r8 failure
+        # shape). Valid HTML entity-encodes '<' inside attribute values.
+        ('<a title="use </b> tags">x</a> y', 'tags">x y'),
     ]
     df = spark.createDataFrame([(h,) for h, _ in rows], "html string")
     got = [r["c"] for r in df.select(strip_html(F.col("html")).alias("c")).collect()]

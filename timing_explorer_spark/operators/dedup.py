@@ -463,6 +463,14 @@ def resolve_components(pairs: DataFrame, a_col: str = "doc_a", b_col: str = "doc
             .distinct()
             .persist()
         )
+        # materialize the symmetrized edges NOW and drop the pair cache:
+        # edges is the only consumer of pairs, and keeping both resident
+        # for the whole loop doubled cached bytes — measured to OOM an 8g
+        # single-JVM session at 60M edges (bench_graph_sf10, r11) where
+        # either cache alone fits comfortably. Unpersist is safe even if
+        # the caller re-reads `pairs` (it just recomputes).
+        edges.count()
+        pairs.unpersist()
         labels = (
             edges.select(F.col("src").alias("doc")).distinct().withColumn("rep", F.col("doc"))
         ).persist()

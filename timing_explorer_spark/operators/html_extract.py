@@ -70,13 +70,28 @@ from pyspark.sql import functions as F
 # name is followed by whitespace, '/', or '>', exactly the excluded set,
 # so the r8 unterminated-quote fix is untouched (all r8 pins still green).
 #
-# REMAINING LIMITATION (pinned): a '<'+letters sequence followed by a tag
-# delimiter inside a TERMINATED value — title="use <b> tags" — is
-# byte-indistinguishable from a tag start without unbounded lookahead, so
-# it still shears (bounded fragment leak). Valid HTML entity-encodes '<'
-# inside attribute values, so affected inputs are themselves malformed.
-_DQ_RUN = "\"(?:[^\"<]|<[a-zA-Z]+[^a-zA-Z\\s/><\"]|<[^a-zA-Z/\"])*\""
-_SQ_RUN = "'(?:[^'<]|<[a-zA-Z]+[^a-zA-Z\\s/><']|<[^a-zA-Z/'])*'"
+# r11 (verdict task #5): a BARE simple open tag fully inside the quoted
+# run — '<' + letters + optional whitespace + optional '/' + '>' — is now
+# admitted (title="use <b> tags", the r10 pinned leak, parses clean). The
+# token is decided entirely by the character after the letter run (a
+# delimiter admits it, anything else falls to the r10 consumed-context
+# unit), so no lookahead and both engines stay linear. The r8
+# unterminated-quote protection is intact because REAL later tags carry
+# attributes ('<div class=...' — letters followed by whitespace+name, not
+# '>') and close tags start '</', neither of which the new unit matches.
+#
+# REMAINING LIMITATION (pinned): a simple CLOSE tag inside a terminated
+# value — title="use </b> tags" — still shears (admitting '</'-runs would
+# let an unterminated quote swallow across simple-formatted text, the r8
+# failure shape). Valid HTML entity-encodes '<' inside attribute values,
+# so affected inputs are themselves malformed.
+_DQ_RUN = (
+    "\"(?:[^\"<]|<[a-zA-Z]+[^a-zA-Z\\s/><\"]|<[a-zA-Z]+\\s*/?>"
+    "|<[^a-zA-Z/\"])*\""
+)
+_SQ_RUN = (
+    "'(?:[^'<]|<[a-zA-Z]+[^a-zA-Z\\s/><']|<[a-zA-Z]+\\s*/?>|<[^a-zA-Z/'])*'"
+)
 _TAG_BODY = (
     "(?:[^>\"']|" + _DQ_RUN + "|" + _SQ_RUN + ")*(?:\"[^\">]*|'[^'>]*)?"
 )

@@ -1101,8 +1101,10 @@ _HTML_SYNTH_SQL = (
 # keep unspaced comparisons inside terminated quotes — see _DQ_RUN)
 _TAG_BODY_SQL = (
     "(?:[^>\"'']"
-    "|\"(?:[^\"<]|<[a-zA-Z]+[^a-zA-Z\\s/><\"]|<[^a-zA-Z/\"])*\""
-    "|''(?:[^''<]|<[a-zA-Z]+[^a-zA-Z\\s/><'']|<[^a-zA-Z/''])*''"
+    "|\"(?:[^\"<]|<[a-zA-Z]+[^a-zA-Z\\s/><\"]|<[a-zA-Z]+\\s*/?>"
+    "|<[^a-zA-Z/\"])*\""
+    "|''(?:[^''<]|<[a-zA-Z]+[^a-zA-Z\\s/><'']|<[a-zA-Z]+\\s*/?>"
+    "|<[^a-zA-Z/''])*''"
     ")*(?:\"[^\">]*|''[^''>]*)?"
 )
 
