@@ -382,6 +382,10 @@ _SANCTIONED_NESTED_LOOP = {
     # aggregate (class (b) scalar attachment — replaces the exact variant's
     # unpartitioned scalar window; never fact rows)
     "q_pagerank_token_budget_approx",
+    # r11: the same 3-row x 1-row scalar crossJoin via _budget_rates_parallel
+    # (the approx sampler and the e2e flagship compose it)
+    "q_budget_sampled_corpus_approx",
+    "q_corpus_assembly_e2e",
     "q_quality_expectations",
     "q_sequence_packing",
     "q_concurrent_events",
@@ -466,6 +470,11 @@ _SANCTIONED_GLOBAL_WINDOW = {
     # q_pagerank_token_budget_approx's thresholds — that query plans NO
     # window at all, verified in its PLANS.md WANT)
     "q_budget_sampled_corpus",
+    # r11: the e2e flagship's packing tail is the two-phase prefix scan —
+    # its only global window is the O(n_partitions)-row offsets table,
+    # exactly q_sequence_packing's sanctioned class (c) shape; every other
+    # window in the chain is source-/host-partitioned
+    "q_corpus_assembly_e2e",
     "q_pareto_revenue",
     "q_key_skew_report",
     "q_event_transitions",

@@ -3551,9 +3551,11 @@ def corpus_assembly_stages(
         "total_tokens, fill_ratio). Scale audit (benched at sf1, "
         "BENCH_sf1.json corpus_assembly_e2e): no new shuffles beyond the "
         "components' own — the stages join on doc_id or broadcast 3-row "
-        "rate tables; zero unpartitioned Windows anywhere (the cap window "
-        "is source-partitioned, packing is the two-phase prefix scan, "
-        "buckets are sketch thresholds)."
+        "rate tables; no data-grain single-partition operator anywhere "
+        "(the cap window is source-partitioned, buckets are sketch "
+        "thresholds, and packing is the two-phase prefix scan whose only "
+        "global window is the O(n_partitions)-row offsets table — the "
+        "sanctioned class-(c) shape)."
     ),
     tags=(
         "text",
