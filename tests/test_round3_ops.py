@@ -876,3 +876,33 @@ def test_corpus_assembly_e2e_stage_reconciliation(spark, sf_oracle):
     assert sum(r["n_docs"] for r in packed) == len(sampled)
     seq_ids = sorted(r["seq_id"] for r in packed)
     assert seq_ids == list(range(len(seq_ids)))  # contiguous packing
+
+
+def test_registrable_domain_psl_subset(spark):
+    """r11: eTLD+1 extraction — longest-suffix match against the embedded
+    public-suffix subset, as a map-only column expression. Pins the
+    multi-label suffixes (co.uk-style), port stripping, case folding,
+    deep subdomain folding, and the documented degenerate behaviors
+    (lone label and bare public suffix return themselves)."""
+    from timing_explorer_spark.operators.html_extract import registrable_domain
+
+    cases = {
+        "www.bbc.co.uk": "bbc.co.uk",
+        "a.b.news.bbc.co.uk": "bbc.co.uk",
+        "cdn.other.net:443": "other.net",
+        "docs.other.net": "other.net",
+        "Example.COM:8080": "example.com",
+        "a.b.c.example.com": "example.com",
+        "x.com.au": "x.com.au",  # com.au is the suffix, x is the registrable label
+        "shop.x.com.au": "x.com.au",
+        "localhost": "localhost",  # lone label: returns itself
+        "co.uk": "co.uk",  # bare public suffix: returns itself (documented)
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "h string")
+    got = {
+        r["h"]: r["d"]
+        for r in df.select(
+            "h", registrable_domain(F.col("h")).alias("d")
+        ).collect()
+    }
+    assert got == cases

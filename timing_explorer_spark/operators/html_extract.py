@@ -359,3 +359,43 @@ def canonicalize_url(url: Column) -> Column:
         F.size(params) > 0, F.concat(F.lit("?"), F.array_join(params, "&"))
     ).otherwise(F.lit(""))
     return F.concat(scheme, F.lit("://"), host, path, qpart)
+
+
+# Multi-label public suffixes recognized by registrable_domain — a small
+# embedded SUBSET of the public suffix list (publicsuffix.org; the full
+# list is ~10k rules and updates continuously — production would broadcast
+# the real file). Single-label TLDs need no table: they are the default.
+_MULTI_LABEL_SUFFIXES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp",
+    "com.br", "com.cn", "com.mx", "com.ar", "com.tr", "com.sg",
+    "co.in", "co.nz", "co.za", "co.kr",
+)
+
+
+def registrable_domain(host: Column) -> Column:
+    """eTLD+1 (the "registrable domain") of a host[:port] — the key every
+    crawl pipeline actually aggregates by: per-HOST stats split one site
+    across cdn./docs./www. subdomains, while per-registrable-domain stats
+    fold them (cdn.other.net and docs.other.net -> other.net), which is
+    what blocklists and anti-domination caps key on (CC/C4 convention).
+
+    Longest-suffix match against the embedded PSL subset, as a pure
+    map-only column expression (no join, no UDF — the suffix table is a
+    literal isin): lowercase, strip the port, split on '.', classify the
+    last TWO labels against the multi-label suffix set (else the suffix is
+    the single last label), keep suffix + one label. Degenerate inputs
+    degrade gracefully: a bare TLD or a lone label (localhost) returns
+    itself; a host that IS a public suffix (co.uk) returns itself, where
+    the full PSL would say "no registrable domain". DuckDB-mirrorable
+    (list slicing + CASE IN) for oracle-checked queries."""
+    h = F.regexp_replace(F.lower(host), r":[0-9]+$", "")
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, -2, 2), ".")
+    suffix_len = F.when(
+        (n >= 2) & last2.isin(*_MULTI_LABEL_SUFFIXES), F.lit(2)
+    ).otherwise(F.lit(1))
+    take = F.least(n, suffix_len + 1)
+    return F.array_join(F.slice(labels, -take, take), ".")

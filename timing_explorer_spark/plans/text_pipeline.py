@@ -2545,6 +2545,146 @@ def q_link_host_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PSL_IN_SQL = (
+    "('co.uk','org.uk','ac.uk','gov.uk','me.uk','com.au','net.au','org.au',"
+    "'co.jp','ne.jp','or.jp','ac.jp','com.br','com.cn','com.mx','com.ar',"
+    "'com.tr','com.sg','co.in','co.nz','co.za','co.kr')"
+)
+
+
+@register(
+    "q_link_domain_rollup",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_LINK_HTML_SQL} AS html FROM documents
+        ),
+        arrs AS (
+            SELECT doc_id,
+                   list_concat(
+                       regexp_extract_all(html, '{_DQ_HREF}', 1),
+                       regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)
+                   ) AS hrefs
+            FROM raw
+        ),
+        exploded AS (
+            SELECT doc_id, hrefs[i] AS url
+            FROM arrs, UNNEST(range(1, LEN(hrefs) + 1)) AS r(i)
+        ),
+        parts AS (
+            SELECT doc_id, url,
+                   lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)) AS scheme,
+                   lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1))  AS hostport,
+                   regexp_extract(url, '^[^:]+://[^/?#]*([^?#]*)', 1)   AS path,
+                   regexp_extract(url, '\\?([^#]*)', 1)                 AS query
+            FROM exploded
+        ),
+        canon AS (
+            SELECT doc_id, scheme,
+                   CASE WHEN scheme = 'http'  THEN regexp_replace(hostport, ':80$', '')
+                        WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+                        ELSE hostport END AS host,
+                   CASE WHEN LENGTH(path) = 0 THEN '/' ELSE path END AS path2,
+                   list_sort(list_filter(string_split(query, '&'),
+                       p -> LENGTH(p) > 0 AND NOT regexp_matches(p,
+                            '^(utm_[^=]*|fbclid|gclid|msclkid|ref|mc_eid)=')))
+                       AS params
+            FROM parts
+        ),
+        edges AS (
+            SELECT doc_id, host,
+                   scheme || '://' || host || path2
+                   || CASE WHEN len(params) > 0
+                           THEN '?' || array_to_string(params, '&')
+                           ELSE '' END AS dst_url
+            FROM canon
+        ),
+        dom AS (
+            SELECT doc_id, host, dst_url,
+                   array_to_string(
+                       l[GREATEST(LEN(l) - tk + 1, 1):LEN(l)], '.'
+                   ) AS domain
+            FROM (
+                SELECT doc_id, host, dst_url, l,
+                       LEAST(LEN(l),
+                             CASE WHEN LEN(l) >= 2
+                                       AND array_to_string(
+                                           l[GREATEST(LEN(l)-1,1):LEN(l)], '.'
+                                       ) IN {_PSL_IN_SQL}
+                                  THEN 2 ELSE 1 END + 1) AS tk
+                FROM (
+                    SELECT doc_id, host, dst_url,
+                           string_split(
+                               regexp_replace(host, ':[0-9]+$', ''), '.'
+                           ) AS l
+                    FROM edges
+                )
+            )
+        )
+        SELECT domain,
+               COUNT(*) AS n_links,
+               COUNT(DISTINCT host)   AS n_hosts,
+               COUNT(DISTINCT doc_id) AS n_src_docs,
+               COUNT(DISTINCT dst_url) AS n_distinct_targets,
+               CAST(SUM(CASE WHEN regexp_matches(dst_url, '/doc/(\\d+)$')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_internal
+        FROM dom
+        GROUP BY domain
+    """,
+    doc=(
+        "Per-REGISTRABLE-DOMAIN link rollup (r11, unsolicited — closes "
+        "q_link_host_rollup's documented gap 'the host key here, since "
+        "the fixture has no public-suffix list'): the eTLD+1 grain that "
+        "blocklists and anti-domination caps actually key on in CC/C4 "
+        "pipelines — per-HOST stats split one site across cdn./docs./www. "
+        "subdomains (this fixture's cdn.other.net + docs.other.net fold "
+        "to other.net), per-domain stats do not. registrable_domain "
+        "(operators/html_extract.py) does longest-suffix match against an "
+        "embedded publicsuffix.org SUBSET as a pure map-only column "
+        "expression — lowercase, port strip, split, classify the last two "
+        "labels against the multi-label suffix literals (co.uk-style), "
+        "keep suffix + one label; no join, no UDF; production broadcasts "
+        "the full PSL file instead of the literal subset. Output per "
+        "domain adds n_hosts (how many subdomains the rollup folded) to "
+        "the host-rollup columns. One (domain)-keyed aggregate; the three "
+        "count_distincts go through Spark's expand-based partial "
+        "aggregation, so a hub domain spreads before the final merge."
+    ),
+    tags=("text", "html", "links", "crawl", "domains", "quality", "llm-pipeline"),
+)
+def q_link_domain_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.html_extract import canonicalize_url, registrable_domain
+
+    pages = _link_pages(load(spark, sf_dir, "documents"))
+    hrefs = F.concat(
+        F.regexp_extract_all("html", F.lit(_DQ_HREF), F.lit(1)),
+        F.regexp_extract_all("html", F.lit(_SQ_HREF), F.lit(1)),
+    )
+    canon = pages.select(
+        "doc_id", F.explode(hrefs).alias("url")
+    ).select("doc_id", canonicalize_url(F.col("url")).alias("dst_url"))
+    edges = canon.select(
+        "doc_id",
+        "dst_url",
+        F.regexp_extract("dst_url", r"^[^:]+://([^/?#]*)", 1).alias("host"),
+    )
+    return edges.select(
+        "doc_id",
+        "dst_url",
+        "host",
+        registrable_domain(F.col("host")).alias("domain"),
+    ).groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.count_distinct("host").alias("n_hosts"),
+        F.count_distinct("doc_id").alias("n_src_docs"),
+        F.count_distinct("dst_url").alias("n_distinct_targets"),
+        F.sum(
+            F.when(F.col("dst_url").rlike(r"/doc/(\d+)$"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_internal"),
+    )
+
+
 @register(
     "q_host_capped_sample",
     oracle=f"""
