@@ -457,6 +457,9 @@ _SANCTIONED_GLOBAL_WINDOW = {
     "q_concurrent_events",
     "q_tfidf_top_terms",
     "q_mixture_token_budget",
+    # r11: temperature mixture — two windows over the same |sources|-row
+    # aggregate (class (b); never fact rows)
+    "q_mixture_temperature",
     # the flagship's mixture stage: the same |sources|-row aggregate window
     # as q_mixture_token_budget (class (b); never fact rows)
     "q_crawl_to_corpus",

@@ -301,6 +301,71 @@ def q_mixture_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_mixture_temperature",
+    oracle="""
+        WITH per_src AS (
+            SELECT source,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY source
+        ),
+        probs AS (
+            SELECT source, n_tokens,
+                   CAST(n_tokens AS DOUBLE)
+                       / SUM(n_tokens) OVER () AS p_natural,
+                   POWER(CAST(n_tokens AS DOUBLE)
+                         / SUM(n_tokens) OVER (), 0.3) AS p_alpha
+            FROM per_src
+        )
+        SELECT source, n_tokens, p_natural,
+               p_alpha / SUM(p_alpha) OVER () AS p_temperature,
+               LEAST(1.0,
+                     100000.0 * (p_alpha / SUM(p_alpha) OVER ())
+                     / n_tokens) AS sample_rate
+        FROM probs
+    """,
+    doc=(
+        "TEMPERATURE-scaled mixture rates (r11, unsolicited): the standard "
+        "multilingual/multi-source rebalancing trick (mC4 / XLM-R "
+        "convention, alpha = 0.3): natural source shares p_i = n_i/N are "
+        "raised to p_i^alpha and renormalized, lifting low-resource "
+        "sources without flattening the mixture entirely — then the "
+        "per-source rate that hits a 100k-token budget under the "
+        "temperature weights (rate = min(1, budget*q_i/n_i)). Both "
+        "normalizations are windows over the |sources|-row aggregate "
+        "(bounded, never the corpus — the q_mixture_token_budget class-(b) "
+        "shape). POWER() agrees across engines well inside the oracle's "
+        "9-significant-digit canonicalization. The rate column feeds the "
+        "same deterministic hash samplers as the uniform-weight variant."
+    ),
+    tags=("text", "mixture", "sampling", "llm-pipeline"),
+)
+def q_mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    per_src = d.groupBy("source").agg(
+        F.sum(F.size(tokens(F.col("text")))).alias("n_tokens")
+    )
+    w = Window.partitionBy()
+    p_nat = F.col("n_tokens").cast("double") / F.sum("n_tokens").over(w)
+    probs = per_src.select(
+        "source",
+        "n_tokens",
+        p_nat.alias("p_natural"),
+        F.pow(p_nat, F.lit(0.3)).alias("p_alpha"),
+    )
+    q = F.col("p_alpha") / F.sum("p_alpha").over(w)
+    return probs.select(
+        "source",
+        "n_tokens",
+        "p_natural",
+        q.alias("p_temperature"),
+        F.least(
+            F.lit(1.0), F.lit(100000.0) * q / F.col("n_tokens")
+        ).alias("sample_rate"),
+    )
+
+
+@register(
     "q_quality_expectations",
     oracle="""
         SELECT 'orders_pk_unique' AS constraint_name,

