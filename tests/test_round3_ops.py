@@ -906,3 +906,66 @@ def test_registrable_domain_psl_subset(spark):
         ).collect()
     }
     assert got == cases
+
+
+_SPINE_RECURSIVE_SQL = """
+    WITH RECURSIVE months(m) AS (
+        SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)) FROM __spine_orders
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < (SELECT DATE_TRUNC('MONTH', MAX(o_orderdate)) FROM __spine_orders)
+    )
+    SELECT CAST(m AS DATE) AS month, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN __spine_orders ON DATE_TRUNC('MONTH', o_orderdate) = m
+    GROUP BY m
+"""
+
+_SPINE_SEQUENCE_SQL = """
+    WITH bounds AS (
+        SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)) AS lo,
+               DATE_TRUNC('MONTH', MAX(o_orderdate)) AS hi
+        FROM __spine_orders
+    ),
+    months AS (
+        SELECT explode_outer(sequence(lo, hi, INTERVAL '1' MONTH)) AS m
+        FROM bounds
+    )
+    SELECT CAST(m AS DATE) AS month, COUNT(o_orderkey) AS n_orders
+    FROM months LEFT JOIN __spine_orders ON DATE_TRUNC('MONTH', o_orderdate) = m
+    GROUP BY m
+"""
+
+
+def test_month_spine_sequence_matches_recursive_cte(spark):
+    """r12 optimization: q_recursive_month_spine's bounds+sequence() plan is
+    row-identical to the standard-SQL WITH RECURSIVE formulation it replaced
+    (the recursion ran one distributed job per month — ~81 iterations at the
+    fixtures, each re-evaluating the MAX scalar subquery; the sequence form
+    is a single bounds aggregate). The recursive original runs live here on
+    a gap-heavy synthetic table so the Spark 4 recursive-CTE surface stays
+    exercised; the registered builder itself is hash-pinned against the
+    unchanged recursive DuckDB oracle by the registry gate."""
+    rows = [
+        (k, f"2030-{1 + (7 * k) % 12:02d}-{1 + (k * 11) % 28:02d}", 2030 + k % 3)
+        for k in range(40)
+    ]
+    spark.createDataFrame(
+        [(k, f"{y}-{d[5:]}") for (k, d, y) in rows], "o_orderkey long, ds string"
+    ).selectExpr("o_orderkey", "CAST(ds AS TIMESTAMP) AS o_orderdate").createOrReplaceTempView(
+        "__spine_orders"
+    )
+    key = lambda r: (str(r["month"]), r["n_orders"])  # noqa: E731
+    got = sorted(key(r) for r in spark.sql(_SPINE_SEQUENCE_SQL).collect())
+    recursive = sorted(key(r) for r in spark.sql(_SPINE_RECURSIVE_SQL).collect())
+    assert got == recursive
+    assert len(got) > 12  # multi-year spine, gap months included at count 0
+    assert any(n == 0 for _, n in got)
+
+    # Empty-input parity: the recursive anchor yields a single NULL month;
+    # explode_outer preserves exactly that (a bare explode would drop it).
+    spark.sql("SELECT * FROM __spine_orders WHERE FALSE").createOrReplaceTempView(
+        "__spine_orders"
+    )
+    got_empty = [key(r) for r in spark.sql(_SPINE_SEQUENCE_SQL).collect()]
+    rec_empty = [key(r) for r in spark.sql(_SPINE_RECURSIVE_SQL).collect()]
+    assert got_empty == rec_empty == [("None", 0)]

@@ -124,11 +124,12 @@ def logreg_train(
             ).alias("loss"),
         )
         scored = scored.persist()
-        agg = scored.agg(
-            F.sum(F.col("loss").cast(_DEC)).cast("double").alias("loss_sum")
-        ).collect()[0]
-        losses.append(float(agg["loss_sum"]) / n_rows)
-        grad_rows = (
+        # ONE action per iteration: the loss scalar rides the gradient
+        # collect as an extra marked row (r12 — guide §5: every driver
+        # round trip is a full job launch, and the loop paid two per
+        # iteration; the decimal-exact sums are unchanged, so weights and
+        # losses stay bit-identical — pinned in tests/test_logreg.py).
+        combined = (
             features.join(scored.select("_doc", "resid"), on="_doc")
             .groupBy("bucket")
             .agg(
@@ -136,10 +137,26 @@ def logreg_train(
                 .cast("double")
                 .alias("g")
             )
+            .select("bucket", "g", F.lit(False).alias("is_loss"))
+            .unionByName(
+                scored.agg(
+                    F.sum(F.col("loss").cast(_DEC)).cast("double").alias("g")
+                ).select(
+                    F.lit(None).cast("int").alias("bucket"),
+                    "g",
+                    F.lit(True).alias("is_loss"),
+                )
+            )
             .collect()
         )
         scored.unpersist()
-        grads = {int(r["bucket"]): float(r["g"]) / n_rows for r in grad_rows}
+        loss_sum = next(float(r["g"]) for r in combined if r["is_loss"])
+        losses.append(loss_sum / n_rows)
+        grads = {
+            int(r["bucket"]): float(r["g"]) / n_rows
+            for r in combined
+            if not r["is_loss"]
+        }
         # ascent on y-residual == descent on NLL; L2 shrinks everything but bias
         weights = {
             b: w + lr * (grads.get(b, 0.0) - (0.0 if b == BIAS_BUCKET else l2 * w))

@@ -34,10 +34,18 @@ from pyspark.sql import functions as F
 
 
 def _with_partition_offsets(df: DataFrame, order_cols: list[str],
-                            local_col: str, n_parts: int | None) -> DataFrame:
+                            local_col: str, n_parts: int | None,
+                            with_total: bool = False) -> DataFrame:
     """Range-partition ``df`` by ``order_cols``, attach __pid and the
     exclusive per-partition offset of ``local_col`` (sum over all earlier
-    partitions). ``local_col`` values must already be per-row (pre-scan)."""
+    partitions). ``local_col`` values must already be per-row (pre-scan).
+
+    ``with_total`` additionally attaches ``__total`` — the GRAND total of
+    ``local_col`` — computed over the same tiny per-partition table the
+    offsets come from (one extra window over n_partitions rows, zero extra
+    passes over the data). Consumers that need both the scan and its total
+    (cumulative shares, NTILE bucket math) previously re-aggregated the
+    full input a second time just for that scalar (r12, guide §2.4)."""
     spark = df.sparkSession
     n = n_parts or spark.sparkContext.defaultParallelism
     ranged = (
@@ -49,42 +57,62 @@ def _with_partition_offsets(df: DataFrame, order_cols: list[str],
     # (one per partition), so the unpartitioned window is driver-scale work.
     totals = ranged.groupBy("__pid").agg(F.sum(local_col).alias("__ptotal"))
     w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "__pid", F.coalesce(F.sum("__ptotal").over(w), F.lit(0)).alias("__offset")
-    )
+    cols = [
+        F.col("__pid"),
+        F.coalesce(F.sum("__ptotal").over(w), F.lit(0)).alias("__offset"),
+    ]
+    if with_total:
+        w_all = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+        cols.append(F.sum("__ptotal").over(w_all).alias("__total"))
+    offsets = totals.select(*cols)
     return ranged.join(F.broadcast(offsets), "__pid")
 
 
 def running_total(df: DataFrame, order_cols: list[str], value_col: str,
-                  alias: str = "running_total", n_parts: int | None = None) -> DataFrame:
+                  alias: str = "running_total", n_parts: int | None = None,
+                  total_alias: str | None = None) -> DataFrame:
     """Globally-ordered running SUM(value_col), distributed.
 
     Equivalent to ``SUM(value_col) OVER (ORDER BY order_cols ROWS UNBOUNDED
     PRECEDING)`` but executed as a two-phase parallel scan (module doc).
-    Output columns: input columns + ``alias``.
+    Output columns: input columns + ``alias`` (+ ``total_alias`` = the grand
+    total of ``value_col`` on every row when requested — free from the
+    offsets side table; consumers needing a share denominator should take
+    it here instead of re-aggregating the input).
     """
-    staged = _with_partition_offsets(df, order_cols, value_col, n_parts)
+    staged = _with_partition_offsets(
+        df, order_cols, value_col, n_parts, with_total=total_alias is not None
+    )
     local_w = Window.partitionBy("__pid").orderBy(*order_cols).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
+    extra = [F.col("__total").alias(total_alias)] if total_alias else []
     return staged.select(
         *df.columns,
         (F.sum(value_col).over(local_w) + F.col("__offset")).alias(alias),
+        *extra,
     )
 
 
 def global_rank(df: DataFrame, order_cols: list[str],
-                alias: str = "rk", n_parts: int | None = None) -> DataFrame:
+                alias: str = "rk", n_parts: int | None = None,
+                total_alias: str | None = None) -> DataFrame:
     """Global ROW_NUMBER() OVER (ORDER BY order_cols), distributed.
 
     Same two-phase scan with value == 1: local row_number per range
-    partition + broadcast exclusive row-count offsets.
-    """
+    partition + broadcast exclusive row-count offsets. ``total_alias``
+    attaches the global row COUNT to every row (from the same offsets
+    table — no extra pass; NTILE-style closed forms need it)."""
     staged = _with_partition_offsets(
-        df.withColumn("__one", F.lit(1)), order_cols, "__one", n_parts
+        df.withColumn("__one", F.lit(1)), order_cols, "__one",
+        n_parts, with_total=total_alias is not None,
     )
     local_w = Window.partitionBy("__pid").orderBy(*order_cols)
+    extra = [F.col("__total").alias(total_alias)] if total_alias else []
     return staged.select(
         *[c for c in df.columns if c != "__one"],
         (F.row_number().over(local_w) + F.col("__offset")).alias(alias),
+        *extra,
     )

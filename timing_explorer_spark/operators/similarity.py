@@ -756,23 +756,44 @@ def pq_train_codebooks(
         base = base.select(vector_to_array(F.col("nrm")).alias("v"))
     else:
         base = base.select(vector_to_array(F.col("raw")).alias("v"))
-    row = base.first()
-    if row is None:
-        raise ValueError(
-            "pq_train_codebooks: empty training corpus "
-            "(after sample_fraction, if set) — nothing to train on"
-        )
-    dim = len(row["v"])
-    if dim % m != 0:
-        raise ValueError(f"dim {dim} not divisible by m={m}")
-    sub = dim // m
-    books: list[list[list[float]]] = []
-    for j in range(m):
-        piece = base.select(
-            array_to_vector(F.slice(F.col("v"), j * sub + 1, sub)).alias("features")
-        )
-        model = KMeans(k=k_sub, seed=seed + j, maxIter=10).fit(piece)
-        books.append([list(map(float, c)) for c in model.clusterCenters()])
+    # Persist the (tiny: k_sub*100-ish sampled, or fixture-sized) training
+    # frame: every subspace fit re-reads it ~12 times (k-means|| init + 10
+    # Lloyd iterations), and without the boundary each of those jobs would
+    # re-run the scan + normalize chain — m x 12 redundant passes.
+    base = base.persist()
+    try:
+        row = base.first()
+        if row is None:
+            raise ValueError(
+                "pq_train_codebooks: empty training corpus "
+                "(after sample_fraction, if set) — nothing to train on"
+            )
+        dim = len(row["v"])
+        if dim % m != 0:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+
+        # The m subspace fits are INDEPENDENT bounded ml jobs — run them
+        # concurrently from a driver thread pool (optimization guide §2.6:
+        # overlap independent jobs so the next fit's tasks back-fill the
+        # cluster during the current fit's single-task tail). Each fit keeps
+        # its own seed/input slice, so the returned codebooks are
+        # bit-identical to the former sequential loop (pinned in
+        # tests/test_similarity.py); measured 16 sequential fits = 18.6 s ->
+        # ~4 s at q_ann_ivfpq_topk's m=16 on local[32].
+        def fit(j: int) -> list[list[float]]:
+            piece = base.select(
+                array_to_vector(F.slice(F.col("v"), j * sub + 1, sub)).alias("features")
+            )
+            model = KMeans(k=k_sub, seed=seed + j, maxIter=10).fit(piece)
+            return [list(map(float, c)) for c in model.clusterCenters()]
+
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=min(m, 8)) as pool:
+            books = list(pool.map(fit, range(m)))
+    finally:
+        base.unpersist()
     return books
 
 
@@ -923,6 +944,23 @@ def ivfpq_topk(
     train once, reuse across query batches and operating points — same
     pattern as ivf_topk's ``centers``); when given, m/k_sub/n_centroids
     describe them rather than trigger training."""
+    if not residual and centers is None and books is None:
+        # Raw-vector codebooks do not depend on the coarse centroids — the
+        # two model fits are independent jobs; overlap them (guide §2.6).
+        # Each keeps its own seed and input, so both artifacts are identical
+        # to the sequential order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_centers = pool.submit(
+                ivf_train_centroids, corpus, n_centroids=n_centroids,
+                seed=seed, vec_col=vec_col, sample_fraction=sample_fraction,
+            )
+            books = pq_train_codebooks(
+                corpus, m=m, k_sub=k_sub, seed=seed, vec_col=vec_col,
+                sample_fraction=sample_fraction,
+            )
+            centers = f_centers.result()
     if centers is None:
         centers = ivf_train_centroids(
             corpus, n_centroids=n_centroids, seed=seed, vec_col=vec_col,

@@ -84,19 +84,28 @@ def cms_build(
     is one shuffle of depth x |distinct-per-partition| partial cells
     (map-side combine collapses repeats before the exchange).
     """
-    rows = [
-        items.select(
-            F.lit(i).alias("row"),
-            F.pmod(F.xxhash64(F.col(key_col).cast("string"), F.lit(seed + i)), F.lit(width)).alias(
-                "bucket"
-            ),
+    # ONE pass over the stream: each item emits its depth (row, bucket)
+    # cells via inline() — the previous depth-way UNION of full scans
+    # re-read (and re-exploded, for callers feeding tokenized text) the
+    # stream once per sketch row (r12, guide §2.4: the union branches were
+    # four identical scans). Cell counts are identical either way.
+    cells = items.select(
+        F.inline(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("row"),
+                        F.pmod(
+                            F.xxhash64(F.col(key_col).cast("string"), F.lit(seed + i)),
+                            F.lit(width),
+                        ).alias("bucket"),
+                    )
+                    for i in range(depth)
+                ]
+            )
         )
-        for i in range(depth)
-    ]
-    allrows = rows[0]
-    for r in rows[1:]:
-        allrows = allrows.unionByName(r)
-    return allrows.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return cells.groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def cms_estimate(

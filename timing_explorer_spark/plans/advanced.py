@@ -472,11 +472,21 @@ def q_lateral_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY m
     """,
     doc=(
-        "Recursive CTE (Spark 4 WITH RECURSIVE): complete month spine from "
-        "min to max order date — empty months included (the gap-fill shape "
-        "q_gap_fill builds with sequence(), expressed through the standard "
-        "SQL surface). Recursion depth = number of months (bounded, "
-        "driver-side union loop); the join+aggregate stays distributed."
+        "Complete month spine from min to max order date — empty months "
+        "included (the oracle keeps the standard-SQL WITH RECURSIVE "
+        "formulation; DuckDB's recursion is an in-process loop and costs "
+        "nothing there). The Spark plan materializes the spine with ONE "
+        "bounds aggregate + sequence() instead of executing the recursion: "
+        "Spark 4's UnionLoop runs a full distributed job PER ITERATION and "
+        "re-evaluates the MAX(o_orderdate) scalar subquery inside every "
+        "step (measured 10.6 s for an ~81-month spine at sf0.01, ~130 ms "
+        "of fixed per-step cost for one output row each — r12 optimization "
+        "guide §2.4: remove per-iteration jobs whose closed form is one "
+        "expression). explode_outer keeps the recursive anchor's semantics "
+        "on an empty orders table (a single NULL month). Equivalence "
+        "proven against the unchanged recursive oracle at sf0.001/0.01/0.1 "
+        "(driver_sim hash-MATCH) and pinned against a live WITH RECURSIVE "
+        "run in tests/test_round3_ops.py."
     ),
     tags=("sql-api", "recursive", "gapfill"),
 )
@@ -486,11 +496,14 @@ def q_recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_temp_views(spark, sf_dir)
     return spark.sql(
         """
-        WITH RECURSIVE months(m) AS (
-            SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)) FROM orders
-            UNION ALL
-            SELECT m + INTERVAL 1 MONTH FROM months
-            WHERE m < (SELECT DATE_TRUNC('MONTH', MAX(o_orderdate)) FROM orders)
+        WITH bounds AS (
+            SELECT DATE_TRUNC('MONTH', MIN(o_orderdate)) AS lo,
+                   DATE_TRUNC('MONTH', MAX(o_orderdate)) AS hi
+            FROM orders
+        ),
+        months AS (
+            SELECT explode_outer(sequence(lo, hi, INTERVAL '1' MONTH)) AS m
+            FROM bounds
         )
         SELECT CAST(m AS DATE) AS month, COUNT(o_orderkey) AS n_orders
         FROM months LEFT JOIN orders ON DATE_TRUNC('MONTH', o_orderdate) = m
@@ -611,8 +624,12 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load(spark, sf_dir, "lineitem").select(
         F.col("l_extendedprice").alias("v"), "l_orderkey", "l_linenumber"
     )
-    ranked = global_rank(li, ["v", "l_orderkey", "l_linenumber"], alias="rk")
-    counts = ranked.groupBy().agg(F.count(F.lit(1)).alias("__n"))
+    # total row count rides the rank's own per-partition offsets table
+    # (total_alias) — previously a SECOND full aggregate pass over the
+    # ranked rows + a crossJoin attached it (r12, guide §2.4: one pass)
+    ranked = global_rank(
+        li, ["v", "l_orderkey", "l_linenumber"], alias="rk", total_alias="__n"
+    )
     B = 10
     n, rk = F.col("__n"), F.col("rk")
     q, r = (n / B).cast("long"), n % B
@@ -623,8 +640,7 @@ def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
     )
     return (
-        ranked.crossJoin(F.broadcast(counts))
-        .select("v", bucket.alias("bucket"))
+        ranked.select("v", bucket.alias("bucket"))
         .groupBy("bucket")
         .agg(F.min("v").alias("lo"), F.max("v").alias("hi"), F.count(F.lit(1)).alias("n"))
     )

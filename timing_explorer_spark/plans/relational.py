@@ -1349,11 +1349,14 @@ def q_pareto_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ascending (-units, custkey) == descending spend with id tie-break
     staged = spend.select("custkey", "units_", (-F.col("units_")).alias("neg"))
-    total = spend.agg(F.sum("units_").alias("t"))
-    run = running_total(staged, ["neg", "custkey"], "units_", alias="cum_units")
+    # grand total rides the scan's own offsets table (total_alias) — it was
+    # a second aggregate over spend + crossJoin before (r12, guide §2.4);
+    # exact integer units, so the share values are unchanged
+    run = running_total(
+        staged, ["neg", "custkey"], "units_", alias="cum_units", total_alias="t"
+    )
     return (
-        run.crossJoin(F.broadcast(total))
-        .select(
+        run.select(
             "custkey",
             (F.col("units_").cast("double") / F.lit(10000.0)).alias("spend"),
             (F.col("cum_units").cast("double") / F.col("t").cast("double")).alias("cum_share"),
