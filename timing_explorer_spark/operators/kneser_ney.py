@@ -217,15 +217,33 @@ def kn_train(
 
     # --- discounts from per-order count-of-counts (driver-sized) --------
     model = KNModel(order=order)
-    for k in range(1, order + 1):
-        cc = (
+
+    def _hist(k: int) -> DataFrame:
+        return (
             adjusted[k]
             .where(F.col("a") <= 4)
             .groupBy("a")
             .agg(F.count(F.lit(1)).alias("t"))
-            .collect()
+            .select(F.lit(k).alias("k"), "a", "t")
         )
-        model.discounts[k] = _discounts([(r["a"], r["t"]) for r in cc])
+
+    # The k=1 histogram runs FIRST and alone: its lineage spans the whole
+    # continuation chain, so this one job materializes every cached raw/
+    # adjusted table top-down exactly once. The remaining order histograms
+    # are then independent aggregates over already-cached inputs — fuse
+    # them into ONE union collect instead of one driver job each (r12,
+    # guide §5: 4 job launches -> 1; values unchanged).
+    cc1 = _hist(1).collect()
+    model.discounts[1] = _discounts([(r["a"], r["t"]) for r in cc1])
+    if order > 1:
+        rest = _hist(2)
+        for k in range(3, order + 1):
+            rest = rest.unionByName(_hist(k))
+        rows = rest.collect()
+        for k in range(2, order + 1):
+            model.discounts[k] = _discounts(
+                [(r["a"], r["t"]) for r in rows if r["k"] == k]
+            )
 
     # --- part/gamma tables ----------------------------------------------
     for k in range(1, order + 1):

@@ -177,25 +177,34 @@ def unigram_train(
     vocab = _normalize(sorted((r["piece"], float(r["w"])) for r in seed_rows))
     objectives: list[float] = []
     for it in range(n_iters):
-        seg = viterbi_segment(words, vocab, max_piece_len)
-        agg = (
-            seg.select(
-                (F.col("cnt").cast("double") * F.col("logp")).alias("contrib"),
-                "cnt",
-                "pieces",
-            )
-        )
-        piece_counts = (
-            agg.select(F.explode("pieces").alias("piece"), "cnt")
+        # Persist the segmentation: it feeds BOTH the objective scalar and
+        # the piece-usage counts, and without the boundary the Arrow-batched
+        # Viterbi pass ran TWICE per EM round (r12 — guide §4.5/§5). The
+        # objective then rides the usage collect as a marked row: ONE driver
+        # action per round instead of two. Sums are exact (decimal objective,
+        # integer usage), so vocab and objectives are bit-identical.
+        seg = viterbi_segment(words, vocab, max_piece_len).persist()
+        contrib = (F.col("cnt").cast("double") * F.col("logp")).cast("decimal(27,8)")
+        stats = (
+            seg.select(F.explode("pieces").alias("piece"), "cnt")
             .groupBy("piece")
             .agg(F.sum("cnt").alias("used"))
+            .select("piece", "used", F.lit(None).cast("decimal(27,8)").alias("obj"))
+            .unionByName(
+                seg.agg(F.sum(contrib).alias("obj")).select(
+                    F.lit(None).cast("string").alias("piece"),
+                    F.lit(None).cast("bigint").alias("used"),
+                    "obj",
+                )
+            )
+            .collect()
         )
-        obj_row = agg.agg(
-            F.sum(F.col("contrib").cast("decimal(27,8)")).alias("obj")
-        ).collect()[0]
-        objectives.append(float(obj_row["obj"]))
+        seg.unpersist()
+        objectives.append(
+            next(float(r["obj"]) for r in stats if r["piece"] is None)
+        )
         rows = sorted(
-            (r["piece"], float(r["used"])) for r in piece_counts.collect()
+            (r["piece"], float(r["used"])) for r in stats if r["piece"] is not None
         )
         # prune toward the target: single chars always survive (coverage),
         # multi-char pieces keep the top slots by usage (tie: piece ASC)
