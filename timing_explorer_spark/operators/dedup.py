@@ -97,9 +97,13 @@ def _shingled_arrays(docs: DataFrame, n: int, text_col: str, id_col: str) -> Dat
     (ids + text) that parallelizes it across the cluster. Spread = core count
     (defaultParallelism), not shuffle.partitions: the goal is one shingling
     task per core; a foreign session's 200-partition default would just make
-    200 micro-tasks of 500 docs.
+    200 micro-tasks of 500 docs. Width is data-proportional below the core
+    cap (operators/width.py, r12) — tiny fixtures stop paying for idle
+    tasks; at scale this is exactly the core count as before.
     """
-    spread = docs.sparkSession.sparkContext.defaultParallelism
+    from .width import adaptive_width
+
+    spread = adaptive_width(docs)
     return _track(
         docs.repartition(spread).select(
             F.col(id_col).alias("doc"), word_shingles(F.col(text_col), n).alias("__arr")
@@ -125,8 +129,16 @@ def jaccard_pairs(
     # Width of the pair-generation stage: CPU-heavy, byte-light — so size it
     # to the cores available (defaultParallelism), not shuffle.partitions,
     # which is tuned for byte-heavy exchanges (8 in the bench session) and
-    # would leave most cores idle during the Σ df(s)² blow-up.
-    n_parts = docs.sparkSession.sparkContext.defaultParallelism
+    # would leave most cores idle during the Σ df(s)² blow-up. But a core-
+    # count width over-partitions SMALL inputs (r12: at sf0.1 the whole
+    # index is <2 MB and 32 tasks×stages of scheduling overhead made the
+    # query slower at 32 cores than at 8 — inverse core scaling). Width
+    # from plan-time input stats instead (adaptive_width): ~256 KB of
+    # source bytes per task — at corpus scale stats >> cores so this
+    # stays exactly defaultParallelism.
+    from .width import adaptive_width
+
+    n_parts = adaptive_width(docs)
     shingled = _shingled_arrays(docs, n, text_col, id_col)
     sizes = shingled.select("doc", F.size("__arr").alias("sz"))
     # Join on xxhash64(shingle), not the shingle string: the self-join key

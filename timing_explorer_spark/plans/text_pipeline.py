@@ -586,9 +586,15 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Spread the COMPACT doc rows across cores, then tokenize/explode inside
     # each partition: the MG pass parallelizes without ever shuffling the
     # exploded token stream (repartitioning post-explode would move the
-    # whole corpus — the exact cost this operator exists to avoid).
-    spread = spark.sparkContext.defaultParallelism
-    words = d.repartition(spread).select(F.explode(tokens(F.col("text"))).alias("word"))
+    # whole corpus — the exact cost this operator exists to avoid). Width
+    # is data-proportional below the core cap (operators/width.py, r12):
+    # each MG partition costs a Python worker + k counters, so idle width
+    # on a small corpus is pure overhead.
+    from ..operators.width import adaptive_width
+
+    words = d.repartition(adaptive_width(d)).select(
+        F.explode(tokens(F.col("text"))).alias("word")
+    )
     return heavy_hitters(words, phi=0.005, key_col="word")
 
 
@@ -675,8 +681,11 @@ def q_cms_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import cms_build, cms_estimate
 
     d = load(spark, sf_dir, "documents")
-    spread = spark.sparkContext.defaultParallelism
-    words = d.repartition(spread).select(F.explode(tokens(F.col("text"))).alias("word"))
+    from ..operators.width import adaptive_width
+
+    words = d.repartition(adaptive_width(d)).select(
+        F.explode(tokens(F.col("text"))).alias("word")
+    )
     sketch = cms_build(words, "word")
     probes = heavy_hitters(words, phi=0.005, key_col="word").select("word")
     return cms_estimate(sketch, probes, "word")
@@ -2178,14 +2187,20 @@ def _crawl_cleaned(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    docs_clean = _crawl_cleaned(spark, sf_dir).select(
+    from ..operators.dedup import track_cache
+
+    # docs_clean feeds the per-source rates aggregate AND the final join
+    # probe side; un-persisted, the broadcast-rates leg re-executes the
+    # whole WARC chain a second time (guide §5.3). The cached projection
+    # is narrow — text is already reduced to md5/n_tokens.
+    docs_clean = track_cache(_crawl_cleaned(spark, sf_dir).select(
         "doc_id",
         "source",
         "n_paras",
         "kept_paras",
         F.size(F.split(F.col("t"), " ")).alias("n_tokens"),
         F.md5("t").alias("text_md5"),
-    )
+    ))
     per_src = docs_clean.groupBy("source").agg(
         F.sum("n_tokens").alias("src_tokens")
     )
@@ -2226,13 +2241,21 @@ def q_crawl_to_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "warc", "crawl", "perplexity", "kneser-ney", "llm-pipeline", "composed"),
 )
 def q_crawl_to_corpus_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import track_cache
     from ..operators.kneser_ney import kn_train
     from ..operators.unigram import ccnet_buckets
 
     cleaned = _crawl_cleaned(spark, sf_dir)
-    docs = cleaned.join(
-        load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
-    ).select("doc_id", "source", "lang", F.col("t").alias("text"))
+    # The cleaned corpus feeds kn_train (several training actions), the KN
+    # scoring leg, and the final source join — without a persist boundary
+    # every one of those re-executes the full WARC->gunzip->strip->dedup
+    # chain (observed: 282 Exchange nodes in the un-persisted plan; guide
+    # §5.3). Materialized once, read back by every leg.
+    docs = track_cache(
+        cleaned.join(
+            load(spark, sf_dir, "documents").select("doc_id", "lang"), "doc_id"
+        ).select("doc_id", "source", "lang", F.col("t").alias("text"))
+    )
     reference = docs.where(F.col("source").isin("src0", "src1", "src2", "src3"))
     model = kn_train(reference, order=5)
     scored = ccnet_buckets(docs, n_buckets=3, model=model)
