@@ -1573,19 +1573,29 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
+    from ..operators.dedup import track_cache
+
     d = load(spark, sf_dir, "documents")
     tri = F.explode(
         F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
     ).alias("tri")
     tris = d.select("doc_id", "lang", tri)
-    model = tris.groupBy(
+    # ONE corpus-wide trigram explode, aggregated to (doc, lang, tri, n) and
+    # persisted — model counts, vocabulary size, and the scoring probe all
+    # derive from this table (r12; before, each of the three legs re-ran the
+    # full explode: 3x corpus scans + Generates per execution, guide §5.3).
+    # lang rides the groupBy key (functionally dependent on doc_id) so the
+    # model needs no join back to documents; sum(n) == the trigram count.
+    doctri = track_cache(
+        tris.groupBy("doc_id", "lang", "tri").agg(F.count(F.lit(1)).alias("n"))
+    )
+    model = doctri.groupBy(
         F.col("lang").alias("mlang"), F.col("tri").alias("mtri")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    ).agg(F.sum("n").alias("c"))
     tot = model.groupBy(F.col("mlang").alias("tlang")).agg(F.sum("c").alias("t"))
-    vocab = tris.agg(F.count_distinct("tri").alias("v"))
+    vocab = doctri.agg(F.count_distinct("tri").alias("v"))
     nl = d.groupBy(F.col("lang").alias("plang")).agg(F.count(F.lit(1)).alias("n_docs"))
     nall = d.agg(F.count(F.lit(1)).alias("n"))
-    doctri = tris.groupBy("doc_id", "tri").agg(F.count(F.lit(1)).alias("n"))
     langs = d.select(F.col("lang").alias("slang")).distinct()
     dlog = lambda c: F.log(c).cast("decimal(27,8)")  # noqa: E731
     scored = (

@@ -87,6 +87,14 @@ def parse_warc_blob(blob: bytes) -> list[dict]:
     if blob[:2] == _GZIP_MAGIC:
         text, comp_left = _gunzip_members(blob)
         out = parse_warc_blob(text)
+        if comp_left and not comp_left.strip(b"\r\n"):
+            # CRLF-only bytes after the member chain are padding, same as
+            # the plain walk's inter-record rule — not quarantinable
+            # garbage (a real truncated member always starts \x1f\x8b).
+            # Pre-r12 this path quarantined e.g. a single trailing \r
+            # (found by the roundtrip fuzz); the plain path already
+            # skipped it.
+            comp_left = b""
         if comp_left:
             if out and not out[-1]["valid"]:
                 # decompressed tail already quarantined: fold the
@@ -137,6 +145,13 @@ def parse_warc_blob(blob: bytes) -> list[dict]:
             or length is None
             or head_end + 4 + length > n
         ):
+            if not blob[pos:].strip(b"\r\n"):
+                # tail is CRLF bytes only — padding (the pair-skip above
+                # consumes \r\n pairs; an odd lone \r or \n is still
+                # padding, not quarantinable garbage — pre-r12 this
+                # produced a spurious quarantine row, found by the
+                # roundtrip fuzz)
+                break
             # cannot parse further: ONE quarantine row for the tail
             out.append(
                 {
@@ -296,8 +311,12 @@ def encode_warc_record(
 def gzip_warc_record(record: bytes) -> bytes:
     """One gzip MEMBER per record — the Common Crawl .warc.gz layout
     (record-at-time compression, ISO 28500 annex D). wbits=31 writes a
-    plain gzip header with zero mtime, so output is deterministic."""
-    co = zlib.compressobj(9, zlib.DEFLATED, 31)
+    plain gzip header with zero mtime, so output is deterministic. Level 1:
+    these members exist to exercise the decompressor, not to save bytes —
+    the fixed level keeps output deterministic, and level 9 spent ~5x the
+    CPU of level 1 on every synthesis pass for ratio nothing reads (r12,
+    guide §4: shrink the per-row Python work that must stay Python)."""
+    co = zlib.compressobj(1, zlib.DEFLATED, 31)
     return co.compress(record) + co.flush()
 
 
