@@ -545,10 +545,17 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "bucket int, center array<double>",
     )
-    per_vec = labeled.join(F.broadcast(cdf), on="bucket").select(
-        "bucket",
-        "label",
-        cosine(F.col("embedding"), F.col("center")).alias("cos_to_center"),
+    from ..operators.dedup import track_cache
+
+    # per_vec feeds the total count (below), the dominant-label leg, and
+    # the profile leg — without a boundary each re-runs the full assign +
+    # cosine scan (r12, guide §5.3). The count doubles as materialization.
+    per_vec = track_cache(
+        labeled.join(F.broadcast(cdf), on="bucket").select(
+            "bucket",
+            "label",
+            cosine(F.col("embedding"), F.col("center")).alias("cos_to_center"),
+        )
     )
     total = per_vec.count()
     label_counts = per_vec.groupBy("bucket", "label").agg(
