@@ -15,10 +15,12 @@ oracle-checkable and cluster-deterministic at once:
 
 Scale shape per iteration: one join (edges ⋈ ranks on src) + one aggregation
 (sum of contributions by dst) — the same co-partitioned bounded-shuffle loop
-as ``resolve_components`` (operators/dedup.py). At 100 TB you would
-pre-partition both edge endpoints and ranks on the node key so every round
-reuses one partitioning, and persist ranks per round to cut plan depth;
-at registry scale the linear 5-round chain is left to Catalyst as-is.
+as ``resolve_components`` (operators/dedup.py). Ranks persist per round via
+a lazy ``localCheckpoint`` (lineage cut + persist — the r9 doctrine shared
+with ``pagerank_directed``): plan depth stays O(1) in the iteration count
+and repeated actions read the final round instead of re-running the
+fixpoint. At 100 TB you would additionally pre-partition both edge
+endpoints and ranks on the node key so every round reuses one partitioning.
 
 Dangling-node note: the near-dup graph is symmetric (every node has
 deg ≥ 1 by construction — nodes exist only via edges), so no dangling-mass
@@ -55,8 +57,14 @@ def pagerank_fixed(
             pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
         )
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    nodes = deg.select(F.col("src").alias("doc"), "deg")
+    # Loop-invariant node/degree table: cached once like the directed
+    # variant's adj/nodes — otherwise every round re-runs the deg
+    # aggregate (r12, guide §5.3).
+    nodes = track_cache(
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .select(F.col("src").alias("doc"), "deg")
+    )
     ranks = nodes.select("doc", "deg", F.lit(SCALE).cast("bigint").alias("units"))
     for _ in range(iterations):
         contrib = (
@@ -68,10 +76,22 @@ def pagerank_fixed(
             .groupBy("dst")
             .agg(F.sum("c").alias("in_units"))
         )
-        ranks = nodes.join(contrib, nodes.doc == contrib.dst, "left").select(
-            "doc",
-            "deg",
-            (F.lit(BASE) + F.coalesce(F.col("in_units"), F.lit(0))).cast("bigint").alias("units"),
+        # Per-round lazy localCheckpoint — the same lineage-cut-plus-persist
+        # the directed variant has carried since r9. Without it the final
+        # plan inlines all `iterations` rounds and EVERY action re-runs the
+        # whole fixpoint (the warm bench path re-ran 5 rounds per noop
+        # save; measured 0.6 s -> checkpoint-read at sf0.01). Values are
+        # fixed-point integers — bit-identical with or without the cut.
+        ranks = (
+            nodes.join(contrib, nodes.doc == contrib.dst, "left")
+            .select(
+                "doc",
+                "deg",
+                (F.lit(BASE) + F.coalesce(F.col("in_units"), F.lit(0)))
+                .cast("bigint")
+                .alias("units"),
+            )
+            .localCheckpoint(eager=False)
         )
     return ranks.select("doc", (F.col("units").cast("double") / F.lit(float(SCALE))).alias("rank"))
 

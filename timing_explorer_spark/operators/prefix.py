@@ -6,9 +6,10 @@ whole dataset — correct at test scale, a non-starter at 100 TB. The classic
 distributed alternative is the two-phase scan:
 
   1. range-partition the rows by the order key (a range exchange — the same
-     shuffle a global ORDER BY uses), sort within partitions;
+     shuffle a global ORDER BY uses);
   2. per partition, compute the local prefix scan with a window PARTITIONED
-     by the physical partition id (parallel across partitions);
+     by the physical partition id (parallel across partitions; the window's
+     own (__pid, order) sort is the only sort the scan needs);
   3. aggregate one row per partition (its local total / row count) — a tiny
      side table — cumsum THAT with a driver-size window, and broadcast-join
      the per-partition offset back.
@@ -48,11 +49,16 @@ def _with_partition_offsets(df: DataFrame, order_cols: list[str],
     full input a second time just for that scalar (r12, guide §2.4)."""
     spark = df.sparkSession
     n = n_parts or spark.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
-        .withColumn("__pid", F.spark_partition_id())
-    )
+    # No sortWithinPartitions here (r12, guide §2.2): __pid depends only on
+    # the range exchange, the offsets aggregate is order-insensitive (every
+    # consumer's value_col is integer/long — exact under any partial-sum
+    # order), and the local-scan window re-sorts by (__pid, order_cols)
+    # itself. The pre-sort cost the plan one full Sort per leg (data leg +
+    # offsets leg, which share the exchange via ReusedExchange) and bought
+    # nothing.
+    ranged = df.repartitionByRange(
+        n, *[F.col(c) for c in order_cols]
+    ).withColumn("__pid", F.spark_partition_id())
     # Tiny per-partition totals -> exclusive cumsum over __pid. n rows total
     # (one per partition), so the unpartitioned window is driver-scale work.
     totals = ranged.groupBy("__pid").agg(F.sum(local_col).alias("__ptotal"))

@@ -804,6 +804,7 @@ def pq_encode(
     vec_col: str = "embedding",
     id_alias: str | None = None,
     normalize: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Encode vectors to PQ codes: array<int>[m], code j = index of the
     nearest centroid of codebook j for the j-th subvector of the
@@ -812,7 +813,9 @@ def pq_encode(
     Arrow-batched exception as ivf_assign; codebooks ride the closure. The
     full vector is DROPPED from the output: codes are m small ints per
     vector (the memory compression that lets 100 TB of embeddings fit an
-    ANN serving tier)."""
+    ANN serving tier). ``carry_cols`` pass through unchanged — a consumer
+    that needs (id, bucket, codes) gets it in THIS scan instead of joining
+    the codes back to the source on id (a full-corpus shuffle at scale)."""
     import numpy as np
 
     C = [np.asarray(b, dtype=np.float64) for b in books]  # m x (k, sub)
@@ -820,6 +823,7 @@ def pq_encode(
     sub = C[0].shape[1]
     ida = id_alias or id_col
     id_type = df.schema[id_col].dataType.simpleString()
+    carry_types = {c: df.schema[c].dataType.simpleString() for c in carry_cols}
 
     def fn(batches):
         import pandas as pd
@@ -838,30 +842,45 @@ def pq_encode(
                 # argmin ||c - x|| == argmax c.x - ||c||^2/2 per subspace
                 scores = piece @ C[j].T - (C[j] * C[j]).sum(axis=1) / 2.0
                 codes[:, j] = scores.argmax(axis=1)
-            yield pd.DataFrame(
-                {ida: pdf[id_col].to_numpy(), "codes": list(codes)}
-            )
+            out = {ida: pdf[id_col].to_numpy()}
+            for c in carry_cols:
+                out[c] = pdf[c].to_numpy()
+            out["codes"] = list(codes)
+            yield pd.DataFrame(out)
 
-    return df.select(id_col, vec_col).mapInPandas(
-        fn, f"{ida} {id_type}, codes array<int>"
-    )
+    schema = f"{ida} {id_type}, " + "".join(
+        f"{c} {carry_types[c]}, " for c in carry_cols
+    ) + "codes array<int>"
+    return df.select(id_col, *carry_cols, vec_col).mapInPandas(fn, schema)
 
 
-def _pq_query_luts(
-    queries: DataFrame,
+def _pq_index_scan(
+    df: DataFrame,
+    centers: list[list[float]],
     books: list[list[list[float]]],
     id_col: str,
     vec_col: str,
+    id_alias: str,
 ) -> DataFrame:
-    """Per-query ADC lookup table: lut[(j*k_sub)+c] = <query_sub_j,
-    centroid_c_j> over the L2-normalized query — flattened so the JVM-side
-    scorer indexes it with pure arithmetic."""
+    """Fused IVF assign + PQ encode for the corpus side of the raw-vector
+    IVF-PQ path: ONE Arrow pass emitting (id, bucket, codes) — the inverted
+    index. Replaces ivf_assign(n_probe=1) ⋈ pq_encode on id, which read the
+    corpus through the Python boundary twice and zipped the two map-only
+    derivations with a full-corpus shuffle join (r12, guide §2.1/§4.2).
+    The math is the byte-identical composition of the two operators it
+    fuses: same normalization, the assign keeps ivf_assign's
+    argsort-of-negated-scores bucket choice (not argmax — tie order must
+    not change), the codes keep pq_encode's per-subspace argmax. The full
+    vector never crosses back out of Python (ivf_assign returned cvec only
+    for a downstream projection to drop it)."""
     import numpy as np
 
-    C = [np.asarray(b, dtype=np.float64) for b in books]
-    m, k_sub = len(C), C[0].shape[0]
-    sub = C[0].shape[1]
-    id_type = queries.schema[id_col].dataType.simpleString()
+    Cc = np.asarray(centers, dtype=np.float64)  # (k, d)
+    half_sq = (Cc * Cc).sum(axis=1) / 2.0
+    B = [np.asarray(b, dtype=np.float64) for b in books]  # m x (k_sub, sub)
+    m = len(B)
+    sub = B[0].shape[1]
+    id_type = df.schema[id_col].dataType.simpleString()
 
     def fn(batches):
         import pandas as pd
@@ -873,18 +892,85 @@ def _pq_query_luts(
             norms = np.linalg.norm(X, axis=1, keepdims=True)
             norms[norms == 0] = 1.0
             X = X / norms
+            scores = X @ Cc.T - half_sq
+            order = np.argsort(-scores, axis=1)[:, :1]
+            codes = np.empty((len(X), m), dtype=np.int32)
+            for j in range(m):
+                piece = X[:, j * sub : (j + 1) * sub]
+                s = piece @ B[j].T - (B[j] * B[j]).sum(axis=1) / 2.0
+                codes[:, j] = s.argmax(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_alias: pdf[id_col].to_numpy(),
+                    "bucket": order.reshape(-1).astype("int32"),
+                    "codes": list(codes),
+                }
+            )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        fn, f"{id_alias} {id_type}, bucket int, codes array<int>"
+    )
+
+
+def _pq_probe_scan(
+    queries: DataFrame,
+    centers: list[list[float]],
+    books: list[list[list[float]]],
+    id_col: str,
+    vec_col: str,
+    n_probe: int,
+    with_score: bool,
+) -> DataFrame:
+    """Fused IVF probe assign + ADC lookup table for the query side of
+    IVF-PQ: ONE Arrow pass emitting one row per (query, probed bucket) with
+    the flattened LUT on every row. Replaces ivf_assign(n_probe) ⋈
+    _pq_query_luts on query_id (two scans + a join whose output carried the
+    LUT per probe row anyway — the broadcast payload is unchanged). Same
+    fusion-soundness rules as _pq_index_scan: identical normalization,
+    identical argsort bucket order, cscore identical to ivf_assign
+    with_score (r12, guide §2.1/§4.2)."""
+    import numpy as np
+
+    Cc = np.asarray(centers, dtype=np.float64)
+    half_sq = (Cc * Cc).sum(axis=1) / 2.0
+    B = [np.asarray(b, dtype=np.float64) for b in books]
+    m, k_sub = len(B), B[0].shape[0]
+    sub = B[0].shape[1]
+    n_probe = min(n_probe, len(centers))
+    id_type = queries.schema[id_col].dataType.simpleString()
+    schema = f"query_id {id_type}, bucket int"
+    if with_score:
+        schema += ", cscore double"
+    schema += ", lut array<double>"
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.vstack(pdf[vec_col].to_numpy()).astype(np.float64)
+            norms = np.linalg.norm(X, axis=1, keepdims=True)
+            norms[norms == 0] = 1.0
+            X = X / norms
+            scores = X @ Cc.T - half_sq
+            order = np.argsort(-scores, axis=1)[:, :n_probe]
             luts = np.empty((len(X), m * k_sub), dtype=np.float64)
             for j in range(m):
                 luts[:, j * k_sub : (j + 1) * k_sub] = (
-                    X[:, j * sub : (j + 1) * sub] @ C[j].T
+                    X[:, j * sub : (j + 1) * sub] @ B[j].T
                 )
-            yield pd.DataFrame(
-                {"query_id": pdf[id_col].to_numpy(), "lut": list(luts)}
-            )
+            out = {
+                "query_id": np.repeat(pdf[id_col].to_numpy(), n_probe),
+                "bucket": order.reshape(-1).astype("int32"),
+            }
+            if with_score:
+                dots = scores + half_sq
+                out["cscore"] = np.take_along_axis(dots, order, axis=1).reshape(-1)
+            out["lut"] = [lut for lut in luts for _ in range(n_probe)]
+            yield pd.DataFrame(out)
 
-    return queries.select(id_col, vec_col).mapInPandas(
-        fn, f"query_id {id_type}, lut array<double>"
-    )
+    return queries.select(id_col, vec_col).mapInPandas(fn, schema)
 
 
 def ivfpq_topk(
@@ -970,10 +1056,10 @@ def ivfpq_topk(
         from .dedup import track_cache
 
         # Persist the residuals: they feed codebook training (m k-means
-        # jobs), pq_encode, AND the inverted-list join — without a cache
-        # boundary the full corpus-vs-centroid assignment recomputes once
-        # per consumer (deterministic, so correct, but a multiple of the
-        # dominant dense pass). Released with release_cached().
+        # jobs) AND the fused encode scan — without a cache boundary the
+        # full corpus-vs-centroid assignment recomputes once per consumer
+        # (deterministic, so correct, but a multiple of the dominant dense
+        # pass). Released with release_cached().
         res = track_cache(
             ivf_residuals(
                 corpus, centers, id_col=id_col, vec_col=vec_col,
@@ -986,14 +1072,17 @@ def ivfpq_topk(
                 sample_fraction=sample_fraction, normalize=False,
             )
         m, k_sub = len(books), len(books[0])
-        codes = pq_encode(
-            res, books, id_col="neighbor_id", vec_col="rvec", normalize=False
+        # carry_cols rides the bucket through the encode scan — the former
+        # codes-back-to-res join on neighbor_id (a full-corpus shuffle at
+        # scale) is gone (r12, guide §2.1).
+        inv = pq_encode(
+            res, books, id_col="neighbor_id", vec_col="rvec",
+            normalize=False, carry_cols=("bucket",),
         )
-        inv = res.select("neighbor_id", "bucket").join(codes, "neighbor_id")
-        q_bucket = ivf_assign(
-            queries, centers, id_col, vec_col, n_probe=n_probe,
-            id_alias="query_id", vec_alias="qvec", with_score=True,
-        ).select("query_id", "bucket", "cscore")
+        q = _pq_probe_scan(
+            queries, centers, books, id_col, vec_col,
+            n_probe=n_probe, with_score=True,
+        )
     else:
         if books is None:
             books = pq_train_codebooks(
@@ -1001,20 +1090,15 @@ def ivfpq_topk(
                 sample_fraction=sample_fraction,
             )
         m, k_sub = len(books), len(books[0])
-        c_bucket = ivf_assign(
-            corpus, centers, id_col, vec_col, n_probe=1,
-            id_alias="neighbor_id", vec_alias="cvec",
+        # One fused Arrow pass builds the inverted index (id, bucket,
+        # codes) — was assign-scan ⋈ encode-scan on neighbor_id (r12).
+        inv = _pq_index_scan(
+            corpus, centers, books, id_col, vec_col, id_alias="neighbor_id"
         )
-        codes = pq_encode(corpus, books, id_col=id_col, vec_col=vec_col,
-                          id_alias="neighbor_id")
-        inv = c_bucket.select("neighbor_id", "bucket").join(codes, "neighbor_id")
-        q_bucket = ivf_assign(
-            queries, centers, id_col, vec_col, n_probe=n_probe,
-            id_alias="query_id", vec_alias="qvec",
-        ).select("query_id", "bucket", F.lit(0.0).alias("cscore"))
-
-    luts = _pq_query_luts(queries, books, id_col, vec_col)
-    q = q_bucket.join(luts, "query_id")
+        q = _pq_probe_scan(
+            queries, centers, books, id_col, vec_col,
+            n_probe=n_probe, with_score=False,
+        ).select("query_id", "bucket", F.lit(0.0).alias("cscore"), "lut")
 
     # ADC score: LUT sum over code entries, plus the exact <q̂, c_bucket>
     # first-order term on the residual path (0 on the raw path)
@@ -1044,8 +1128,12 @@ def ivfpq_topk(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
     )
     qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # The shortlist is refine*k rows per query by construction — broadcast
+    # it so the exact re-rank probes the corpus without shuffling it (the
+    # same small-side assumption the bucket join already makes about the
+    # query batch; r12, guide §3.1).
     exact = (
-        shortlist.join(nvec, "neighbor_id")
+        F.broadcast(shortlist).join(nvec, "neighbor_id")
         .join(F.broadcast(qvec), "query_id")
         .select(
             "query_id",

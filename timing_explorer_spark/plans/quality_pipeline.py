@@ -234,18 +234,22 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_doc = Window.partitionBy("doc_id")
     w_term = Window.partitionBy("term")
-    scored = (
-        tf.crossJoin(F.broadcast(n_docs))
-        .select(
-            "doc_id",
-            "term",
-            (
-                (F.col("cnt").cast("double") / F.sum("cnt").over(w_doc).cast("double"))
-                * F.log(
-                    F.col("__n").cast("double") / F.count(F.lit(1)).over(w_term).cast("double")
-                )
-            ).alias("tfidf"),
-        )
+    # Window order matters for shuffle count (r12, guide §2.2): evaluate
+    # the term-partitioned count FIRST, then the doc-partitioned sum — the
+    # doc window and the doc-partitioned rank window below then share ONE
+    # doc_id exchange (was doc → term → doc, three exchanges of the full
+    # (doc, term) frame; now term → doc, two). Same expressions on the
+    # same values — hash-identical output.
+    with_df = tf.crossJoin(F.broadcast(n_docs)).withColumn(
+        "__df", F.count(F.lit(1)).over(w_term)
+    )
+    scored = with_df.select(
+        "doc_id",
+        "term",
+        (
+            (F.col("cnt").cast("double") / F.sum("cnt").over(w_doc).cast("double"))
+            * F.log(F.col("__n").cast("double") / F.col("__df").cast("double"))
+        ).alias("tfidf"),
     )
     w_rank = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
     return (
