@@ -30,3 +30,16 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_prenormed(a: Column, b: Column, na: Column, nb: Column) -> Column:
+    """``cosine`` with the two norms taken from precomputed columns.
+
+    Inside a candidate join, ``cosine`` re-runs BOTH norm folds per PAIR —
+    3 O(d) aggregates where 1 suffices, since each side's norm is constant
+    per row. Attach ``norm(vec)`` to each side BEFORE the join and pass the
+    columns here (r12, guide §2.2: per-row compute off the pair grain).
+    Bit-identical to ``cosine``: the norm column is the same ``norm()``
+    expression evaluated on the same array, and the combine
+    ``dot / (na * nb)`` is the same expression tree."""
+    return dot(a, b) / (na * nb)

@@ -18,7 +18,8 @@ import random
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine
+from ..functions.vectors import as_double, cosine, cosine_prenormed
+from ..functions.vectors import norm as vnorm
 
 
 def brute_force_topk(
@@ -31,14 +32,26 @@ def brute_force_topk(
     """Exact top-k neighbors for each query vector (excluding self-matches):
     broadcast the (small) query side against the corpus, rank per query.
     Output: (query_id, neighbor_id, cos, rank)."""
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    # Norms ride each SIDE of the join (one fold per row), so the per-PAIR
+    # work is one dot fold instead of three (r12, cosine_prenormed).
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        vnorm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        vnorm(F.col(vec_col)).alias("qn"),
+    )
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+            cosine_prenormed(
+                F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
@@ -305,15 +318,22 @@ def lsh_topk(
     ]
 
     def bucketed(df: DataFrame, idname: str, vecname: str) -> DataFrame:
-        out = df.select(F.col(id_col).alias(idname), F.col(vec_col).alias(vecname))
+        # Norm computed once per VECTOR, before the per-table explode and
+        # the candidate join (r12, cosine_prenormed).
+        out = df.select(
+            F.col(id_col).alias(idname),
+            F.col(vec_col).alias(vecname),
+            vnorm(F.col(vec_col)).alias(f"{vecname}_n"),
+        )
         pairs = F.array(
             *[
                 F.struct(F.lit(t).alias("tbl"), lsh_bucket(F.col(vecname), planes).alias("bkt"))
                 for t, planes in tables
             ]
         )
-        return out.select(idname, vecname, F.explode(pairs).alias("tb")).select(
-            idname, vecname, F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt")
+        return out.select(idname, vecname, f"{vecname}_n", F.explode(pairs).alias("tb")).select(
+            idname, vecname, f"{vecname}_n",
+            F.col("tb.tbl").alias("tbl"), F.col("tb.bkt").alias("bkt"),
         )
 
     c = bucketed(corpus, "neighbor_id", "cvec")
@@ -321,12 +341,18 @@ def lsh_topk(
     cands = (
         c.join(q, ["tbl", "bkt"])
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "qvec", "neighbor_id", "cvec")
+        .select("query_id", "qvec", "qvec_n", "neighbor_id", "cvec", "cvec_n")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
-        cands.select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+        cands.select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed(
+                F.col("qvec"), F.col("cvec"), F.col("qvec_n"), F.col("cvec_n")
+            ).alias("cos"),
+        )
         .select("*", F.row_number().over(w).alias("rank"))
         .where(F.col("rank") <= k)
     )
@@ -486,14 +512,22 @@ def ivf_topk(
         centers = ivf_train_centroids(
             corpus, n_centroids=n_centroids, seed=seed, vec_col=vec_col
         )
+    # Norms attached per SIDE row (before the bucket join) so candidate
+    # scoring is one dot fold per pair, not three (r12, cosine_prenormed).
     c = ivf_assign(corpus, centers, id_col, vec_col, n_probe=1, id_alias="neighbor_id",
-                   vec_alias="cvec")
+                   vec_alias="cvec").withColumn("cn", vnorm(F.col("cvec")))
     q = ivf_assign(queries, centers, id_col, vec_col, n_probe=n_probe,
-                   id_alias="query_id", vec_alias="qvec")
+                   id_alias="query_id", vec_alias="qvec").withColumn("qn", vnorm(F.col("qvec")))
     cands = (
         c.join(F.broadcast(q), "bucket")
         .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", cosine(F.col("qvec"), F.col("cvec")).alias("cos"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine_prenormed(
+                F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return cands.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= k)
@@ -1125,9 +1159,15 @@ def ivfpq_topk(
         "query_id", "neighbor_id"
     )
     nvec = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        vnorm(F.col(vec_col)).alias("cn"),
     )
-    qvec = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        vnorm(F.col(vec_col)).alias("qn"),
+    )
     # The shortlist is refine*k rows per query by construction — broadcast
     # it so the exact re-rank probes the corpus without shuffling it (the
     # same small-side assumption the bucket join already makes about the
@@ -1138,7 +1178,9 @@ def ivfpq_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("score"),
+            cosine_prenormed(
+                F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+            ).alias("score"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))

@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.numeric import exact_sum
-from ..functions.vectors import cosine
 from ..operators.joins import asof_join, interval_pairs
 from ..sources.tables import load
 from .registry import register
@@ -310,19 +309,35 @@ def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "knn", "classify"),
 )
 def q_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.vectors import cosine_prenormed, norm as vnorm
+
     e = load(spark, sf_dir, "embeddings")
+    # Norms attached per side (one fold per vector) so the brute-force
+    # pair grain pays one dot fold, not three (r12, cosine_prenormed).
     q = e.where(F.col("vec_id") % 10 == 0).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        vnorm(F.col("embedding")).alias("qn"),
     )
     t = e.where(F.col("vec_id") % 10 != 0).select(
-        F.col("vec_id").alias("tid"), F.col("label"), F.col("embedding").alias("tvec")
+        F.col("vec_id").alias("tid"),
+        F.col("label"),
+        F.col("embedding").alias("tvec"),
+        vnorm(F.col("embedding")).alias("tn"),
     )
     w_rank = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("tid")
     )
     top5 = (
         t.join(F.broadcast(q), F.lit(True))
-        .select("query_id", "tid", "label", cosine(F.col("qvec"), F.col("tvec")).alias("cos"))
+        .select(
+            "query_id",
+            "tid",
+            "label",
+            cosine_prenormed(
+                F.col("qvec"), F.col("tvec"), F.col("qn"), F.col("tn")
+            ).alias("cos"),
+        )
         .withColumn("rn", F.row_number().over(w_rank))
         .where(F.col("rn") <= 5)
     )

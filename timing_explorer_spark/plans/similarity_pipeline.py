@@ -327,18 +327,22 @@ def q_int8_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine_prenormed, norm as vnorm
 
     emb = load(spark, sf_dir, "embeddings")
+    # Per-side norm columns: the broadcast pair grain pays one dot fold
+    # per candidate instead of three (r12, cosine_prenormed).
     c = emb.select(
         F.col("vec_id").alias("neighbor_id"),
         F.col("label").alias("neighbor_label"),
         F.col("embedding").alias("cvec"),
+        vnorm(F.col("embedding")).alias("cn"),
     )
     q = emb.where(F.col("vec_id") < 20).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("embedding").alias("qvec"),
+        vnorm(F.col("embedding")).alias("qn"),
     )
     scored = c.join(
         F.broadcast(q),
@@ -349,7 +353,9 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_label",
         "neighbor_id",
         "neighbor_label",
-        cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+        cosine_prenormed(
+            F.col("qvec"), F.col("cvec"), F.col("qn"), F.col("cn")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.select("*", F.row_number().over(w).alias("rank")).where(F.col("rank") <= 5)
@@ -534,17 +540,21 @@ def q_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "embedding", "clustering", "llm-pipeline"),
 )
 def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..functions.vectors import cosine
+    from ..functions.vectors import cosine_prenormed, norm as vnorm
     from ..operators.similarity import ivf_assign, ivf_train_centroids
 
     emb = load(spark, sf_dir, "embeddings")
     centers = ivf_train_centroids(emb, n_centroids=8, seed=42, max_iter=10)
     assigned = ivf_assign(emb, centers, "vec_id", "embedding", n_probe=1)
     labeled = assigned.join(emb.select("vec_id", "label"), on="vec_id")
+    # Center norms precomputed on the 8-row broadcast side (JVM norm(), so
+    # the doubles are identical to the per-row fold they replace); the scan
+    # then pays one dot + one vector-norm fold per row instead of three
+    # folds (r12, cosine_prenormed).
     cdf = spark.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(centers)],
         "bucket int, center array<double>",
-    )
+    ).withColumn("center_n", vnorm(F.col("center")))
     from ..operators.dedup import track_cache
 
     # per_vec feeds the total count (below), the dominant-label leg, and
@@ -554,7 +564,12 @@ def q_kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         labeled.join(F.broadcast(cdf), on="bucket").select(
             "bucket",
             "label",
-            cosine(F.col("embedding"), F.col("center")).alias("cos_to_center"),
+            cosine_prenormed(
+                F.col("embedding"),
+                F.col("center"),
+                vnorm(F.col("embedding")),
+                F.col("center_n"),
+            ).alias("cos_to_center"),
         )
     )
     total = per_vec.count()
