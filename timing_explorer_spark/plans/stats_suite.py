@@ -974,10 +974,18 @@ def q_seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "heaps", "scaling", "llm-pipeline", "stats"),
 )
 def q_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import track_cache
+
     d = load(spark, sf_dir, "documents")
     w = d.select("doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("word"))
     fd = w.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
-    dt = w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    # dt (one narrow row per doc) feeds the checkpoint bound, cps, AND the
+    # token-total leg — cached so those legs stop re-running the corpus
+    # explode (3 explodes -> 2 per execution; fd's word grain is unbounded,
+    # so its own explode IS the algorithm) (r12, guide §5.3).
+    dt = track_cache(
+        w.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_tok"))
+    )
     mx = dt.agg((F.max("doc_id") + 1).alias("dmax"))
     cps = (
         mx.select(F.explode(F.sequence(F.lit(1), F.lit(40))).alias("k"), "dmax")

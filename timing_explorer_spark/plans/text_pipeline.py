@@ -1469,13 +1469,41 @@ _BM25_QUERY = ("table", "join", "query", "window")
 def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    # ONE corpus explode + ONE doc-grain aggregate computes the document
+    # length AND the per-query-term frequencies together (the query terms
+    # are a fixed 4-term set, so they pivot into counters); the former
+    # shape re-exploded the corpus for tf and AGAIN for df, and shuffled
+    # a (doc, term) ⋈ (doc, len) join that is now column access on the
+    # same row (r12, guide §2.2). All counts are integers — tf/df/len are
+    # value-identical, so every downstream double is unchanged.
+    from ..operators.dedup import track_cache
+
+    # per_doc is the narrow (doc_id + 5 ints) base both tf and df derive
+    # from; the boundary stops the df leg re-deriving the corpus explode
+    # (differently-pruned legs defeat exchange reuse) — the q_crawl
+    # narrow-projection precedent (r12, guide §5.3).
+    per_doc = track_cache(
+        toks.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("len"),
+            *[
+                F.count(F.when(F.col("term") == t, 1)).alias(f"__f_{i}")
+                for i, t in enumerate(_BM25_QUERY)
+            ],
+        )
+    )
+    dl = per_doc.select("doc_id", "len")
     n_docs = d.count()  # driver scalar (exact, tiny)
     avgdl = dl.agg(F.avg(F.col("len").cast("double"))).collect()[0][0]
+    stack_args = ", ".join(
+        f"'{t}', __f_{i}" for i, t in enumerate(_BM25_QUERY)
+    )
     tf = (
-        toks.where(F.col("term").isin(*_BM25_QUERY))
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("f"))
+        per_doc.select(
+            "doc_id",
+            "len",
+            F.expr(f"stack({len(_BM25_QUERY)}, {stack_args}) AS (term, f)"),
+        )
+        .where(F.col("f") > 0)
     )
     df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = (
@@ -1488,9 +1516,13 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         + _BM25_K1
         * (1.0 - _BM25_B + _BM25_B * F.col("len").cast("double") / F.lit(avgdl))
     )
+    # len rides the tf row (same doc-grain aggregate) — the former dl join
+    # is gone; only the tiny per-term df broadcast join remains. (df as a
+    # window over partitionBy(term) was considered and rejected: 4 distinct
+    # terms would concentrate every matched doc onto <= 4 tasks at scale,
+    # while the aggregate keeps the fact rows map-side-combined.)
     scored = (
         tf.join(F.broadcast(df), on="term")
-        .join(dl, on="doc_id")
         .select("doc_id", (idf * tf_part).cast("decimal(27,8)").alias("s"))
     )
     return (

@@ -605,10 +605,18 @@ def q_concurrent_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.prefix import running_total
 
     e = load(spark, sf_dir, "events")
-    bounds = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta")).unionByName(
-        e.select(
-            (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
-            F.lit(-1).alias("delta"),
+    # Both boundary rows come out of ONE scan via inline() — the former
+    # two-projection union read the events table twice (r12, guide §2.2).
+    # Same (t, delta) multiset, so the aggregate is unchanged.
+    bounds = e.select(
+        F.inline(
+            F.array(
+                F.struct(F.col("ts").alias("t"), F.lit(1).alias("delta")),
+                F.struct(
+                    (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("t"),
+                    F.lit(-1).alias("delta"),
+                ),
+            )
         )
     )
     agg = bounds.groupBy("t").agg(F.sum("delta").alias("d"))
