@@ -242,6 +242,16 @@ def main() -> None:
             # with the trigger interval (the reference emits per event; a
             # deployment trades trigger rate against per-batch overhead)
             measure_event_time_lag(spark, 1_000, run_seconds=12.0, trigger_ms=100),
+            # r13 ADDITIVE entry (the three above keep their exact r12
+            # methodology): the same 100 ms-trigger pipeline measured at
+            # steady state — first 6 s of samples dropped (one-off codegen /
+            # state-store-open transients that dominate a ~12-window
+            # percentile) over a longer 20 s run. Every entry now also
+            # reports mean/max micro-batch duration so lag ≈ 1000 + trigger
+            # + batch can be separated from host load.
+            measure_event_time_lag(
+                spark, 1_000, run_seconds=20.0, trigger_ms=100, settle_seconds=6.0
+            ),
         ],
     }
 
@@ -311,6 +321,18 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_hot_spread": spread,
+                # Scaling-contract echo (r13, verdict task #2): the EFFECTIVE
+                # master/core count this invocation ran under, read back from
+                # the live SparkContext (not the env var), so the driver can
+                # verify $SPARK_GRAFT_CPUS was honored from the output alone.
+                "master": spark.sparkContext.master,
+                "cpus": spark.sparkContext.defaultParallelism,
+                # The warm headline numbers are structurally core-INsensitive
+                # at sf0.1 (hot runs sit on a ~0.1 s scheduling floor with 8
+                # shuffle partitions and fixed warm-cache partition counts);
+                # core-count scaling shows in cold_queries, which time full
+                # first executions (uncached scans + codegen) per query.
+                "scaling_note": "warm queries are scheduling-floor-bound at this SF; compare cold_queries across core counts",
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "cold_total": round(sum(cold.values()), 3),
                 "cold_queries": cold,

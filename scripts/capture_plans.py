@@ -52,7 +52,11 @@ def main() -> int:
         },
         drop_columns={"events": ("props",)},
     )
-    outdir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r12")
+    outdir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r13"),
+    )
     os.makedirs(outdir, exist_ok=True)
     for name in names:
         df = qs[name].build(spark, sf_dir)

@@ -59,7 +59,16 @@ def release_cached() -> int:
     """Unpersist every intermediate cached by this module; returns the count.
     Safe to call at any time — the DataFrames are lazily recomputable, and
     entries whose session has already stopped are simply dropped (their
-    cached blocks died with the session)."""
+    cached blocks died with the session).
+
+    NOT covered (ADVICE r12): ``localCheckpoint(eager=False)`` blocks (the
+    pagerank round cuts in operators/graph.py) — Spark exposes no public
+    unpersist for checkpointed DataFrames, so those RDD blocks are released
+    by driver GC of the checkpointed RDDs, not by this call. Long sweeps
+    that rebuild pagerank repeatedly retain at most one round-set of
+    node-grain blocks per live model; lazy localCheckpoint also makes
+    executor loss non-recoverable for that job (acceptable in local mode —
+    a cluster deployment would use reliable checkpoint() to HDFS instead)."""
     n = 0
     while _CACHED:
         df = _CACHED.pop()

@@ -60,7 +60,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 SEP = "\x1f"  # token separator inside gram-string keys (never in real text)
@@ -135,6 +135,9 @@ class KNModel:
     discounts: dict[int, tuple[float, float, float]] = field(default_factory=dict)
     gamma1: float = 1.0  # the single order-1 gamma (empty context)
     vocab_size: int = 1  # |V|: prediction types (words + </s>, never <s>)
+    # Plan-time byte estimate of the TRAINING corpus (None when unknown,
+    # e.g. a model loaded via kn_load): drives kn_prob's lookup-shape choice.
+    input_bytes: int | None = None
 
     def unpersist(self) -> None:
         for df in list(self.parts.values()) + list(self.gammas.values()):
@@ -154,7 +157,9 @@ def kn_train(
     never leaves the cluster; the driver collects only the per-order
     count-of-counts histogram (<=4 rows per order) and two scalars."""
     from .dedup import track_cache
+    from .width import plan_size_bytes
 
+    input_bytes = plan_size_bytes(docs)
     tok = track_cache(_padded_tokens(docs, order, text_col, id_col))
 
     # --- adjusted count tables, highest order first ---------------------
@@ -216,7 +221,7 @@ def kn_train(
         adjusted[k] = track_cache(adj)
 
     # --- discounts from per-order count-of-counts (driver-sized) --------
-    model = KNModel(order=order)
+    model = KNModel(order=order, input_bytes=input_bytes)
 
     def _hist(k: int) -> DataFrame:
         return (
@@ -233,17 +238,68 @@ def kn_train(
     # are then independent aggregates over already-cached inputs — fuse
     # them into ONE union collect instead of one driver job each (r12,
     # guide §5: 4 job launches -> 1; values unchanged).
+    #
+    # r13 (guide §5, driver-action fusion): the two trailing driver scalars —
+    # vocab_size (= row count of adjusted[1]) and gamma1 (a closed form of
+    # the k=1 context stats: one "" context, so denom/t1/t2/t3 are plain
+    # global aggregates) — ride the SECOND collect as extra tagged rows
+    # instead of costing one driver job each at the end of training (4 jobs
+    # -> 2 total). They must NOT ride the FIRST collect: that job is what
+    # materializes the whole uncached chain, and a second concurrent
+    # consumer of the not-yet-cached adjusted[1] would race the cache locks
+    # and duplicate the chain's compute (measured +9..40% on the training
+    # builds when tried). In the second job adjusted[1] is already cached.
+    # Encoding: k=0 carries vocab in t; k=-1 carries (a=1..4) -> t1/t2/t3/denom.
+    k1_extra = adjusted[1].agg(
+        F.count(F.lit(1)).alias("vocab"),
+        F.sum("a").alias("denom"),
+        F.sum(F.when(F.col("a") == 1, 1).otherwise(0)).alias("t1"),
+        F.sum(F.when(F.col("a") == 2, 1).otherwise(0)).alias("t2"),
+        F.sum(F.when(F.col("a") >= 3, 1).otherwise(0)).alias("t3"),
+    ).select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(0).alias("k"),
+                    F.lit(0).cast("bigint").alias("a"),
+                    F.col("vocab").cast("bigint").alias("t"),
+                ),
+                F.struct(
+                    F.lit(-1).alias("k"),
+                    F.lit(1).cast("bigint").alias("a"),
+                    F.col("t1").cast("bigint").alias("t"),
+                ),
+                F.struct(
+                    F.lit(-1).alias("k"),
+                    F.lit(2).cast("bigint").alias("a"),
+                    F.col("t2").cast("bigint").alias("t"),
+                ),
+                F.struct(
+                    F.lit(-1).alias("k"),
+                    F.lit(3).cast("bigint").alias("a"),
+                    F.col("t3").cast("bigint").alias("t"),
+                ),
+                F.struct(
+                    F.lit(-1).alias("k"),
+                    F.lit(4).cast("bigint").alias("a"),
+                    F.col("denom").cast("bigint").alias("t"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     cc1 = _hist(1).collect()
     model.discounts[1] = _discounts([(r["a"], r["t"]) for r in cc1])
-    if order > 1:
-        rest = _hist(2)
-        for k in range(3, order + 1):
-            rest = rest.unionByName(_hist(k))
-        rows = rest.collect()
-        for k in range(2, order + 1):
-            model.discounts[k] = _discounts(
-                [(r["a"], r["t"]) for r in rows if r["k"] == k]
-            )
+    rest = _hist(2) if order > 1 else None
+    for k in range(3, order + 1):
+        rest = rest.unionByName(_hist(k))
+    rest = k1_extra if rest is None else rest.unionByName(k1_extra)
+    rows = rest.collect()
+    for k in range(2, order + 1):
+        model.discounts[k] = _discounts(
+            [(r["a"], r["t"]) for r in rows if r["k"] == k]
+        )
+    model.vocab_size = int(next(r["t"] for r in rows if r["k"] == 0))
+    _k1stats = {int(r["a"]): int(r["t"]) for r in rows if r["k"] == -1}
 
     # --- part/gamma tables ----------------------------------------------
     for k in range(1, order + 1):
@@ -285,17 +341,107 @@ def kn_train(
         model.gammas[k] = track_cache(gamma)
 
     # --- driver scalars ---------------------------------------------------
-    model.vocab_size = adjusted[1].count()  # prediction types (<s> excluded)
-    g1 = model.gammas[1].collect()  # exactly one row (empty context)
-    model.gamma1 = float(g1[0]["gamma"]) if g1 else 1.0
+    # vocab_size was collected with the k=1 histogram above. gamma1 is the
+    # k=1 gamma expression evaluated on the fused-collect stats — the SAME
+    # IEEE-double operations in the SAME (left-associative) order as the
+    # gammas[1] Column expression, so the scalar is bit-identical to the
+    # former gammas[1].collect() (pinned against a collect in pytest);
+    # gammas[1] itself stays lazy (it is only ever materialized by kn_save
+    # or a direct consumer, never by training).
+    d1, d2, d3 = model.discounts[1]
+    denom = _k1stats.get(4) or 0
+    if denom:
+        model.gamma1 = (
+            d1 * float(_k1stats.get(1) or 0)
+            + d2 * float(_k1stats.get(2) or 0)
+            + d3 * float(_k1stats.get(3) or 0)
+        ) / float(denom)
+    else:
+        model.gamma1 = 1.0  # empty corpus — same fallback as the old collect
     return model
 
 
-def kn_prob(queries: DataFrame, model: KNModel) -> DataFrame:
+def _kn_combine(model: KNModel) -> Column:
+    """The telescoped interpolation combine over _p1.._pn / _g2.._gn columns:
+    p = part_n + g_n*(part_{n-1} + g_{n-1}*(... part_1 + gamma1 * 1/V));
+    unseen context -> part 0, gamma 1. Shared verbatim by both lookup shapes
+    so their doubles are bit-identical."""
+    n = model.order
+    p = F.coalesce(F.col("_p1"), F.lit(0.0)) + F.lit(model.gamma1 / model.vocab_size)
+    for k in range(2, n + 1):
+        p = F.coalesce(F.col(f"_p{k}"), F.lit(0.0)) + F.coalesce(
+            F.col(f"_g{k}"), F.lit(1.0)
+        ) * p
+    return p
+
+
+# Above this estimated training-corpus size the per-order model tables stop
+# being reliably broadcastable (Heaps-bounded but corpus-driven), and the
+# scoring plan switches from the broadcast join chain to the single-join
+# tagged-LUT shape. 4 GiB is far beyond every local fixture (bench SFs are
+# MBs) and conservatively inside the territory where 2*order-1 non-broadcast
+# hash joins would each shuffle the query table.
+KN_LOOKUP_SCALE_BYTES = 4 << 30
+
+
+def kn_prob(queries: DataFrame, model: KNModel, lookup: str = "auto") -> DataFrame:
     """Attach interpolated-KN probability to a DataFrame of full-order
     queries (gram: array<string> of length ``order``). Returns the input
-    plus a ``p`` column. k+1 hash equi-joins on gram-string keys, one
-    telescoped per-row combine — pure JVM."""
+    plus a ``p`` column.
+
+    Two lookup shapes, bit-identical results (pinned against each other in
+    tests/test_kneser_ney.py), chosen by ``lookup``:
+
+    - ``chain`` — 2·order−1 per-order left hash joins (5 part + 4 gamma at
+      order 5). When every model table broadcasts, Catalyst fuses the whole
+      chain into ONE codegen stage with zero exchanges — the fastest shape
+      whenever the model fits executors (measured 0.72 vs 1.30 s at sf0.01,
+      scripts/bench_kn_ab.py).
+    - ``lut`` — ONE key-grain-tagged union table (part rows keyed
+      (k, ctx, w), gamma rows keyed (k, ctx, "")) probed by ONE left
+      equi-join from the (2·order−1)-way exploded query keys, pivoted back
+      with a max-of-singleton aggregate that reuses the query table's
+      existing hash partitioning (no extra exchange — verified in the
+      formatted plan). At corpus scale, where the model tables exceed the
+      broadcast cap, this replaces 9 shuffle-join barriers on the
+      distinct-gram grain with one join + one in-place aggregate
+      (r13, guide §3/§2.4).
+    - ``auto`` — ``chain`` when the model is small enough to broadcast
+      (training-corpus plan bytes, or the loaded tables' plan bytes, under
+      KN_LOOKUP_SCALE_BYTES), ``lut`` beyond that. Results never depend on
+      the choice.
+
+    The "" sentinel of the lut shape is safe: tokenization drops empty
+    tokens, so no real ``w`` is ever the empty string — and even a
+    hand-built query gram with w="" behaves identically (its part probe
+    finds no part value, exactly as the part table, which contains no
+    w="", returned no match before)."""
+    if lookup == "auto":
+        lookup = "chain" if _model_is_broadcastable(model) else "lut"
+    if lookup == "chain":
+        return _kn_prob_chain(queries, model)
+    if lookup != "lut":
+        raise ValueError(f"kn_prob: unknown lookup {lookup!r}")
+    return _kn_prob_lut(queries, model)
+
+
+def _model_is_broadcastable(model: KNModel) -> bool:
+    if model.input_bytes is not None:
+        return model.input_bytes <= KN_LOOKUP_SCALE_BYTES
+    # loaded model (kn_load): parquet scans have exact plan-time sizes
+    from .width import plan_size_bytes
+
+    total = 0
+    for df in list(model.parts.values()) + list(model.gammas.values()):
+        b = plan_size_bytes(df)
+        if b is None:
+            return True  # unknown — default to the local-optimal shape
+        total += b
+    return total <= KN_LOOKUP_SCALE_BYTES
+
+
+def _kn_prob_chain(queries: DataFrame, model: KNModel) -> DataFrame:
+    """Per-order broadcast join chain — the small-model shape."""
     n = model.order
     q = queries
     for k in range(1, n + 1):
@@ -323,17 +469,77 @@ def kn_prob(queries: DataFrame, model: KNModel) -> DataFrame:
                 on=f"_c{k}",
                 how="left",
             )
-    # telescoped combine: p = part_n + g_n*(part_{n-1} + g_{n-1}*(...
-    #   part_1 + gamma1 * 1/V)); unseen context -> part 0, gamma 1
-    p = F.coalesce(F.col("_p1"), F.lit(0.0)) + F.lit(model.gamma1 / model.vocab_size)
-    for k in range(2, n + 1):
-        p = F.coalesce(F.col(f"_p{k}"), F.lit(0.0)) + F.coalesce(
-            F.col(f"_g{k}"), F.lit(1.0)
-        ) * p
     drop = ["_w"] + [f"_c{k}" for k in range(1, n + 1)]
     drop += [f"_p{k}" for k in range(1, n + 1)]
     drop += [f"_g{k}" for k in range(2, n + 1)]
-    return q.withColumn("p", p).drop(*drop)
+    return q.withColumn("p", _kn_combine(model)).drop(*drop)
+
+
+def _kn_prob_lut(queries: DataFrame, model: KNModel) -> DataFrame:
+    """Single tagged-LUT join + pivot — the corpus-scale shape."""
+    n = model.order
+    lut = None
+    for k in range(1, n + 1):
+        pk = model.parts[k].select(
+            F.lit(k).alias("_k"),
+            F.col("ctx").alias("_ctx"),
+            F.col("w").alias("_w"),
+            F.col("part").alias("_part"),
+            F.lit(None).cast("double").alias("_gamma"),
+        )
+        lut = pk if lut is None else lut.unionByName(pk)
+        if k > 1:
+            lut = lut.unionByName(
+                model.gammas[k].select(
+                    F.lit(k).alias("_k"),
+                    F.col("ctx").alias("_ctx"),
+                    F.lit("").alias("_w"),
+                    F.lit(None).cast("double").alias("_part"),
+                    F.col("gamma").alias("_gamma"),
+                )
+            )
+
+    # Unique per-input-row key so duplicate query rows survive the pivot.
+    # monotonically_increasing_id is deterministic for a fixed partition
+    # layout and the id is dropped before returning — output VALUES never
+    # depend on it.
+    q = queries.withColumn("__qid", F.monotonically_increasing_id())
+    keys = []
+    for k in range(1, n + 1):
+        ctx = (
+            F.array_join(F.slice("gram", n - k + 1, k - 1), SEP)
+            if k > 1
+            else F.lit("")
+        )
+        keys.append(
+            F.struct(
+                F.lit(k).alias("_k"),
+                ctx.alias("_ctx"),
+                F.element_at("gram", n).alias("_w"),
+            )
+        )
+        if k > 1:
+            keys.append(
+                F.struct(
+                    F.lit(k).alias("_k"), ctx.alias("_ctx"), F.lit("").alias("_w")
+                )
+            )
+    probe = q.select("__qid", *queries.columns, F.explode(F.array(*keys)).alias("e")).select(
+        "__qid", *queries.columns, F.col("e._k").alias("_k"),
+        F.col("e._ctx").alias("_ctx"), F.col("e._w").alias("_w"),
+    )
+    hit = probe.join(lut, on=["_k", "_ctx", "_w"], how="left")
+    aggs = [
+        F.max(F.when(F.col("_k") == k, F.col("_part"))).alias(f"_p{k}")
+        for k in range(1, n + 1)
+    ] + [
+        F.max(F.when(F.col("_k") == k, F.col("_gamma"))).alias(f"_g{k}")
+        for k in range(2, n + 1)
+    ]
+    wide = hit.groupBy("__qid", *queries.columns).agg(*aggs)
+    drop = ["__qid"] + [f"_p{k}" for k in range(1, n + 1)]
+    drop += [f"_g{k}" for k in range(2, n + 1)]
+    return wide.withColumn("p", _kn_combine(model)).drop(*drop)
 
 
 def kn_perplexity(

@@ -796,6 +796,12 @@ def pq_train_codebooks(
     # re-run the scan + normalize chain — m x 12 redundant passes.
     base = base.persist()
     try:
+        # Materialize the WHOLE persisted frame before spawning the fit
+        # threads (ADVICE r12): first() computes only one partition, and the
+        # concurrent KMeans fits then contend on BlockManager per-partition
+        # compute locks for the rest, serializing part of the overlap the
+        # thread pool exists to buy.
+        base.count()
         row = base.first()
         if row is None:
             raise ValueError(

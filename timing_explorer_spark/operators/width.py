@@ -37,6 +37,27 @@ def plan_size_bytes(df: DataFrame) -> int | None:
     return v
 
 
+def cache_if_bounded(
+    df: DataFrame, cap_bytes: int = 1 << 30, materialize: bool = False
+) -> DataFrame:
+    """track_cache ``df`` only when its plan-time size estimate is known AND
+    under ``cap_bytes`` — the scale-adaptive persist (r13, guide §5: caching
+    is only worth it when recomputing costs more than the memory pressure it
+    creates). A corpus-grain intermediate that fits comfortably at bench
+    scale would be cache-sized-like-the-corpus at 100 TB: MEMORY_AND_DISK
+    would spill the whole thing to disk, costing a full write+read of the
+    corpus to save one recompute. Above the cap (or when stats are
+    unavailable) the frame is returned un-persisted and each consumer
+    recomputes — the cheaper trade at scale. Results are identical either
+    way; only materialization strategy changes."""
+    from .dedup import track_cache
+
+    b = plan_size_bytes(df)
+    if b is not None and b <= cap_bytes:
+        return track_cache(df, materialize=materialize)
+    return df
+
+
 def adaptive_width(
     df: DataFrame, bytes_per_task: int = 256 << 10, floor: int = 2
 ) -> int:

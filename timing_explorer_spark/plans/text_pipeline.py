@@ -547,7 +547,13 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
         token_count(F.col("text")).alias("n_tokens"),
     )
-    running = running_total(d, ["shuffle_key", "doc_id"], "n_tokens", alias="cum")
+    # bucket_expr (r13): the md5 key is fixed-length lowercase hex, so its
+    # first 15 digits read as a base-16 number are a monotone numeric image
+    # — enables the single-exchange bucketed scan (operators/prefix.py)
+    running = running_total(
+        d, ["shuffle_key", "doc_id"], "n_tokens", alias="cum",
+        bucket_expr=F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint"),
+    )
     return (
         running.withColumn("cum_before", F.col("cum") - F.col("n_tokens"))
         .groupBy(F.expr(f"cum_before DIV {budget}").alias("seq_id"))
@@ -1032,14 +1038,25 @@ def q_kneser_ney_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.kneser_ney import kn_train
 
     model = kn_train(load(spark, sf_dir, "documents"), order=5)
+    # One fused union collect for the 2*order table counts (r13, guide §5):
+    # the former per-order parts[k].count()/gammas[k].count() pairs cost ten
+    # driver job launches; a union of ten 1-row aggregates is ONE job over
+    # the same cached tables — identical counts.
+    counts = None
+    for k in range(1, model.order + 1):
+        piece = model.parts[k].agg(F.count(F.lit(1)).alias("n_types")).select(
+            F.lit(k).alias("ord"), "n_types"
+        ).crossJoin(model.gammas[k].agg(F.count(F.lit(1)).alias("n_contexts")))
+        counts = piece if counts is None else counts.unionByName(piece)
+    by_k = {int(r["ord"]): r for r in counts.collect()}
     rows = []
     for k in range(1, model.order + 1):
         d1, d2, d3 = model.discounts[k]
         rows.append(
             (
                 k,
-                model.parts[k].count(),
-                model.gammas[k].count(),
+                int(by_k[k]["n_types"]),
+                int(by_k[k]["n_contexts"]),
                 round(d1, 9),
                 round(d2, 9),
                 round(d3, 9),
@@ -1605,27 +1622,36 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_langid_nb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from ..operators.dedup import track_cache
+    from ..operators.width import cache_if_bounded
 
     d = load(spark, sf_dir, "documents")
     tri = F.explode(
         F.expr("transform(sequence(1, length(text) - 2), i -> substring(text, i, 3))")
     ).alias("tri")
     tris = d.select("doc_id", "lang", tri)
-    # ONE corpus-wide trigram explode, aggregated to (doc, lang, tri, n) and
-    # persisted — model counts, vocabulary size, and the scoring probe all
-    # derive from this table (r12; before, each of the three legs re-ran the
-    # full explode: 3x corpus scans + Generates per execution, guide §5.3).
-    # lang rides the groupBy key (functionally dependent on doc_id) so the
-    # model needs no join back to documents; sum(n) == the trigram count.
-    doctri = track_cache(
+    # ONE corpus-wide trigram explode, aggregated to (doc, lang, tri, n) —
+    # model counts and the scoring probe both derive from this table (r12;
+    # before, each leg re-ran the full explode: 3x corpus scans + Generates
+    # per execution, guide §5.3). lang rides the groupBy key (functionally
+    # dependent on doc_id) so the model needs no join back to documents;
+    # sum(n) == the trigram count.
+    # The persist is SCALE-ADAPTIVE (r13, verdict #4 audit): doctri is
+    # doc-grain — corpus-sized at 100 TB, where a MEMORY_AND_DISK cache
+    # would spill the whole corpus to disk to save one recompute. Under the
+    # cap (any bench SF) it pins exactly as before; above it, the two
+    # consumers recompute the single-aggregate plan instead.
+    doctri = cache_if_bounded(
         tris.groupBy("doc_id", "lang", "tri").agg(F.count(F.lit(1)).alias("n"))
     )
     model = doctri.groupBy(
         F.col("lang").alias("mlang"), F.col("tri").alias("mtri")
     ).agg(F.sum("n").alias("c"))
     tot = model.groupBy(F.col("mlang").alias("tlang")).agg(F.sum("c").alias("t"))
-    vocab = doctri.agg(F.count_distinct("tri").alias("v"))
+    # vocabulary size from the MODEL grain (lang x tri — Heaps-bounded), not
+    # the doc-grain table: distinct tri is identical over both (model is a
+    # groupBy of doctri that keeps every tri), and reading it here drops one
+    # consumer of the corpus-grain table (r13).
+    vocab = model.agg(F.count_distinct("mtri").alias("v"))
     nl = d.groupBy(F.col("lang").alias("plang")).agg(F.count(F.lit(1)).alias("n_docs"))
     nall = d.agg(F.count(F.lit(1)).alias("n"))
     langs = d.select(F.col("lang").alias("slang")).distinct()
@@ -3811,7 +3837,10 @@ def corpus_assembly_stages(
         F.md5(F.col("doc").cast("string")).alias("shuffle_key"),
     )
     running = running_total(
-        shuffled, ["shuffle_key", "doc"], "n_tokens", alias="cum"
+        shuffled, ["shuffle_key", "doc"], "n_tokens", alias="cum",
+        # monotone numeric image of the fixed-length hex key (r13) — takes
+        # the single-exchange bucketed-scan path in operators/prefix.py
+        bucket_expr=F.conv(F.substring("shuffle_key", 1, 15), 16, 10).cast("bigint"),
     )
     budget = 512
     packed = (

@@ -155,6 +155,7 @@ def measure_event_time_lag(
     run_seconds: float = 12.0,
     trigger_ms: int = 500,
     checkpoint_dir: str | None = None,
+    settle_seconds: float = 0.0,
 ) -> dict[str, Any]:
     """Drive the live-rate pipeline for ``run_seconds`` and collect the
     reference's core metric — sink-side event-time lag (now − window label
@@ -164,17 +165,32 @@ def measure_event_time_lag(
     The lag is computed INSIDE the batch (event_time_lag expression, JVM
     clock) so host-vs-session timezone can't skew it; the sealed-window
     output is #keys rows per second, so the driver-side collect is bounded
-    regardless of input rate."""
+    regardless of input rate.
+
+    ``settle_seconds`` (r13, load-normalization): drop lag samples whose
+    batch arrived during the first N seconds of the run — the first batches
+    pay one-off codegen + state-store open that a resident streaming job
+    amortizes over its lifetime, and with only ~run_seconds windows in the
+    sample those transients dominate every percentile. Default 0 keeps the
+    original (transient-inclusive) reading.
+
+    The returned dict also carries the mean/max micro-batch duration from
+    the query's progress events: the structural lag floor is
+    ~window_size + trigger + batch time, so these let a reader separate
+    scheduling load (batch time) from pipeline latency."""
     import tempfile
     import time as _time
 
     lags: list[float] = []
+    t_start = _time.monotonic()
 
     def sink(batch_df: DataFrame, _bid: int) -> None:
+        settled = (_time.monotonic() - t_start) >= settle_seconds
         for r in batch_df.select(
             event_time_lag(F.col("window_end_label"))
         ).collect():
-            lags.append(float(r["event_time_lag_ms"]))
+            if settled:
+                lags.append(float(r["event_time_lag_ms"]))
 
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="lag-bench-ckpt-")
     q = (
@@ -185,9 +201,19 @@ def measure_event_time_lag(
         .trigger(processingTime=f"{trigger_ms} milliseconds")
         .start()
     )
+    batch_ms: list[float] = []
     try:
+        t_start = _time.monotonic()
         _time.sleep(run_seconds)
     finally:
+        try:
+            batch_ms = [
+                float(p.batchDuration)
+                for p in (q.recentProgress or [])
+                if p is not None and p.batchDuration is not None
+            ]
+        except Exception:
+            batch_ms = []
         q.stop()
         q.awaitTermination()
     lags.sort()
@@ -196,7 +222,7 @@ def measure_event_time_lag(
         v = nearest_rank(lags, p)
         return None if v is None else round(v, 1)
 
-    return {
+    out = {
         "rows_per_second": rows_per_second,
         "run_seconds": run_seconds,
         "trigger_ms": trigger_ms,
@@ -205,4 +231,12 @@ def measure_event_time_lag(
         "p95_ms": pct(0.95),
         "p99_ms": pct(0.99),
         "max_ms": round(lags[-1], 1) if lags else None,
+        # load context (r13): lag floor ≈ 1000 (window seal) + trigger +
+        # batch time; mean/max batch time tells a reader how much of the
+        # percentile is host load rather than pipeline shape.
+        "mean_batch_ms": round(sum(batch_ms) / len(batch_ms), 1) if batch_ms else None,
+        "max_batch_ms": round(max(batch_ms), 1) if batch_ms else None,
     }
+    if settle_seconds:
+        out["settle_seconds"] = settle_seconds
+    return out
