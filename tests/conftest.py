@@ -22,9 +22,14 @@ SF_ORACLE = "/root/testdata/sf0.01"
 
 @pytest.fixture(scope="session")
 def spark():
+    # local[8] (r13, was local[4]): the suite's long poles are trainer
+    # builds and oracle collects that are compute-bound even at sf0.001;
+    # doubling cores roughly halves them while scheduling-bound tests are
+    # unchanged. No test depends on the session's core count (the only
+    # partition-count assertions pin warm_cache's explicit arguments).
     s = get_spark(
         app_name="timing-explorer-spark-tests",
-        master="local[4]",
+        master="local[8]",
         shuffle_partitions=8,
     )
     yield s

@@ -133,6 +133,17 @@ def _collect_model(model):
     return parts, gammas
 
 
+@pytest.fixture(scope="module")
+def toy_model(spark):
+    """ONE order-3 model over the shared toy corpus (r13 suite-wall-time
+    cut): kn_train is deterministic for a given input, so the eight tests
+    that each trained this exact model now share a single training run.
+    Tests must treat it as READ-ONLY (no unpersist, no table mutation)."""
+    m = kn_train(_toy_df(spark), order=ORDER)
+    yield m
+    m.unpersist()
+
+
 # -------------------------------------------------------------------- tests
 
 
@@ -149,8 +160,8 @@ def test_ngram_counts_events_convention(spark):
     }
 
 
-def test_kn_model_matches_reference(spark):
-    model = kn_train(_toy_df(spark), order=ORDER)
+def test_kn_model_matches_reference(spark, toy_model):
+    model = toy_model
     rparts, rgammas, rdisc, rv = ref_train([t for _, t in TOY], ORDER)
     assert model.vocab_size == rv
     for k in range(1, ORDER + 1):
@@ -164,11 +175,10 @@ def test_kn_model_matches_reference(spark):
         for ctx, v in rgammas[k].items():
             assert sgammas[k][ctx] == pytest.approx(v, abs=1e-12), (k, ctx)
     assert model.gamma1 == pytest.approx(rgammas[1][()], abs=1e-12)
-    model.unpersist()
 
 
-def test_kn_prob_sums_to_one_seen_and_unseen_context(spark):
-    model = kn_train(_toy_df(spark), order=ORDER)
+def test_kn_prob_sums_to_one_seen_and_unseen_context(spark, toy_model):
+    model = toy_model
     rparts, rgammas, _, rv = ref_train([t for _, t in TOY], ORDER)
     vocab = sorted({w for (w,) in rparts[1]})
     assert BOS not in vocab  # <s> is never a predicted type
@@ -192,18 +202,16 @@ def test_kn_prob_sums_to_one_seen_and_unseen_context(spark):
         )
     for ctx, s in sums.items():
         assert s == pytest.approx(1.0, abs=1e-9), ctx
-    model.unpersist()
 
 
-def test_kn_perplexity_matches_reference(spark):
-    model = kn_train(_toy_df(spark), order=ORDER)
+def test_kn_perplexity_matches_reference(spark, toy_model):
+    model = toy_model
     rparts, rgammas, _, rv = ref_train([t for _, t in TOY], ORDER)
     got = {r["doc_id"]: r for r in kn_perplexity(_toy_df(spark), model).collect()}
     for doc_id, text in TOY:
         want = ref_ppl(text, rparts, rgammas, ORDER, rv)
         assert got[doc_id]["ppl"] == pytest.approx(want, rel=1e-9), doc_id
         assert got[doc_id]["n_tokens"] == len(text.split()) + 1
-    model.unpersist()
 
 
 def test_kn_train_bit_identical_under_repartitioning(spark):
@@ -219,7 +227,7 @@ def test_kn_train_bit_identical_under_repartitioning(spark):
     m7.unpersist()
 
 
-def test_ccnet_buckets_kn_path(spark):
+def test_ccnet_buckets_kn_path(spark, toy_model):
     """The model= flag routes ccnet_buckets through the KN scorer: balanced
     per-lang buckets, and an in-domain doc scores lower ppl than scrambled
     text under a model trained on the clean slice."""
@@ -235,10 +243,9 @@ def test_ccnet_buckets_kn_path(spark):
         (105, "bone a mat dog the", "en"),
     ]
     docs = spark.createDataFrame(clean + extra, "doc_id int, text string, lang string")
-    model = kn_train(
-        spark.createDataFrame(clean, "doc_id int, text string, lang string"),
-        order=ORDER,
-    )
+    # toy_model is trained on exactly these texts (kn_train reads only
+    # doc_id/text, so the lang column of the scored frame is irrelevant)
+    model = toy_model
     out = {
         r["doc_id"]: r
         for r in ccnet_buckets(docs, n_buckets=3, model=model).collect()
@@ -248,7 +255,6 @@ def test_ccnet_buckets_kn_path(spark):
     assert set(sizes) == {1, 2, 3} and max(sizes.values()) - min(sizes.values()) <= 1
     assert out[100]["ppl"] < out[101]["ppl"]
     assert out[102]["ppl"] < out[103]["ppl"]
-    model.unpersist()
 
 
 def test_kn_order5_matches_reference(spark):
@@ -273,13 +279,12 @@ def test_kn_order5_matches_reference(spark):
     model.unpersist()
 
 
-def test_kn_save_load_scores_identically(spark, tmp_path):
+def test_kn_save_load_scores_identically(spark, tmp_path, toy_model):
     from timing_explorer_spark.operators.kneser_ney import kn_load, kn_save
 
-    model = kn_train(_toy_df(spark), order=ORDER)
+    model = toy_model  # shared read-only fixture (unpersisted at module end)
     before = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), model).collect()}
     kn_save(model, str(tmp_path / "knm"))
-    model.unpersist()
     loaded = kn_load(spark, str(tmp_path / "knm"))
     assert loaded.order == ORDER and loaded.discounts == model.discounts
     after = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), loaded).collect()}
@@ -287,7 +292,7 @@ def test_kn_save_load_scores_identically(spark, tmp_path):
     loaded.unpersist()
 
 
-def test_kn_save_prune_monotone_ppl(spark, tmp_path):
+def test_kn_save_prune_monotone_ppl(spark, tmp_path, toy_model):
     """KenLM-style count-threshold pruning (kn_save(prune=t)): higher
     thresholds drop a superset of part rows at orders >= 2, every
     probability weakly decreases (mass falls through to backoff, gammas
@@ -295,7 +300,7 @@ def test_kn_save_prune_monotone_ppl(spark, tmp_path):
     — and the artifact genuinely shrinks."""
     from timing_explorer_spark.operators.kneser_ney import kn_load, kn_save
 
-    model = kn_train(_toy_df(spark), order=ORDER)
+    model = toy_model
     ppls, rows = [], []
     for t in (0, 1, 2):
         p = str(tmp_path / f"knm_p{t}")
@@ -314,10 +319,9 @@ def test_kn_save_prune_monotone_ppl(spark, tmp_path):
         assert ppls[0][d] <= ppls[1][d] * (1 + 1e-12)
         assert ppls[1][d] <= ppls[2][d] * (1 + 1e-12)
     assert any(ppls[1][d] > ppls[0][d] for d in ppls[0])  # degradation is real
-    model.unpersist()
 
 
-def test_kn_save_quantized_layout(spark, tmp_path):
+def test_kn_save_quantized_layout(spark, tmp_path, toy_model):
     """kn_save(quantize=True): part/gamma stored as float32 (KenLM's
     quantized-binary analog); the loaded model reproduces exact-model
     scores to float32 relative precision."""
@@ -325,7 +329,7 @@ def test_kn_save_quantized_layout(spark, tmp_path):
 
     from timing_explorer_spark.operators.kneser_ney import kn_load, kn_save
 
-    model = kn_train(_toy_df(spark), order=ORDER)
+    model = toy_model
     exact = {r["doc_id"]: r["ppl"] for r in kn_perplexity(_toy_df(spark), model).collect()}
     p = str(tmp_path / "knm_q")
     kn_save(model, p, quantize=True)
@@ -338,10 +342,9 @@ def test_kn_save_quantized_layout(spark, tmp_path):
     for d, v in exact.items():
         assert got[d] == pytest.approx(v, rel=1e-5), d
     loaded.unpersist()
-    model.unpersist()
 
 
-def test_per_lang_models_equal_slice_training(spark):
+def test_per_lang_models_equal_slice_training(spark, toy_model):
     """The CCNet per-language recipe: each language's model must be
     EXACTLY the model trained on that language's slice alone (no
     cross-language leakage through shared tables), and per-lang scoring
@@ -359,8 +362,9 @@ def test_per_lang_models_equal_slice_training(spark):
     docs = spark.createDataFrame(bilingual, "doc_id int, text string, lang string")
     models = kn_train_per_lang(docs, order=ORDER)
     assert set(models) == {"en", "de"}
-    # en model == the model trained on the en slice alone
-    solo = kn_train(_toy_df(spark), order=ORDER)
+    # en model == the model trained on the en slice alone (the shared
+    # toy_model fixture IS that model — same texts, deterministic training)
+    solo = toy_model
     assert models["en"].discounts == solo.discounts
     assert models["en"].vocab_size == solo.vocab_size
     p_multi, _ = _collect_model(models["en"])
@@ -374,16 +378,15 @@ def test_per_lang_models_equal_slice_training(spark):
         assert scored[i] == solo_ppl[i]
     for m in models.values():
         m.unpersist()
-    solo.unpersist()
 
 
-def test_kn_prob_bit_identical_lut_vs_chain(spark):
+def test_kn_prob_bit_identical_lut_vs_chain(spark, toy_model):
     """r13 exactness pin: kn_prob's two lookup shapes — the broadcast join
     chain (small-model path, the pre-r13 implementation) and the single
     tagged-LUT join + pivot (corpus-scale path) — must agree BIT-FOR-BIT:
     same doubles, not approx. The adaptive `auto` dispatch can therefore
     never change results."""
-    model = kn_train(_toy_df(spark), order=ORDER)
+    model = toy_model
     # every padded event gram of the corpus + OOV probes + a DUPLICATE row
     # (the pivot must preserve input multiplicity)
     grams = [
@@ -414,4 +417,3 @@ def test_kn_prob_bit_identical_lut_vs_chain(spark):
     from timing_explorer_spark.operators.kneser_ney import _model_is_broadcastable
 
     assert _model_is_broadcastable(model)
-    model.unpersist()

@@ -17,11 +17,14 @@ import pytest
 from timing_explorer_spark.plans import all_queries
 
 
-def plan_of(spark, name: str, sf_dir: str) -> str:
-    df = all_queries()[name].build(spark, sf_dir)
+def plan_of_df(spark, df) -> str:
     je = df._jdf.queryExecution()
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     return je.explainString(mode)
+
+
+def plan_of(spark, name: str, sf_dir: str) -> str:
+    return plan_of_df(spark, all_queries()[name].build(spark, sf_dir))
 
 
 def test_q06_filters_pushed_to_scan(spark, sf_smoke):
@@ -535,8 +538,11 @@ def test_plan_audit_all_queries(spark, sf_smoke):
     failures = []
     for name, spec in all_queries().items():
         try:
+            # build ONCE and explain the same frame (r13 suite-wall-time cut:
+            # plan_of(name) re-ran spec.build, and trainer builds execute the
+            # full training actions — the audit paid every trainer twice)
             df = spec.build(spark, sf_smoke)
-            plan = plan_of(spark, name, sf_smoke)
+            plan = plan_of_df(spark, df)
         except Exception as exc:  # noqa: BLE001
             failures.append(f"{name}: plan build failed: {exc}")
             continue

@@ -24,6 +24,21 @@ from timing_explorer_spark.streaming.lsh_dedup import (
 from timing_explorer_spark.streaming.state import rocksdb_state_conf
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _narrow_state_partitions(spark):
+    """r13 suite-wall-time cut: every micro-batch of these stateful streams
+    opens one state store (and, for transformWithStateInPandas, one Python
+    state-server round) PER shuffle partition — at the conftest default of 8
+    that is 8x machinery per batch for single-digit-row batches. 2 partitions
+    carry identical semantics (state is keyed; values are key-determined) at
+    a quarter of the per-batch cost. Runtime-settable and restored; each test
+    starts a FRESH checkpoint, so the partition count never crosses tests."""
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
 @pytest.fixture(scope="module")
 def tws_spark(spark):
     """verify-mode dedup rides transformWithStateInPandas, which requires

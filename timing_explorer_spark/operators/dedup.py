@@ -140,14 +140,19 @@ def jaccard_pairs(
     # which is tuned for byte-heavy exchanges (8 in the bench session) and
     # would leave most cores idle during the Σ df(s)² blow-up. But a core-
     # count width over-partitions SMALL inputs (r12: at sf0.1 the whole
-    # index is <2 MB and 32 tasks×stages of scheduling overhead made the
-    # query slower at 32 cores than at 8 — inverse core scaling). Width
-    # from plan-time input stats instead (adaptive_width): ~256 KB of
-    # source bytes per task — at corpus scale stats >> cores so this
-    # stays exactly defaultParallelism.
+    # index is <2 MB and 32 tasks×stages of scheduling overhead made those
+    # queries slower at 32 cores than at 8 — inverse core scaling). Width
+    # from plan-time input stats instead (adaptive_width).
+    # The PAIR stage gets 4x the density of the shingling stage (64 KB of
+    # source bytes per task vs 256 KB — ADVICE r12): its cost is the
+    # quadratic Σ df(s)² blow-up, not source bytes, so per source byte it
+    # deserves more cores. Same-session ABAB at sf0.1 (r13): width 3 (the
+    # r12 value) 3.01 s -> width 10 1.31 s min-of-5 on the exact-jaccard
+    # pair join. At corpus scale both clamp to defaultParallelism — the
+    # 100 TB plan is unchanged.
     from .width import adaptive_width
 
-    n_parts = adaptive_width(docs)
+    n_parts = adaptive_width(docs, bytes_per_task=64 << 10)
     shingled = _shingled_arrays(docs, n, text_col, id_col)
     sizes = shingled.select("doc", F.size("__arr").alias("sz"))
     # Join on xxhash64(shingle), not the shingle string: the self-join key
