@@ -135,9 +135,14 @@ class KNModel:
     discounts: dict[int, tuple[float, float, float]] = field(default_factory=dict)
     gamma1: float = 1.0  # the single order-1 gamma (empty context)
     vocab_size: int = 1  # |V|: prediction types (words + </s>, never <s>)
-    # Plan-time byte estimate of the TRAINING corpus (None when unknown,
-    # e.g. a model loaded via kn_load): drives kn_prob's lookup-shape choice.
-    input_bytes: int | None = None
+    # MEASURED bytes of the materialized per-order adjusted-count caches
+    # (set at the end of kn_train, when the training collects have already
+    # materialized them — InMemoryRelation stats are then exact, unlike the
+    # training input's plan-time ESTIMATE, which can be junk-large through
+    # synthesis/explode chains: observed 1.8 TB "estimate" for a KB-sized
+    # WARC-derived reference slice). None for kn_load models (their parquet
+    # scans carry exact sizes instead). Drives kn_prob's lookup-shape choice.
+    table_bytes: int | None = None
 
     def unpersist(self) -> None:
         for df in list(self.parts.values()) + list(self.gammas.values()):
@@ -157,9 +162,7 @@ def kn_train(
     never leaves the cluster; the driver collects only the per-order
     count-of-counts histogram (<=4 rows per order) and two scalars."""
     from .dedup import track_cache
-    from .width import plan_size_bytes
 
-    input_bytes = plan_size_bytes(docs)
     tok = track_cache(_padded_tokens(docs, order, text_col, id_col))
 
     # --- adjusted count tables, highest order first ---------------------
@@ -221,7 +224,7 @@ def kn_train(
         adjusted[k] = track_cache(adj)
 
     # --- discounts from per-order count-of-counts (driver-sized) --------
-    model = KNModel(order=order, input_bytes=input_bytes)
+    model = KNModel(order=order)
 
     def _hist(k: int) -> DataFrame:
         return (
@@ -300,6 +303,18 @@ def kn_train(
         )
     model.vocab_size = int(next(r["t"] for r in rows if r["k"] == 0))
     _k1stats = {int(r["a"]): int(r["t"]) for r in rows if r["k"] == -1}
+
+    # The two collects above materialized every adjusted[k] cache, so their
+    # InMemoryRelation stats are now EXACT — record them as the model-size
+    # signal for kn_prob's lookup-shape dispatch (the model tables derive
+    # 1:1 from these grains; the training INPUT's plan-time estimate is
+    # unusable, e.g. 1.8 TB "estimated" for a KB-sized synthesis chain).
+    from .width import plan_size_bytes
+
+    sizes = [plan_size_bytes(adjusted[k]) for k in range(1, order + 1)]
+    model.table_bytes = sum(b for b in sizes if b is not None) if any(
+        b is not None for b in sizes
+    ) else None
 
     # --- part/gamma tables ----------------------------------------------
     for k in range(1, order + 1):
@@ -426,8 +441,9 @@ def kn_prob(queries: DataFrame, model: KNModel, lookup: str = "auto") -> DataFra
 
 
 def _model_is_broadcastable(model: KNModel) -> bool:
-    if model.input_bytes is not None:
-        return model.input_bytes <= KN_LOOKUP_SCALE_BYTES
+    if model.table_bytes is not None:
+        # trained model: exact bytes of the materialized adjusted caches
+        return model.table_bytes <= KN_LOOKUP_SCALE_BYTES
     # loaded model (kn_load): parquet scans have exact plan-time sizes
     from .width import plan_size_bytes
 
