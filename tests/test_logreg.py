@@ -93,6 +93,33 @@ def test_registered_query_on_fixture(spark, sf_smoke):
     assert r["n_features"] <= 33  # 32 hash buckets + bias
 
 
+def test_empty_labels_raise(spark):
+    """The empty-label guard must survive the r13 fused upfront collect (the
+    count now rides the distinct-bucket job as a tagged row)."""
+    import pytest
+
+    feats = spark.createDataFrame([(0, -1, 1.0)], "_doc bigint, bucket int, x double")
+    empty = spark.createDataFrame([], "_doc bigint, y double")
+    with pytest.raises(ValueError, match="empty label set"):
+        logreg_train(feats, empty, n_iters=1)
+
+
+def test_fused_upfront_scalars_match_naive(spark):
+    """The r13 single-job (n_rows, buckets) derivation must agree with the
+    naive two-job form it replaced — trained weights cover every feature
+    bucket exactly once, and the loss normalizer is the label count."""
+    docs, labels = _separable(spark, n=10)
+    feats = hashed_features(docs, n_buckets=16).cache()
+    naive_buckets = {r["bucket"] for r in feats.select("bucket").distinct().collect()}
+    n_labels = labels.count()
+    weights, losses = logreg_train(feats, labels, n_iters=1, lr=1.0, l2=0.0)
+    assert set(weights) == naive_buckets
+    # losses[0] = loss_sum / n_rows with w=0: per-row loss is exactly ln 2,
+    # so the normalizer is observable: mean == ln 2 iff n_rows == n_labels
+    assert abs(losses[0] - 0.6931471805599453) < 1e-12
+    assert n_labels == 10
+
+
 def test_gradient_matches_finite_differences(spark):
     """The distributed decimal-exact gradient equals the numeric gradient of
     the NLL computed in pure Python on the same tiny dataset."""

@@ -100,11 +100,32 @@ def logreg_train(
     cluster; each iteration moves only the O(n_buckets) weight vector through
     the driver, and every reduction is decimal-exact (partitioning-invariant).
     """
-    labels = labels.select("_doc", F.col("y").cast("double").alias("y"))
-    n_rows = labels.count()
+    from .dedup import track_cache
+
+    # The loop's per-iteration m.join(labels) re-derived the label frame from
+    # its source every iteration (n_iters corpus-grain scans at scale);
+    # labels are loop-invariant, so pin them (released by release_cached(),
+    # guide §5.3 — the same boundary the KN/unigram trainers use).
+    labels = track_cache(labels.select("_doc", F.col("y").cast("double").alias("y")))
+    # ONE upfront driver job instead of two: the label count rides the
+    # distinct-bucket collect as a tagged row (the r12/r13 trainer-fusion
+    # pattern, guide §5) and materializes the label cache the loop reads.
+    # Both union legs aggregate DIFFERENT frames, so no cache is raced.
+    head = (
+        features.select(F.col("bucket").cast("long").alias("v"))
+        .distinct()
+        .select("v", F.lit(False).alias("is_n"))
+        .unionByName(
+            labels.agg(F.count(F.lit(1)).alias("v")).select(
+                "v", F.lit(True).alias("is_n")
+            )
+        )
+        .collect()
+    )
+    n_rows = next(int(r["v"]) for r in head if r["is_n"])
     if n_rows == 0:
         raise ValueError("logreg_train: empty label set")
-    buckets = [r["bucket"] for r in features.select("bucket").distinct().collect()]
+    buckets = [int(r["v"]) for r in head if not r["is_n"]]
     weights = {int(b): 0.0 for b in buckets}
     losses: list[float] = []
     for _ in range(n_iters):

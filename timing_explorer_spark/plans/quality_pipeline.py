@@ -976,12 +976,23 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = track_cache(hashed_features(docs, n_buckets=32))
     weights, losses = logreg_train(feats, labels, n_iters=8, lr=1.0, l2=1e-4)
     auc = auc_rank(logreg_score(feats, weights), labels)
-    n_pos = labels.where("y = 1.0").count()
+    # n_docs and n_pos fused into ONE aggregate job (they were two separate
+    # count() scans — guide §5); the projection matches the label frame
+    # logreg_train pinned, so this reads the cache. y is exactly 0.0/1.0,
+    # so sum(cast long) == the filtered count, bit-for-bit.
+    lrow = (
+        labels.select("_doc", F.col("y").cast("double").alias("y"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("y").cast("long")).alias("n_pos"),
+        )
+        .collect()[0]
+    )
     return spark.createDataFrame(
         [
             (
-                labels.count(),
-                n_pos,
+                int(lrow["n"]),
+                int(lrow["n_pos"]),
                 len(weights),
                 float(losses[0]),
                 float(losses[-1]),

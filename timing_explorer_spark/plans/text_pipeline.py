@@ -1509,8 +1509,25 @@ def q_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     dl = per_doc.select("doc_id", "len")
-    n_docs = d.count()  # driver scalar (exact, tiny)
-    avgdl = dl.agg(F.avg(F.col("len").cast("double"))).collect()[0][0]
+    # The two driver scalars (corpus count, average doc length) ride ONE
+    # union-of-aggregates collect instead of two jobs (guide §5, the
+    # trainer-fusion pattern). The legs aggregate different frames (d vs the
+    # tracked per_doc cache, which this job materializes), so nothing races;
+    # count-as-double is exact below 2^53 and avg is the identical
+    # expression, so n_docs/avgdl — and every literal they feed — are
+    # bit-identical.
+    srow = (
+        d.agg(F.count(F.lit(1)).cast("double").alias("v"))
+        .select("v", F.lit(False).alias("is_avg"))
+        .unionByName(
+            dl.agg(F.avg(F.col("len").cast("double")).alias("v")).select(
+                "v", F.lit(True).alias("is_avg")
+            )
+        )
+        .collect()
+    )
+    n_docs = int(next(r["v"] for r in srow if not r["is_avg"]))
+    avgdl = next(r["v"] for r in srow if r["is_avg"])
     stack_args = ", ".join(
         f"'{t}', __f_{i}" for i, t in enumerate(_BM25_QUERY)
     )
