@@ -120,6 +120,26 @@ def test_fused_upfront_scalars_match_naive(spark):
     assert n_labels == 10
 
 
+def test_margins_literal_map_inner_join_semantics(spark):
+    """The r13 literal-MAP weight lookup must reproduce the broadcast
+    join's INNER semantics exactly: rows with buckets absent from the
+    model are dropped, and a doc with ONLY unknown buckets yields no
+    margin row (not a NULL). Expected values computed by hand."""
+    from timing_explorer_spark.operators.logreg import _margins
+
+    feats = spark.createDataFrame(
+        [
+            (0, -1, 1.0), (0, 5, 0.5),   # known + known
+            (1, -1, 1.0), (1, 99, 0.5),  # known + UNKNOWN (dropped)
+            (2, 99, 1.0),                # all unknown -> no row
+        ],
+        "_doc bigint, bucket int, x double",
+    )
+    out = {r["_doc"]: r["margin"] for r in _margins(feats, {-1: 2.0, 5: 4.0}).collect()}
+    assert out == {0: 2.0 * 1.0 + 4.0 * 0.5, 1: 2.0 * 1.0}
+    assert 2 not in out
+
+
 def test_gradient_matches_finite_differences(spark):
     """The distributed decimal-exact gradient equals the numeric gradient of
     the NLL computed in pure Python on the same tiny dataset."""

@@ -70,11 +70,41 @@ def hashed_features(
     return feats.unionByName(bias)
 
 
+# Above this many buckets the weight lookup goes back to a broadcast join:
+# a literal MAP with tens of thousands of entries bloats the plan and codegen
+# (planning is driver-side, single-threaded — guide §7.3), while below it the
+# map ships inside the task binary and saves a createDataFrame + broadcast
+# round-trip per call (8 per training build).
+_LITERAL_MAP_MAX_BUCKETS = 4096
+
+
 def _margins(features: DataFrame, weights: dict[int, float]) -> DataFrame:
-    """(doc, margin): decimal-exact Σ_b w_b·x_db via a broadcast weight table."""
+    """(doc, margin): decimal-exact Σ_b w_b·x_db. The weight table is tiny
+    (O(n_buckets)); look it up via a literal MAP expression instead of a
+    broadcast join when it fits (identical per-row product w·x — same double
+    values — and the same order-invariant decimal sum, so margins are
+    bit-identical; pinned in tests/test_logreg.py)."""
+    items = sorted(weights.items())
+    if len(items) <= _LITERAL_MAP_MAX_BUCKETS:
+        wmap = F.create_map(
+            *[F.lit(v) for b, w in items for v in (int(b), float(w))]
+        )
+        # try_element_at: NULL-on-missing-key by contract in every ANSI mode
+        # (plain element_at's missing-key behavior is mode-dependent)
+        w_expr = F.try_element_at(wmap, F.col("bucket"))
+        # the filter reproduces the join's INNER semantics exactly: rows with
+        # unknown buckets are dropped, and a doc with no known bucket yields
+        # no row (not a NULL margin)
+        return (
+            features.where(w_expr.isNotNull())
+            .groupBy("_doc")
+            .agg(
+                F.sum((w_expr * F.col("x")).cast(_DEC)).cast("double").alias("margin")
+            )
+        )
     spark = features.sparkSession
     wdf = spark.createDataFrame(
-        [(int(b), float(w)) for b, w in sorted(weights.items())], "bucket int, w double"
+        [(int(b), float(w)) for b, w in items], "bucket int, w double"
     )
     return (
         features.join(F.broadcast(wdf), on="bucket")
